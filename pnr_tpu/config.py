@@ -1,0 +1,161 @@
+"""Configuration for the PNR-TPU reconstruction pipeline.
+
+Mirrors the reference's 11 positional CLI parameters (`input_PARA`,
+pnr-vaa3d/Advantra_plugin.cpp:88-103, defaults at :48-83) plus the
+file-scope "expert" constants that act as hidden flags in the
+reference. One dataclass, used by both the Python API and the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PNRConfig:
+    # --- the 11 CLI parameters (reference defaults, Advantra_plugin.cpp:48-58) ---
+    #: Gaussian cross-section sigmas for neurite filtering/tracking (sorted).
+    sigmas: Tuple[float, ...] = (2.0, 3.0)
+    #: Minimum soma radius; 0 disables soma detection.
+    somaradius: int = 0
+    #: Local-maxima tolerance for seed extraction (ImageJ MaximumFinder).
+    tolerance: float = 10.0
+    #: ZNCC correlation threshold (stops traces / filters seeds).
+    znccth: float = 0.5
+    #: von Mises concentration of the directional transition prior.
+    kappa: float = 2.0
+    #: Prediction step (pixels) of the SMC transition.
+    step: int = 3
+    #: Number of SMC iterations per trace.
+    ni: int = 100
+    #: Number of particles per trace.
+    np: int = 20
+    #: Distance between z-layers in pixels (anisotropy).
+    zdist: float = 2.0
+    #: Max node visits per voxel before trace suppression.
+    nodepervol: int = 4
+    #: Suppression neighbourhood size: 1, 5, 9, 11, 19, or 27 voxels.
+    vol: int = 9
+
+    # --- expert constants (reference file-scope globals, Advantra_plugin.cpp:61-83) ---
+    save_midres: bool = False
+    #: Likelihood factor: lhood = exp(Kc * zncc).
+    kc: float = 20.0
+    #: Resample when Neff/np falls below this ratio.
+    neff_ratio: float = 0.8
+    frangi_alpha: float = 0.5
+    frangi_beta: float = 0.5
+    frangi_c: float = 500.0
+    frangi_betaone: float = 0.5
+    frangi_betatwo: float = 15.0
+    max_trace_count: int = 5000
+    epsilon2: float = 1e-4
+    refine_iter: int = 4
+    #: Neighbourhood radius multiplier for refinement (radius = SIG2RADIUS * sigma).
+    sig2radius: float = 1.5
+    #: Trace resampling step during node interpolation.
+    trace_rsmpl: float = 1.0
+    #: Node grouping radius.
+    group_radius: float = 2.0
+    enforce_single_tree: bool = False
+    tree_size_min: int = 10
+    tail_size_min: int = 2
+
+    # --- TPU-native additions (no reference equivalent) ---
+    #: Number of traces advanced in lockstep per wave (2x for both directions).
+    wave_size: int = 256
+    #: PRNG seed (the reference used srand(time(NULL)); we are reproducible).
+    seed: int = 0
+    #: Use bfloat16 for the heavy stencil passes where precision allows.
+    use_bf16: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "sigmas", tuple(sorted(float(s) for s in self.sigmas)))
+        if self.somaradius < 0:
+            raise ValueError("somaradius out of range")
+        if self.tolerance < 0:
+            raise ValueError("tolerance out of range")
+        if not (0 <= self.znccth <= 1):
+            raise ValueError("znccth out of range")
+        if not (0 <= self.kappa <= 5):
+            raise ValueError("kappa out of range")
+        if self.step < 1:
+            raise ValueError("step out of range")
+        if self.ni <= 0:
+            raise ValueError("ni out of range")
+        if self.np <= 0:
+            raise ValueError("np out of range")
+        if self.zdist < 1:
+            raise ValueError("zdist out of range")
+        if not (2 < self.nodepervol <= 20):
+            raise ValueError("nodepervol out of range")
+        if self.vol not in (1, 5, 9, 11, 19, 27):
+            raise ValueError("vol can be 1,5,9,11,19,27")
+
+    @classmethod
+    def from_cli_params(cls, params: Sequence[str]) -> "PNRConfig":
+        """Parse the reference's 11 positional parameters.
+
+        Order (Advantra_plugin.cpp:301-313): neuritesigmas somaradius
+        tolerance znccth kappa step ni np zdist nodepervol vol.
+        """
+        if len(params) != 11:
+            raise ValueError(f"needs 11 input parameters, got {len(params)}")
+        return cls(
+            sigmas=tuple(float(s) for s in str(params[0]).split(",") if s),
+            somaradius=int(params[1]),
+            tolerance=float(params[2]),
+            znccth=float(params[3]),
+            kappa=float(params[4]),
+            step=int(params[5]),
+            ni=int(params[6]),
+            np=int(params[7]),
+            zdist=float(params[8]),
+            nodepervol=int(params[9]),
+            vol=int(params[10]),
+        )
+
+    def provenance_comment(self, channel: int = 1) -> str:
+        """Parameter provenance embedded in the SWC header.
+
+        Reproduces the reference's COMMENT feature
+        (Advantra_plugin.cpp:2277-2306): every parameter, including the
+        internal constants, recorded with the output.
+        """
+        sigstr = ",".join(f"{s:g}" for s in self.sigmas)
+        fields = [
+            ("channel", channel),
+            ("neuritesigmas", sigstr),
+            ("somaradius", self.somaradius),
+            ("tolerance", f"{self.tolerance:g}"),
+            ("znccth", f"{self.znccth:g}"),
+            ("kappa", f"{self.kappa:g}"),
+            ("step", self.step),
+            ("ni", self.ni),
+            ("np", self.np),
+            ("zdist", f"{self.zdist:g}"),
+            ("nodepervol", self.nodepervol),
+            ("vol", self.vol),
+            ("------------------------", ""),
+            ("Kc", f"{self.kc:g}"),
+            ("neff_ratio", f"{self.neff_ratio:g}"),
+            ("frangi_alfa", f"{self.frangi_alpha:g}"),
+            ("frangi_beta", f"{self.frangi_beta:g}"),
+            ("frangi_C", f"{self.frangi_c:g}"),
+            ("frangi_betaone", f"{self.frangi_betaone:g}"),
+            ("frangi_betatwo", f"{self.frangi_betatwo:g}"),
+            ("MAX_TRACE_COUNT", self.max_trace_count),
+            ("EPSILON2", f"{self.epsilon2:g}"),
+            ("REFINE_ITER", self.refine_iter),
+            ("SIG2RADIUS", f"{self.sig2radius:g}"),
+            ("TRACE_RSMPL", f"{self.trace_rsmpl:g}"),
+            ("GROUP_RADIUS", f"{self.group_radius:g}"),
+            ("ENFORCE_SINGLE_TREE", int(self.enforce_single_tree)),
+            ("TREE_SIZE_MIN", self.tree_size_min),
+            ("TAIL_SIZE_MIN", self.tail_size_min),
+        ]
+        lines = ["params:"]
+        for k, v in fields:
+            lines.append(f"{k}={v}" if v != "" else k)
+        return "\n#".join(lines)

@@ -1,0 +1,30 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-device sharding tests follow the standard recipe of simulating
+chips with XLA host devices (SURVEY.md §4): set the platform before
+jax is imported anywhere.
+"""
+
+import os
+
+# Force CPU: the session environment may preset JAX_PLATFORMS to a TPU
+# backend; tests must be deterministic and run the virtual 8-device mesh.
+# pytest plugins import jax before this conftest runs, so set both the env
+# (for subprocesses) and the live config (backend initializes lazily).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
