@@ -1,0 +1,367 @@
+// pnr_native — host-side native runtime for pnr_tpu.
+//
+// The reference framework's runtime is C++ (a Vaa3D plugin); this module is
+// the TPU framework's native tier for the host-side, inherently sequential
+// algorithms that do not map to the accelerator:
+//
+//  * max_finder_2d  — ImageJ-MaximumFinder-style local maxima with tolerance
+//                     flood (behavioural parity with
+//                     pnr-vaa3d/seed.cpp:556-791 `SeedExtractor::extractSeeds`,
+//                     written fresh from the published algorithm).
+//  * conn3d_regions — same-value 3-D connected components by region growing
+//                     (parity with pnr-vaa3d/toolbox.cpp:245-509 `conn3d`).
+//  * group_nodes    — greedy sphere grouping of graph nodes ordered by
+//                     descending correlation (parity with
+//                     pnr-vaa3d/Advantra_plugin.cpp:1566-1642 `group1`),
+//                     accelerated with a uniform spatial grid.
+//
+// Exposed with a plain C ABI for ctypes; no Python headers needed.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint8_t kMaximum = 1;
+constexpr uint8_t kListed = 2;
+constexpr uint8_t kProcessed = 4;
+constexpr uint8_t kEqual = 8;
+
+}  // namespace
+
+extern "C" {
+
+// Find single-point maxima of one 2-D slice with the given tolerance.
+// img: h*w uint8 (row-major, y*w+x). Emits up to max_out points as
+// (x, y) int pairs into out_xy; returns the number of points found.
+// Maxima are processed in descending (value, offset) order; a candidate is
+// rejected when its tolerance flood reaches a higher pixel, a previously
+// processed region, or the image border.
+int max_finder_2d(const uint8_t* img, int w, int h, double tolerance,
+                  int* out_xy, int max_out) {
+  const long n = (long)w * h;
+  if (n == 0 || w < 3 || h < 3) return 0;
+
+  uint8_t gmin = 255, gmax = 0;
+  for (long i = 0; i < n; ++i) {
+    gmin = std::min(gmin, img[i]);
+    gmax = std::max(gmax, img[i]);
+  }
+
+  const int dx8[8] = {0, 1, 1, 1, 0, -1, -1, -1};
+  const int dy8[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+
+  std::vector<uint8_t> types(n, 0);
+  std::vector<int64_t> max_points;
+  max_points.reserve(1024);
+
+  for (int y = 1; y < h - 1; ++y) {
+    for (int x = 1; x < w - 1; ++x) {
+      const long i = (long)y * w + x;
+      const uint8_t v = img[i];
+      if (v == gmin) continue;
+      bool is_max = true;
+      for (int d = 0; d < 8 && is_max; ++d) {
+        if (img[(long)(y + dy8[d]) * w + (x + dx8[d])] > v) is_max = false;
+      }
+      if (is_max) {
+        types[i] = kMaximum;
+        max_points.push_back(((int64_t)v << 32) | (int64_t)i);
+      }
+    }
+  }
+  std::sort(max_points.begin(), max_points.end());
+
+  std::vector<int> plist;
+  plist.reserve(4096);
+  int n_out = 0;
+
+  for (long mi = (long)max_points.size() - 1; mi >= 0; --mi) {
+    const int offset0 = (int)(max_points[mi] & 0xffffffffLL);
+    if (types[offset0] & kProcessed) continue;
+
+    const int x0 = offset0 % w;
+    const int y0 = offset0 / w;
+    const double v0 = img[offset0];
+
+    plist.clear();
+    plist.push_back(offset0);
+    types[offset0] |= (kEqual | kListed);
+
+    bool max_possible = true;
+    bool edge_max = false;
+    double x_equal = x0, y_equal = y0;
+    int n_equal = 1;
+
+    for (size_t li = 0; li < plist.size(); ++li) {
+      const int off = plist[li];
+      const int px = off % w;
+      const int py = off / w;
+      for (int d = 0; d < 8; ++d) {
+        const int qx = px + dx8[d];
+        const int qy = py + dy8[d];
+        if (qx < 0 || qx >= w || qy < 0 || qy >= h) continue;
+        const int qoff = qy * w + qx;
+        if (types[qoff] & kListed) continue;
+        if (types[qoff] & kProcessed) {
+          max_possible = false;  // reached an earlier region
+          break;
+        }
+        const double v2 = img[qoff];
+        if (v2 > v0) {
+          max_possible = false;  // reached higher ground
+          break;
+        }
+        if (v2 >= v0 - tolerance) {
+          plist.push_back(qoff);
+          types[qoff] |= kListed;
+          if (qx == 0 || qx == w - 1 || qy == 0 || qy == h - 1) {
+            edge_max = true;
+            max_possible = false;  // exclude edge maxima
+            break;
+          }
+          if (v2 == v0) {
+            types[qoff] |= kEqual;
+            x_equal += qx;
+            y_equal += qy;
+            ++n_equal;
+          }
+        }
+      }
+      if (!max_possible) break;
+    }
+
+    x_equal /= n_equal;
+    y_equal /= n_equal;
+    double best_d2 = 1e20;
+    int best_off = offset0;
+    for (size_t li = 0; li < plist.size(); ++li) {
+      const int off = plist[li];
+      types[off] &= (uint8_t)~(max_possible ? kListed : (kListed | kEqual));
+      types[off] |= kProcessed;
+      if (max_possible && (types[off] & kEqual)) {
+        const int px = off % w;
+        const int py = off / w;
+        const double d2 = (x_equal - px) * (x_equal - px) +
+                          (y_equal - py) * (y_equal - py);
+        if (d2 < best_d2) {
+          best_d2 = d2;
+          best_off = off;
+        }
+      }
+    }
+
+    if (max_possible && !edge_max && n_out < max_out) {
+      out_xy[2 * n_out] = best_off % w;
+      out_xy[2 * n_out + 1] = best_off / w;
+      ++n_out;
+    }
+  }
+  return n_out;
+}
+
+// Same-value 3-D connected components by region growing (26- or
+// 6-connectivity). img: d*h*w uint8; labels: same-size int32 output
+// (1-based region ids, 0 elsewhere). Per accepted region (>= min_size
+// voxels, value > value_over) emits centroid x, y, z and the mean
+// euclidean distance of member voxels to the centroid into regions
+// (4 floats per region). Returns the number of regions.
+int conn3d_regions(const uint8_t* img, int w, int h, int d, int value_over,
+                   int min_size, int diagonal, int32_t* labels,
+                   float* regions, int max_regions) {
+  const long n = (long)w * h * d;
+  std::vector<uint8_t> state(n, 0);  // 0 free, 1 in-region, 2 consumed
+  std::vector<uint8_t> data(img, img + n);
+  std::memset(labels, 0, n * sizeof(int32_t));
+
+  int region_count = 0;
+  std::vector<long> queue;
+  std::vector<long> members;
+
+  for (long start = 0; start < n; ++start) {
+    if (state[start] == 2 || data[start] <= value_over) continue;
+    const uint8_t vint = data[start];
+
+    queue.clear();
+    members.clear();
+    queue.push_back(start);
+    state[start] = 1;
+
+    double xm = 0, ym = 0, zm = 0;
+    while (!queue.empty()) {
+      const long cur = queue.back();
+      queue.pop_back();
+      data[cur] = 0;
+      members.push_back(cur);
+      const int pz = (int)(cur / ((long)w * h));
+      const int rem = (int)(cur % ((long)w * h));
+      const int py = rem / w;
+      const int px = rem % w;
+      xm += px;
+      ym += py;
+      zm += pz;
+
+      for (int dz = -1; dz <= 1; ++dz) {
+        for (int dy = -1; dy <= 1; ++dy) {
+          for (int dx = -1; dx <= 1; ++dx) {
+            const int off_total = std::abs(dx) + std::abs(dy) + std::abs(dz);
+            if (off_total == 0) continue;
+            if (!diagonal && off_total > 1) continue;
+            const int qx = px + dx, qy = py + dy, qz = pz + dz;
+            if (qx < 0 || qx >= w || qy < 0 || qy >= h || qz < 0 || qz >= d)
+              continue;
+            const long qi = ((long)qz * h + qy) * w + qx;
+            if (state[qi] == 0 && data[qi] == vint) {
+              state[qi] = 1;
+              queue.push_back(qi);
+            }
+          }
+        }
+      }
+    }
+
+    const long sz = (long)members.size();
+    xm /= sz;
+    ym /= sz;
+    zm /= sz;
+
+    if (sz >= min_size && region_count < max_regions) {
+      ++region_count;
+      double rm = 0;
+      for (long k = 0; k < sz; ++k) {
+        const long m = members[k];
+        const int pz = (int)(m / ((long)w * h));
+        const int rem = (int)(m % ((long)w * h));
+        const int py = rem / w;
+        const int px = rem % w;
+        rm += std::sqrt((px - xm) * (px - xm) + (py - ym) * (py - ym) +
+                        (pz - zm) * (pz - zm));
+        labels[m] = region_count;
+      }
+      rm /= sz;
+      regions[4 * (region_count - 1) + 0] = (float)xm;
+      regions[4 * (region_count - 1) + 1] = (float)ym;
+      regions[4 * (region_count - 1) + 2] = (float)zm;
+      regions[4 * (region_count - 1) + 3] = (float)rm;
+    }
+    for (long k = 0; k < sz; ++k) state[members[k]] = 2;
+  }
+  return region_count;
+}
+
+// Greedy sphere grouping: process node indices ordered by descending
+// correlation; each ungrouped node absorbs every other ungrouped node
+// within `rad` of its (running-average) centre. Inputs are SoA arrays of
+// length n (x, y, z already include any dummy handling by the caller;
+// is_soma nodes become singleton groups first). Outputs: group_of[i] =
+// group index per node, and per-group running averages gx, gy, gz, gsig,
+// gcorr (caller sizes them to n). Returns the number of groups.
+//
+// Absorption uses the node's ORIGINAL position for the distance test
+// centre as in the reference (nX[ci], Advantra_plugin.cpp:1599-1608)
+// while the emitted group centre is the running average.
+int group_nodes(const float* x, const float* y, const float* z,
+                const float* sig, const float* corr, const uint8_t* is_soma,
+                int n, float rad, int32_t* group_of, float* gx, float* gy,
+                float* gz, float* gsig, float* gcorr) {
+  std::vector<int> order(n);
+  for (int i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return corr[a] > corr[b]; });
+
+  for (int i = 0; i < n; ++i) group_of[i] = -1;
+  int ngroups = 0;
+
+  // soma nodes become singleton groups first (Advantra_plugin.cpp:1580-1587)
+  for (int i = 0; i < n; ++i) {
+    if (is_soma[i]) {
+      group_of[i] = ngroups;
+      gx[ngroups] = x[i];
+      gy[ngroups] = y[i];
+      gz[ngroups] = z[i];
+      gsig[ngroups] = sig[i];
+      gcorr[ngroups] = corr[i];
+      ++ngroups;
+    }
+  }
+
+  // uniform grid over the remaining nodes for O(1) neighbourhood queries
+  float xmin = 1e30f, ymin = 1e30f, zmin = 1e30f;
+  float xmax = -1e30f, ymax = -1e30f, zmax = -1e30f;
+  for (int i = 0; i < n; ++i) {
+    xmin = std::min(xmin, x[i]);
+    ymin = std::min(ymin, y[i]);
+    zmin = std::min(zmin, z[i]);
+    xmax = std::max(xmax, x[i]);
+    ymax = std::max(ymax, y[i]);
+    zmax = std::max(zmax, z[i]);
+  }
+  const float cell = std::max(rad, 1e-3f);
+  const int nx = std::max(1, (int)((xmax - xmin) / cell) + 1);
+  const int ny = std::max(1, (int)((ymax - ymin) / cell) + 1);
+  const int nz = std::max(1, (int)((zmax - zmin) / cell) + 1);
+  auto cell_of = [&](float px, float py, float pz) {
+    int cx = std::min(nx - 1, std::max(0, (int)((px - xmin) / cell)));
+    int cy = std::min(ny - 1, std::max(0, (int)((py - ymin) / cell)));
+    int cz = std::min(nz - 1, std::max(0, (int)((pz - zmin) / cell)));
+    return ((long)cz * ny + cy) * nx + cx;
+  };
+  std::vector<std::vector<int>> grid((long)nx * ny * nz);
+  for (int i = 0; i < n; ++i) {
+    if (!is_soma[i]) grid[cell_of(x[i], y[i], z[i])].push_back(i);
+  }
+
+  const float r2 = rad * rad;
+  for (int oi = 0; oi < n; ++oi) {
+    const int ci = order[oi];
+    if (group_of[ci] != -1) continue;
+
+    const int g = ngroups++;
+    group_of[ci] = g;
+    gx[g] = x[ci];
+    gy[g] = y[ci];
+    gz[g] = z[ci];
+    gsig[g] = sig[ci];
+    gcorr[g] = corr[ci];
+    float grp_size = 1.0f;
+
+    const int cx0 = std::max(0, (int)((x[ci] - rad - xmin) / cell));
+    const int cy0 = std::max(0, (int)((y[ci] - rad - ymin) / cell));
+    const int cz0 = std::max(0, (int)((z[ci] - rad - zmin) / cell));
+    const int cx1 = std::min(nx - 1, (int)((x[ci] + rad - xmin) / cell));
+    const int cy1 = std::min(ny - 1, (int)((y[ci] + rad - ymin) / cell));
+    const int cz1 = std::min(nz - 1, (int)((z[ci] + rad - zmin) / cell));
+
+    // match the reference's ascending-index absorption order
+    std::vector<int> cand;
+    for (int cz = cz0; cz <= cz1; ++cz)
+      for (int cy = cy0; cy <= cy1; ++cy)
+        for (int cx = cx0; cx <= cx1; ++cx)
+          for (int j : grid[((long)cz * ny + cy) * nx + cx]) cand.push_back(j);
+    std::sort(cand.begin(), cand.end());
+
+    for (int j : cand) {
+      if (j == ci || group_of[j] != -1) continue;
+      const float dx = x[j] - x[ci];
+      const float dy = y[j] - y[ci];
+      const float dz = z[j] - z[ci];
+      if (dx * dx + dy * dy + dz * dz <= r2) {
+        group_of[j] = g;
+        grp_size += 1.0f;
+        const float a = (grp_size - 1.0f) / grp_size;
+        const float b = 1.0f / grp_size;
+        gx[g] = a * gx[g] + b * x[j];
+        gy[g] = a * gy[g] + b * y[j];
+        gz[g] = a * gz[g] + b * z[j];
+        gsig[g] = a * gsig[g] + b * sig[j];
+        gcorr[g] = a * gcorr[g] + b * corr[j];
+      }
+    }
+  }
+  return ngroups;
+}
+
+}  // extern "C"

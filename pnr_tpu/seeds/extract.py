@@ -1,0 +1,208 @@
+"""Seed extraction: per-slice local maxima with tolerance-flood dedup.
+
+Parity target: `SeedExtractor::extractSeeds` (pnr-vaa3d/seed.cpp:556-791),
+an ImageJ-MaximumFinder port: per z-slice, mark 8-neighbourhood local
+maxima, process them in descending (value, offset) order, flood each
+within `tolerance`, reject candidates whose flood reaches higher ground,
+an already-processed region, or the image border, and emit one MAX_POINT
+per surviving plateau (the EQUAL-pixel nearest the plateau centroid).
+The seed direction decodes the Frangi eigenvector maps:
+u = (Vx/255)*2-1 etc., normalized (seed.cpp:767-771).
+
+Two implementations with equivalent semantics:
+
+* `max_points_device` — TPU-native reformulation: priority label
+  propagation. Each local maximum becomes a claim packed as
+  (value << 24 | offset); claims flood in parallel to 8-neighbours
+  within [v0 - tol, v0], higher priority winning, iterated to a fixed
+  point (`lax.while_loop`). A label dies if its region touches a
+  higher pixel, a higher-priority region, or the border — the parallel
+  counterpart of the sequential first-come-first-served rules. Known
+  divergence: a killed region still claims its full flood extent,
+  whereas the sequential algorithm stops claiming at the kill contact;
+  cascading-kill corner cases can differ (documented; tests compare
+  against the exact sequential oracle on smooth images).
+
+* `pnr_tpu.native.max_finder_2d` — exact sequential algorithm in C++
+  (host), used as oracle and as the host fallback path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnr_tpu import native
+
+_OFF_BITS = 24
+_OFF_MASK = (1 << _OFF_BITS) - 1
+
+
+def _shifts8(x: jax.Array, fill) -> list:
+    """The 8 neighbour images of a 2-D array, border-filled with `fill`."""
+    p = jnp.pad(x, 1, constant_values=fill)
+    h, w = x.shape
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            out.append(jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w)))
+    return out
+
+
+def _slice_max_points(img: jax.Array, tolerance: float) -> jax.Array:
+    """MAX_POINT mask of one (H, W) uint8 slice (device)."""
+    h, w = img.shape
+    assert h * w < (1 << _OFF_BITS), "slice too large for 24-bit offset packing"
+    v = img.astype(jnp.int32)
+    gmin = jnp.min(v)
+
+    nb_v = _shifts8(v, -1)
+    nbmax = nb_v[0]
+    for s in nb_v[1:]:
+        nbmax = jnp.maximum(nbmax, s)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    offset = yy * w + xx
+    interior = (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1)
+    border = ~interior
+
+    is_max = (v >= nbmax) & (v != gmin) & interior
+    prio = (v.astype(jnp.uint32) << _OFF_BITS) | offset.astype(jnp.uint32)
+    claim0 = jnp.where(is_max, prio, jnp.uint32(0))
+
+    tol = jnp.int32(tolerance)
+
+    def propagate(claim):
+        best = claim
+        for s in _shifts8(claim, 0):
+            v0 = (s >> _OFF_BITS).astype(jnp.int32)
+            allowed = (s > 0) & (v >= v0 - tol) & (v <= v0)
+            best = jnp.maximum(best, jnp.where(allowed, s, jnp.uint32(0)))
+        return best
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        claim, _ = state
+        new = propagate(claim)
+        return new, jnp.any(new != claim)
+
+    claim, _ = jax.lax.while_loop(cond, body, (claim0, jnp.bool_(True)))
+
+    claimed = claim > 0
+    v0 = (claim >> _OFF_BITS).astype(jnp.int32)
+    origin = (claim & _OFF_MASK).astype(jnp.int32)
+
+    # Kill rules evaluated per claimed pixel, OR-reduced per label.
+    nb_claim = _shifts8(claim, 0)
+    nbmax_claim = nb_claim[0]
+    for s in nb_claim[1:]:
+        nbmax_claim = jnp.maximum(nbmax_claim, s)
+    bad = claimed & ((nbmax > v0) | (nbmax_claim > claim) | border)
+
+    killed = (
+        jnp.zeros((h * w,), jnp.bool_)
+        .at[jnp.where(claimed, origin, 0)]
+        .max(bad, mode="drop")
+    )
+
+    # A label survives if it still owns its own pixel and was not killed.
+    own = is_max & (claim == prio) & ~killed.reshape(h, w)
+
+    # MAX_POINT: among EQUAL pixels (v == v0) of each region, the one
+    # nearest the EQUAL centroid; ties resolved by smallest offset.
+    eq = claimed & (v == v0)
+    idx = jnp.where(eq, origin, 0)
+    cnt = jnp.zeros((h * w,), jnp.float32).at[idx].add(eq.astype(jnp.float32), mode="drop")
+    sx = jnp.zeros((h * w,), jnp.float32).at[idx].add(jnp.where(eq, xx, 0).astype(jnp.float32), mode="drop")
+    sy = jnp.zeros((h * w,), jnp.float32).at[idx].add(jnp.where(eq, yy, 0).astype(jnp.float32), mode="drop")
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    cx = (sx / cnt_safe)[origin]
+    cy = (sy / cnt_safe)[origin]
+    d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+    d2 = jnp.where(eq, d2, jnp.inf)
+    min_d2 = jnp.full((h * w,), jnp.inf, jnp.float32).at[idx].min(d2, mode="drop")
+    at_min = eq & (d2 == min_d2[origin])
+    big = jnp.int32(h * w)
+    # Tie-break towards the LARGEST offset: the sequential flood list starts
+    # at the origin maximum (the largest-offset candidate, seed.cpp:643), so
+    # on equal centroid distance the origin pixel wins.
+    best_off = (
+        jnp.full((h * w,), -1, jnp.int32)
+        .at[jnp.where(at_min, origin, 0)]
+        .max(jnp.where(at_min, offset, -1), mode="drop")
+    )
+
+    surviving_origin = own  # (h, w) bool at origin pixels
+    target = jnp.where(surviving_origin & (best_off[offset] >= 0), best_off[offset], big)
+    mask = (
+        jnp.zeros((h * w + 1,), jnp.bool_)
+        .at[jnp.clip(target, 0, h * w)]
+        .max(surviving_origin, mode="drop")
+    )
+    return mask[: h * w].reshape(h, w)
+
+
+@partial(jax.jit, static_argnames=("tolerance",))
+def max_points_device(j8: jax.Array, tolerance: float) -> jax.Array:
+    """Per-slice MAX_POINT mask of a (Z, Y, X) uint8 volume (device)."""
+    return jax.vmap(lambda s: _slice_max_points(s, tolerance))(j8)
+
+
+def max_points_host(j8: np.ndarray, tolerance: float) -> np.ndarray:
+    """Exact sequential maxima via the native C++ runtime; (Z,Y,X) bool mask."""
+    j8 = np.asarray(j8)
+    mask = np.zeros(j8.shape, bool)
+    for z in range(j8.shape[0]):
+        pts = native.max_finder_2d(j8[z], tolerance)
+        if len(pts):
+            mask[z, pts[:, 1], pts[:, 0]] = True
+    return mask
+
+
+def decode_directions(
+    vx_u8: np.ndarray, vy_u8: np.ndarray, vz_u8: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode quantized Frangi directions to normalized floats (seed.cpp:767-771)."""
+    ux = (vx_u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+    uy = (vy_u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+    uz = (vz_u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+    un = np.sqrt(ux * ux + uy * uy + uz * uz)
+    un = np.where(un > 0, un, 1.0)
+    return ux / un, uy / un, uz / un
+
+
+def extract_seeds(
+    j8,
+    vx_u8,
+    vy_u8,
+    vz_u8,
+    tolerance: float,
+    use_device: bool = True,
+):
+    """Full seed extraction: positions + decoded directions.
+
+    Returns (pos (N, 3) float32 in (x, y, z) order, dirs (N, 3) float32),
+    ordered by slice-major scan of the MAX_POINT mask.
+    """
+    if use_device:
+        mask = np.asarray(max_points_device(jnp.asarray(j8), float(tolerance)))
+    else:
+        mask = max_points_host(np.asarray(j8), float(tolerance))
+    zz, yy, xx = np.nonzero(mask)
+    pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
+    vxh = np.asarray(vx_u8)[zz, yy, xx]
+    vyh = np.asarray(vy_u8)[zz, yy, xx]
+    vzh = np.asarray(vz_u8)[zz, yy, xx]
+    ux, uy, uz = decode_directions(vxh, vyh, vzh)
+    dirs = np.stack([ux, uy, uz], axis=-1).astype(np.float32)
+    return pos, dirs

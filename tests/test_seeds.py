@@ -1,0 +1,123 @@
+"""Seed extraction tests: device label-propagation vs exact sequential oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+
+from pnr_tpu import native
+from pnr_tpu.seeds.extract import (
+    decode_directions,
+    extract_seeds,
+    max_points_device,
+    max_points_host,
+)
+
+
+def smooth_random_slice(rng, shape=(48, 64), sigma=3.0):
+    img = rng.random(shape)
+    img = ndi.gaussian_filter(img, sigma)
+    img = (img - img.min()) / (img.max() - img.min())
+    return (img * 255).astype(np.uint8)
+
+
+class TestNativeMaxFinder:
+    def test_native_builds(self):
+        assert native.have_native(), "g++ build of pnr_native failed"
+
+    def test_single_peak(self):
+        img = np.zeros((16, 16), np.uint8)
+        img[8, 9] = 200
+        img[8, 10] = 150
+        pts = native.max_finder_2d(img, 10.0)
+        assert pts.shape == (1, 2)
+        assert tuple(pts[0]) == (9, 8)
+
+    def test_two_peaks_separated(self):
+        img = np.zeros((24, 24), np.uint8)
+        img[6, 6] = 200
+        img[18, 18] = 180
+        pts = native.max_finder_2d(img, 10.0)
+        assert len(pts) == 2
+        assert {tuple(p) for p in pts} == {(6, 6), (18, 18)}
+
+    def test_nearby_peaks_merge_within_tolerance(self):
+        # lower peak within tolerance-flood of the higher one -> one seed
+        img = np.zeros((16, 16), np.uint8)
+        img[8, 6] = 200
+        img[8, 7] = 195
+        img[8, 8] = 198
+        pts = native.max_finder_2d(img, 10.0)
+        assert len(pts) == 1
+        assert tuple(pts[0]) == (6, 8)
+
+    def test_edge_maxima_excluded(self):
+        img = np.zeros((16, 16), np.uint8)
+        img[0, 5] = 250  # on border: not a candidate
+        img[5, 1] = 240
+        img[5, 2] = 240  # plateau reaching x==0 via tolerance? no: x==1 is interior
+        pts = native.max_finder_2d(img, 300.0)  # huge tolerance floods everything to border
+        assert len(pts) == 0
+
+    def test_matches_python_reference(self, rng):
+        for _ in range(5):
+            img = smooth_random_slice(rng)
+            got = native.max_finder_2d(img, 10.0)
+            want = native._max_finder_2d_py(img, 10.0)
+            assert {tuple(p) for p in got} == {tuple(p) for p in want}
+
+
+class TestDeviceMaxPoints:
+    @pytest.mark.parametrize("tol", [0.0, 5.0, 10.0, 20.0])
+    def test_matches_sequential_on_smooth_images(self, rng, tol):
+        vol = np.stack([smooth_random_slice(rng) for _ in range(3)])
+        got = np.asarray(max_points_device(jnp.asarray(vol), tol))
+        want = max_points_host(vol, tol)
+        # identical seed sets on smooth images
+        g = set(zip(*np.nonzero(got)))
+        w = set(zip(*np.nonzero(want)))
+        extra, missing = g - w, w - g
+        assert not extra and not missing, f"extra={extra} missing={missing}"
+
+    def test_plateau_single_point(self):
+        img = np.zeros((1, 16, 16), np.uint8)
+        img[0, 7:10, 7:10] = 100  # 3x3 plateau
+        got = np.asarray(max_points_device(jnp.asarray(img), 5.0))
+        assert got.sum() == 1
+        z, y, x = [int(a[0]) for a in np.nonzero(got)]
+        assert (y, x) == (8, 8)  # centroid of the plateau
+
+    def test_flat_image_no_seeds(self):
+        img = np.full((2, 16, 16), 17, np.uint8)
+        got = np.asarray(max_points_device(jnp.asarray(img), 5.0))
+        assert got.sum() == 0
+
+
+class TestExtractSeeds:
+    def test_directions_decoded_and_normalized(self, rng):
+        vol = np.zeros((2, 16, 16), np.uint8)
+        vol[1, 8, 8] = 200
+        vx = np.full(vol.shape, 255, np.uint8)  # encodes +1
+        vy = np.full(vol.shape, 128, np.uint8)  # ~0
+        vz = np.full(vol.shape, 128, np.uint8)
+        pos, dirs = extract_seeds(vol, vx, vy, vz, tolerance=10.0, use_device=False)
+        assert pos.shape == (1, 3)
+        np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, atol=1e-5)
+        assert dirs[0, 0] > 0.99
+
+    def test_device_and_host_paths_agree(self, rng):
+        vol = np.stack([smooth_random_slice(rng) for _ in range(2)])
+        vx = vy = vz = np.full(vol.shape, 200, np.uint8)
+        p1, _ = extract_seeds(vol, vx, vy, vz, 10.0, use_device=True)
+        p2, _ = extract_seeds(vol, vx, vy, vz, 10.0, use_device=False)
+        assert {tuple(p) for p in p1} == {tuple(p) for p in p2}
+
+
+class TestDecode:
+    def test_decode_roundtrip(self):
+        ux, uy, uz = decode_directions(
+            np.array([255], np.uint8), np.array([0], np.uint8), np.array([128], np.uint8)
+        )
+        v = np.array([ux[0], uy[0], uz[0]])
+        np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-6)
