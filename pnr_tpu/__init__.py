@@ -18,6 +18,32 @@ shard across a `jax.sharding.Mesh` with halo exchange.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (opt out: PNR_TPU_NO_CACHE=1).
+
+    TPU compile times for the tracer graph run to minutes; the persistent
+    cache makes every run after the first start instantly.
+    """
+    if _os.environ.get("PNR_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "PNR_TPU_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "pnr_tpu_xla"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 from pnr_tpu.config import PNRConfig
 
 __all__ = ["PNRConfig"]

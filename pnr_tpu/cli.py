@@ -1,0 +1,102 @@
+"""Advantra-compatible command-line interface.
+
+Parity target: `Advantra::dofunc` (pnr-vaa3d/Advantra_plugin.cpp:274-337).
+Same 11 positional parameters after -p, same validation, same output
+naming (<image>_Advantra.swc) with the parameter-provenance header.
+
+    python -m pnr_tpu.cli -i image.tif -p 2,4,6 0 5 0.3 3 2 200 20 2 4 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.io.swc import save_nodelist
+from pnr_tpu.io.volume import load_volume, save_volume
+
+
+def print_help_params() -> None:
+    print(
+        """*** PNR-TPU (Advantra) usage ***
+python -m pnr_tpu.cli -i <inimg_file> -p <neuritesigmas somaradius tolerance znccth kappa step ni np zdist nodepervol vol>
+inimg_file     The input image (.tif / .v3draw / .npy).
+neuritesigmas  Comma-delimited Gaussian cross-section sigmas.
+somaradius     Minimum soma radius (0 to skip soma detection).
+tolerance      Local maxima tolerance (typically 10).
+znccth         Correlation threshold (0.5).
+kappa          Von Mises concentration (2).
+step           Prediction step (3).
+ni             Number of trace iterations (100).
+np             Number of trace particles (20).
+zdist          Z-axis layer distance (2).
+nodepervol     Nodes per volume limit (3+).
+vol            Suppression volume: 1, 5, 9, 11, 19, 27.
+Output SWC is named automatically from the input image file name."""
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pnr_tpu", add_help=False)
+    ap.add_argument("-i", dest="image", required=False)
+    ap.add_argument("-p", dest="params", nargs="*", default=None)
+    ap.add_argument("-o", dest="output", default=None)
+    ap.add_argument("--save-midres", action="store_true")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("-h", "--help", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.help or not args.image:
+        print_help_params()
+        return 0 if args.help else 1
+
+    if args.params is None or len(args.params) != 11:
+        sys.stderr.write("\nNeeds 11 input parameters.\n\n")
+        print_help_params()
+        return 1
+
+    try:
+        cfg = PNRConfig.from_cli_params(args.params)
+    except ValueError as e:
+        sys.stderr.write(f"{e}\n")
+        return 1
+    if args.save_midres:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, save_midres=True)
+
+    verbose = not args.quiet
+    if verbose:
+        print("-------------  PNR-TPU (Advantra)  -------------")
+        for k in (
+            "sigmas", "somaradius", "tolerance", "znccth", "kappa", "step",
+            "ni", "np", "zdist", "nodepervol", "vol",
+        ):
+            print(f"{k} = {getattr(cfg, k)}")
+        print("-------------------------------------------------")
+
+    vol = load_volume(args.image)
+
+    from pnr_tpu.pipeline import reconstruction_func
+
+    result = reconstruction_func(vol, cfg, verbose=verbose)
+
+    out = args.output or (args.image + "_Advantra.swc")
+    save_nodelist(
+        result.tree, out, ntype=-1, sig2r=1.0, name="Advantra",
+        comment=cfg.provenance_comment(),
+    )
+    if verbose:
+        print(f"wrote {out} ({len(result.tree) - 1} nodes)")
+
+    if cfg.save_midres and result.j8 is not None:
+        save_volume(args.image + "_J8.tif", result.j8)
+        save_nodelist(result.n0, args.image + "_n0.swc")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -63,8 +63,10 @@ class PNRConfig:
     tail_size_min: int = 2
 
     # --- TPU-native additions (no reference equivalent) ---
-    #: Number of traces advanced in lockstep per wave (2x for both directions).
-    wave_size: int = 256
+    #: Number of seeds advanced in lockstep per wave (each seed traces two
+    #: directions, so the device batch is 2x this). 128 is the validated
+    #: sweet spot on TPU v5e: larger waves blow up XLA compile time.
+    wave_size: int = 128
     #: PRNG seed (the reference used srand(time(NULL)); we are reproducible).
     seed: int = 0
     #: Use bfloat16 for the heavy stencil passes where precision allows.

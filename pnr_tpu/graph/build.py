@@ -1,0 +1,145 @@
+"""Sequential trace commit: estimates -> node graph with density suppression.
+
+This is the host-side half of the tracer redesign (SURVEY.md §7 step 3):
+the device computes whole waves of trace estimates speculatively
+(pnr_tpu.smc.tracker); this module replays them **in seed order**
+against the live soma map / visit-count maps, reproducing exactly the
+reference's first-come-first-served bookkeeping:
+
+* seed suppression: a seed is skipped when its voxel's visit count has
+  already reached nodepervol (Advantra_plugin.cpp:2669-2670);
+* per-estimate stopping: reaching a soma voxel links to the soma node
+  and stops; reaching a saturated voxel links to the node recorded in
+  nidx_map and stops (tracker.cpp:850-882);
+* otherwise the estimate becomes a node, chained to its predecessor,
+  and stamps the visit count / node index at its voxel and the
+  clamped `vol`-neighbourhood (tracker.cpp:884-896, neighbourhood
+  built at Advantra_plugin.cpp:2602-2650 — note we clamp y by height
+  as intended, where the reference clamps some vol=19/27 y offsets by
+  width, an evident copy-paste bug);
+* the last node of a trace longer than one node is typed END
+  (tracker.cpp:930-931).
+
+Because the particle evolution never reads these maps, committing a
+speculatively computed trace prefix is bit-identical to the reference's
+interleaved compute-and-commit (modulo PRNG, which the reference
+re-seeds from wall-clock and is irreproducible anyway).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from pnr_tpu.graph.nodes import AXON, END, UNDEFINED, NodeList
+
+
+def _round_half_away(v: float) -> int:
+    return int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5))
+
+
+def vol_neighbourhood(vol: int) -> List[Tuple[int, int, int]]:
+    """The (dx, dy, dz) stamp offsets for a `vol` suppression volume,
+    excluding the centre (Advantra_plugin.cpp:2613-2648)."""
+    offs: List[Tuple[int, int, int]] = []
+    if vol >= 5:
+        offs += [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0)]
+    if vol >= 9:
+        offs += [(-1, -1, 0), (1, -1, 0), (-1, 1, 0), (1, 1, 0)]
+    if vol >= 11:
+        offs += [(0, 0, -1), (0, 0, 1)]
+    if vol >= 19:
+        offs += [
+            (-1, 0, -1), (1, 0, -1), (0, -1, -1), (0, 1, -1),
+            (-1, 0, 1), (1, 0, 1), (0, -1, 1), (0, 1, 1),
+        ]
+    if vol >= 27:
+        offs += [
+            (-1, -1, -1), (1, -1, -1), (-1, 1, -1), (1, 1, -1),
+            (-1, -1, 1), (1, -1, 1), (-1, 1, 1), (1, 1, 1),
+        ]
+    return offs
+
+
+class TraceCommitter:
+    """Owns the visit-count / node-index maps and the growing node list."""
+
+    def __init__(
+        self,
+        shape_zyx: Tuple[int, int, int],
+        vol: int,
+        nodepervol: int,
+        nodes: NodeList,
+        smap: Optional[np.ndarray] = None,
+    ):
+        self.shape = shape_zyx
+        self.vol = int(vol)
+        self.nodepervol = int(nodepervol)
+        self.nodes = nodes
+        self.smap = smap  # (Z, Y, X) int32 soma-node index per voxel, or None
+        self.npervol = np.zeros(shape_zyx, np.int32)
+        self.nidx = np.zeros(shape_zyx, np.int32)
+        self._offs = vol_neighbourhood(self.vol)
+
+    # ------------------------------------------------------------------
+    def seed_allowed(self, seed_xyz) -> bool:
+        """Seed suppression check (Advantra_plugin.cpp:2669-2670)."""
+        x, y, z = seed_xyz
+        zi = _round_half_away(float(z))
+        yi = _round_half_away(float(y))
+        xi = _round_half_away(float(x))
+        return self.npervol[zi, yi, xi] < self.nodepervol
+
+    def _stamp(self, zi: int, yi: int, xi: int, nid: int) -> None:
+        l, h, w = self.shape
+        self.npervol[zi, yi, xi] += 1
+        self.nidx[zi, yi, xi] = nid
+        for dx, dy, dz in self._offs:
+            qx = min(max(xi + dx, 0), w - 1)
+            qy = min(max(yi + dy, 0), h - 1)
+            qz = min(max(zi + dz, 0), l - 1)
+            # clamping may duplicate voxels at borders; the reference
+            # double-stamps them too (it stamps raw clamped indices)
+            self.npervol[qz, qy, qx] += 1
+            self.nidx[qz, qy, qx] = nid
+
+    def commit_trace(self, pos, dirs, sig, corr, valid) -> int:
+        """Replay one trace's estimates; returns the number of nodes added."""
+        nodes = self.nodes
+        ni = len(valid)
+        count = 0
+        ti_limit = ni
+        for i in range(ni):
+            if not valid[i]:
+                ti_limit = i
+                break
+            x, y, z = pos[i]
+            zi = _round_half_away(float(z))
+            yi = _round_half_away(float(y))
+            xi = _round_half_away(float(x))
+
+            if self.smap is not None and self.smap[zi, yi, xi] > 0:
+                if i > 0:
+                    nodes.link(int(self.smap[zi, yi, xi]), len(nodes) - 1)
+                ti_limit = i
+                break
+            if self.npervol[zi, yi, xi] >= self.nodepervol:
+                if i > 0:
+                    nodes.link(int(self.nidx[zi, yi, xi]), len(nodes) - 1)
+                ti_limit = i
+                break
+
+            nid = nodes.add(
+                x, y, z, dirs[i][0], dirs[i][1], dirs[i][2],
+                corr=float(corr[i]), sig=float(sig[i]),
+                ntype=UNDEFINED if i == 0 else AXON,
+            )
+            self._stamp(zi, yi, xi, nid)
+            if i > 0:
+                nodes.link(nid, nid - 1)
+            count += 1
+
+        if ti_limit > 1 and count > 0:
+            nodes.type[len(nodes) - 1] = END
+        return count

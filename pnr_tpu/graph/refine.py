@@ -1,0 +1,228 @@
+"""Node-graph refinement: interpolation, mean-shift, grouping.
+
+Parity targets (pnr-vaa3d/Advantra_plugin.cpp):
+* `interpolate_nodelist` (:780-861) — insert nodes so every
+  bidirectional link is at most `step` long;
+* `non_blurring` (:968-1052) — per-node mean-shift over the ORIGINAL
+  node positions with radius SIG2RADIUS * current sigma, iterated up
+  to REFINE_ITER times or until the move^2 <= EPSILON2. The reference
+  is an O(N^2)-per-iteration scalar loop; here it is a blocked
+  pairwise computation on the MXU: |a-b|^2 via |a|^2+|b|^2-2ab^T and
+  masked means as a mask @ P matmul, processed in row blocks to bound
+  memory;
+* `group1` (:1566-1642) — greedy sphere grouping, delegated to the
+  native C++ runtime (grid-accelerated), followed by link remapping
+  and `check_nbr`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnr_tpu import native
+from pnr_tpu.graph.nodes import AXON, SOMA, NodeList
+
+
+# ---------------------------------------------------------------------------
+# interpolation
+
+
+def interpolate_nodelist(nodes: NodeList, step: float) -> None:
+    """Insert interpolated nodes on every (bidirectional) link longer
+    than `step`, preserving bidirectionality (Advantra_plugin.cpp:780-861)."""
+    checked = [[False] * len(n) for n in nodes.nbr]
+    init_size = len(nodes)
+    for i in range(1, init_size):
+        for j in range(len(nodes.nbr[i])):
+            if checked[i][j]:
+                continue
+            i1 = nodes.nbr[i][j]
+            try:
+                j1 = nodes.nbr[i1].index(i)
+            except ValueError:
+                continue
+            checked[i][j] = True
+            checked[i1][j1] = True
+
+            dx = nodes.x[i1] - nodes.x[i]
+            dy = nodes.y[i1] - nodes.y[i]
+            dz = nodes.z[i1] - nodes.z[i]
+            vnorm = float(np.sqrt(dx * dx + dy * dy + dz * dz))
+            if vnorm == 0:
+                continue
+            vx, vy, vz = dx / vnorm, dy / vnorm, dz / vnorm
+            n = int(np.ceil(vnorm / step))
+            for k in range(1, n):
+                t = k / float(n)
+                nid = nodes.add(
+                    nodes.x[i] + k * (vnorm / n) * vx,
+                    nodes.y[i] + k * (vnorm / n) * vy,
+                    nodes.z[i] + k * (vnorm / n) * vz,
+                    vx, vy, vz,
+                    corr=nodes.corr[i] + (nodes.corr[i1] - nodes.corr[i]) * t,
+                    sig=nodes.sig[i] + (nodes.sig[i1] - nodes.sig[i]) * t,
+                    ntype=nodes.type[i] if k <= n // 2 else nodes.type[i1],
+                )
+                checked.append([])
+                if k == 1:
+                    nodes.nbr[nid].append(i)
+                    checked[nid].append(True)
+                    nodes.nbr[i][j] = nid
+                else:
+                    nodes.nbr[nid].append(nid - 1)
+                    nodes.nbr[nid - 1].append(nid)
+                    checked[nid].append(True)
+                    checked[nid - 1].append(True)
+                if k == n - 1:
+                    nodes.nbr[nid].append(i1)
+                    checked[nid].append(True)
+                    nodes.nbr[i1][j1] = nid
+
+
+# ---------------------------------------------------------------------------
+# mean-shift refinement (non-blurring)
+
+_BLOCK = 2048
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _mean_shift_device(p4: jax.Array, sig2rad: float, max_iter: int, eps2: float):
+    """Lockstep non-blurring mean shift.
+
+    p4: (N, 4) float32 rows (x, y, z, sig) — the ORIGINAL kernel support.
+    Returns the converged (N, 4).
+    """
+    n = p4.shape[0]
+    pts = p4[:, :3]
+    pts_norm2 = jnp.sum(pts * pts, axis=1)  # (N,)
+
+    def one_iter(state):
+        conv, active, it = state
+
+        def block_update(c_blk):
+            # c_blk: (B, 4) current estimates for a block of nodes
+            cxyz = c_blk[:, :3]
+            r2 = (sig2rad * c_blk[:, 3]) ** 2  # (B,)
+            d2 = (
+                jnp.sum(cxyz * cxyz, axis=1)[:, None]
+                + pts_norm2[None, :]
+                - 2.0 * cxyz @ pts.T
+            )  # (B, N) — MXU matmul
+            mask = (d2 <= r2[:, None]).astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+            summ = mask @ p4  # (B, 4) — MXU matmul
+            return summ / cnt[:, None]
+
+        nblk = -(-n // _BLOCK)
+        pad = nblk * _BLOCK - n
+        conv_p = jnp.pad(conv, ((0, pad), (0, 0)))
+        blocks = conv_p.reshape(nblk, _BLOCK, 4)
+        nxt = jax.lax.map(block_update, blocks).reshape(nblk * _BLOCK, 4)[:n]
+
+        move2 = jnp.sum((nxt[:, :3] - conv[:, :3]) ** 2, axis=1)
+        new_conv = jnp.where(active[:, None], nxt, conv)
+        new_active = active & (move2 > eps2)
+        return new_conv, new_active, it + 1
+
+    def cond(state):
+        _, active, it = state
+        return (it < max_iter) & jnp.any(active)
+
+    conv, _, _ = jax.lax.while_loop(
+        cond, one_iter, (p4, jnp.ones((n,), jnp.bool_), jnp.int32(0))
+    )
+    return conv
+
+
+def non_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float) -> NodeList:
+    """Mean-shift refine all nodes (incl. soma, as the live reference does:
+    the soma exclusions in Advantra_plugin.cpp:987,1007 are commented out)."""
+    out = nodes.copy()
+    n = len(nodes)
+    if n <= 1:
+        return out
+    p4 = np.stack(
+        [
+            np.asarray(nodes.x[1:], np.float32),
+            np.asarray(nodes.y[1:], np.float32),
+            np.asarray(nodes.z[1:], np.float32),
+            np.asarray(nodes.sig[1:], np.float32),
+        ],
+        axis=-1,
+    )
+    conv = np.asarray(_mean_shift_device(jnp.asarray(p4), float(sig2rad), int(max_iter), float(eps2)))
+    out.x[1:] = conv[:, 0].tolist()
+    out.y[1:] = conv[:, 1].tolist()
+    out.z[1:] = conv[:, 2].tolist()
+    out.sig[1:] = conv[:, 3].tolist()
+    return out
+
+
+def non_blurring_reference(nodes: NodeList, sig2rad, max_iter, eps2) -> NodeList:
+    """Scalar oracle of non_blurring (for tests)."""
+    out = nodes.copy()
+    n = len(nodes)
+    px = np.asarray(nodes.x)
+    py = np.asarray(nodes.y)
+    pz = np.asarray(nodes.z)
+    ps = np.asarray(nodes.sig)
+    for i in range(1, n):
+        conv = np.array([px[i], py[i], pz[i], ps[i]], np.float64)
+        it = 0
+        while True:
+            r2 = (sig2rad * conv[3]) ** 2
+            d2 = (px[1:] - conv[0]) ** 2 + (py[1:] - conv[1]) ** 2 + (pz[1:] - conv[2]) ** 2
+            m = d2 <= r2
+            cnt = m.sum()
+            nxt = np.array(
+                [px[1:][m].sum(), py[1:][m].sum(), pz[1:][m].sum(), ps[1:][m].sum()]
+            ) / max(cnt, 1)
+            move2 = np.sum((nxt[:3] - conv[:3]) ** 2)
+            conv = nxt
+            it += 1
+            if it >= max_iter or move2 <= eps2:
+                break
+        out.x[i], out.y[i], out.z[i], out.sig[i] = conv.tolist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# grouping
+
+
+def group1(nodes: NodeList, rad: float) -> NodeList:
+    """Greedy sphere grouping + link remap + check_nbr
+    (Advantra_plugin.cpp:1566-1642)."""
+    n = len(nodes)
+    if n <= 1:
+        return nodes.copy()
+    x = np.asarray(nodes.x[1:], np.float32)
+    y = np.asarray(nodes.y[1:], np.float32)
+    z = np.asarray(nodes.z[1:], np.float32)
+    sig = np.asarray(nodes.sig[1:], np.float32)
+    corr = np.asarray(nodes.corr[1:], np.float32)
+    is_soma = np.asarray([t == SOMA for t in nodes.type[1:]], np.uint8)
+
+    group_of, groups = native.group_nodes(x, y, z, sig, corr, is_soma, rad)
+
+    out = NodeList()
+    g = len(groups)
+    for gi in range(g):
+        out.add(
+            groups[gi, 0], groups[gi, 1], groups[gi, 2],
+            corr=groups[gi, 4], sig=groups[gi, 3],
+            ntype=SOMA if gi < int(is_soma.sum()) else AXON,
+        )
+    # accumulate remapped neighbour links of all members
+    for i in range(1, n):
+        gi = int(group_of[i - 1]) + 1  # group ids are 0-based; +1 for dummy
+        for j in nodes.nbr[i]:
+            if j == 0:
+                continue
+            out.nbr[gi].append(int(group_of[j - 1]) + 1)
+    out.check_nbr()
+    return out

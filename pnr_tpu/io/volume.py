@@ -1,0 +1,112 @@
+"""Volume I/O: multi-page TIFF, Vaa3D .v3draw, and .npy stacks.
+
+The reference delegates to Vaa3D's `simple_loadimage_wrapper`
+(Advantra_plugin.cpp:2241); this framework loads on host into a
+(Z, Y, X) uint8 numpy array. TIFF via PIL (multi-frame); .v3draw via a
+reader for Vaa3D's raw format ("raw_image_stack_by_hpeng" header).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+_V3D_MAGIC = b"raw_image_stack_by_hpeng"
+
+
+def load_volume(path: str) -> np.ndarray:
+    """Load a volume as (Z, Y, X) uint8."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".tif", ".tiff"):
+        return _load_tif(path)
+    if ext in (".v3draw", ".raw"):
+        return _load_v3draw(path)
+    if ext == ".npy":
+        vol = np.load(path)
+        if vol.ndim == 2:
+            vol = vol[None]
+        return _to_u8(vol)
+    raise ValueError(f"unsupported volume format: {path}")
+
+
+def save_volume(path: str, vol: np.ndarray) -> None:
+    """Save a (Z, Y, X) uint8 volume (TIFF multipage, v3draw, or npy)."""
+    ext = os.path.splitext(path)[1].lower()
+    vol = np.ascontiguousarray(vol, np.uint8)
+    if ext in (".tif", ".tiff"):
+        from PIL import Image
+
+        frames = [Image.fromarray(s) for s in vol]
+        frames[0].save(path, save_all=True, append_images=frames[1:])
+    elif ext in (".v3draw", ".raw"):
+        _save_v3draw(path, vol)
+    elif ext == ".npy":
+        np.save(path, vol)
+    else:
+        raise ValueError(f"unsupported volume format: {path}")
+
+
+def _to_u8(vol: np.ndarray) -> np.ndarray:
+    if vol.dtype == np.uint8:
+        return vol
+    v = vol.astype(np.float64)
+    vmin, vmax = v.min(), v.max()
+    if vmax <= vmin:
+        return np.zeros(vol.shape, np.uint8)
+    return np.round((v - vmin) / (vmax - vmin) * 255.0).astype(np.uint8)
+
+
+def _load_tif(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    frames = []
+    i = 0
+    while True:
+        try:
+            img.seek(i)
+        except EOFError:
+            break
+        frames.append(np.asarray(img))
+        i += 1
+    vol = np.stack(frames)
+    if vol.ndim == 4:  # RGB(A) -> first channel
+        vol = vol[..., 0]
+    return _to_u8(vol)
+
+
+def _load_v3draw(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        magic = f.read(len(_V3D_MAGIC))
+        if magic != _V3D_MAGIC:
+            raise ValueError(f"not a v3draw file: {path}")
+        endian = f.read(1)
+        fmt = "<" if endian == b"L" else ">"
+        (dcode,) = struct.unpack(fmt + "h", f.read(2))
+        dims = struct.unpack(fmt + "4i", f.read(16))
+        w, h, l, c = dims
+        n = w * h * l * c
+        if dcode == 1:
+            data = np.frombuffer(f.read(n), np.uint8)
+        elif dcode == 2:
+            dt = np.dtype(np.uint16).newbyteorder(fmt)
+            data = np.frombuffer(f.read(2 * n), dt)
+        elif dcode == 4:
+            dt = np.dtype(np.float32).newbyteorder(fmt)
+            data = np.frombuffer(f.read(4 * n), dt)
+        else:
+            raise ValueError(f"v3draw datatype {dcode} unsupported")
+    vol = data.reshape(c, l, h, w)[0]  # first channel, (Z, Y, X)
+    return _to_u8(vol)
+
+
+def _save_v3draw(path: str, vol: np.ndarray) -> None:
+    l, h, w = vol.shape
+    with open(path, "wb") as f:
+        f.write(_V3D_MAGIC)
+        f.write(b"L")
+        f.write(struct.pack("<h", 1))
+        f.write(struct.pack("<4i", w, h, l, 1))
+        f.write(vol.tobytes())

@@ -170,8 +170,19 @@ def zncc_batch(
     return best_corr, best_sig
 
 
-def make_zncc_fn(templates: ZnccTemplates):
-    """Bind template constants into a jittable (img, pos, dirs) -> (corr, sig)."""
+#: Fixed internal batch: XLA:TPU compile time for the fused gather+reduce
+#: graph is wildly shape-dependent (measured: B=512 -> 4 s, B=256 -> 315 s);
+#: all public entry points pad/chunk to this shape so only one body compiles.
+ZNCC_CHUNK = 512
+
+
+def make_zncc_fn(templates: ZnccTemplates, chunk: int = ZNCC_CHUNK):
+    """Bind template constants into a jittable (img, pos, dirs) -> (corr, sig).
+
+    Arbitrary batch sizes are handled by padding to `chunk` and scanning
+    chunks with `lax.map`, so the compiled body has a single, known-good
+    shape regardless of the caller's B.
+    """
     offs = jnp.asarray(templates.offs)
     wgt = jnp.asarray(templates.wgt)
     mask = jnp.asarray(templates.mask)
@@ -181,7 +192,25 @@ def make_zncc_fn(templates: ZnccTemplates):
     sigmas = templates.sigmas
     is2d = templates.is2d
 
-    def fn(img, pos, dirs):
+    def body(img, pos, dirs):
         return zncc_batch(img, pos, dirs, offs, wgt, mask, cnt, avg, corrc, sigmas, is2d)
+
+    def fn(img, pos, dirs):
+        b = pos.shape[0]
+        if b == chunk:
+            return body(img, pos, dirs)
+        nchunk = -(-b // chunk)
+        pad = nchunk * chunk - b
+        pos_p = jnp.pad(pos, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
+        dirs_p = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0).reshape(
+            nchunk, chunk, 3
+        )
+        if nchunk == 1:
+            corr, sig = body(img, pos_p[0], dirs_p[0])
+        else:
+            corr, sig = jax.lax.map(lambda ab: body(img, ab[0], ab[1]), (pos_p, dirs_p))
+            corr = corr.reshape(-1)
+            sig = sig.reshape(-1)
+        return corr[:b], sig[:b]
 
     return fn

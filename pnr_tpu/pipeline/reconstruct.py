@@ -1,0 +1,274 @@
+"""End-to-end reconstruction pipeline: uint8 volume -> SWC node graph.
+
+Parity target: `reconstruction_func` (pnr-vaa3d/Advantra_plugin.cpp:
+2183-2731) and `reconstruct` (:2096-2181): soma extraction ->
+multi-scale Frangi -> seed extraction -> ZNCC seed filtering/sorting ->
+per-seed bidirectional SMC tracing with density suppression -> node
+graph post-processing (resample -> mean-shift refine -> group -> BFS
+forest -> prune -> interpolate) -> SWC.
+
+TPU redesign: the dense stages and the particle filter run on device;
+seeds trace in waves of `cfg.wave_size` in lockstep (speculative
+compute, sequential commit — see pnr_tpu.graph.build). Per SURVEY.md
+§2a the reference's final SWC write is dead code under its default
+flags (nested contradictory ENFORCE_SINGLE_TREE guards,
+Advantra_plugin.cpp:2142-2166); this pipeline implements the intended
+behaviour: largest tree when enforce_single_tree, else all trees with
+at least tree_size_min nodes, interpolated at step 1.0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnr_tpu import native
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.graph.build import TraceCommitter
+from pnr_tpu.graph.nodes import AXON, SOMA, NodeList
+from pnr_tpu.graph.refine import group1, interpolate_nodelist, non_blurring
+from pnr_tpu.graph.trees import (
+    bfs_forest,
+    extract_largest_tree,
+    extract_trees,
+    interpolate_treelist,
+)
+from pnr_tpu.ops import (
+    frangi2d,
+    frangi3d,
+    imerode_xy,
+    imgaussian_xy,
+    maxentropy_th,
+    normalize_to_u8,
+)
+from pnr_tpu.ops.zncc import make_zncc_fn
+from pnr_tpu.seeds.extract import extract_seeds
+from pnr_tpu.smc.tracker import BatchedTracker
+
+
+@dataclasses.dataclass
+class ReconstructionResult:
+    tree: NodeList  # final treelist (SWC-ready)
+    n0: NodeList  # raw traced node graph (pre-postprocessing)
+    seeds_pos: np.ndarray
+    seeds_corr: np.ndarray
+    trace_count: int
+    timings: Dict[str, float]
+    j8: Optional[np.ndarray] = None
+
+
+class _StageTimer:
+    def __init__(self, verbose: bool):
+        self.timings: Dict[str, float] = {}
+        self.verbose = verbose
+        self._t0 = None
+        self._name = None
+
+    def start(self, name: str):
+        if self.verbose:
+            print(f"{name}... ", end="", flush=True)
+        self._name, self._t0 = name, time.perf_counter()
+
+    def stop(self):
+        dt = time.perf_counter() - self._t0
+        self.timings[self._name] = self.timings.get(self._name, 0.0) + dt
+        if self.verbose:
+            print(f"{dt:.3f} sec.")
+
+
+def soma_extraction(vol: np.ndarray, cfg: PNRConfig, nodes: NodeList):
+    """Erode -> xy Gaussian -> max-entropy threshold -> 3-D CC -> soma
+    nodes + voxel map (Advantra_plugin.cpp:2426-2481, soma_extraction1
+    :1899-1915). Returns smap (Z, Y, X) int32 of soma-node indices."""
+    v = jnp.asarray(vol)
+    e8 = imerode_xy(v, float(cfg.somaradius))
+    e8 = imgaussian_xy(e8, float(cfg.somaradius))
+    e8_np = np.asarray(e8)
+    th = maxentropy_th(e8_np)
+    e8bin = np.where(e8_np > th, 255, 0).astype(np.uint8)
+    labels, regions = native.conn3d(e8bin, value_over=0, min_size=1, diagonal=True)
+    # region r (1-based) becomes node index len(nodes)-1+r; with an empty
+    # fresh NodeList (dummy only) that is exactly r, so labels ARE indices.
+    base = len(nodes) - 1
+    for r in range(len(regions)):
+        nodes.add(
+            regions[r, 0], regions[r, 1], regions[r, 2],
+            sig=regions[r, 3], ntype=SOMA,
+        )
+    smap = np.where(labels > 0, labels + base, 0).astype(np.int32)
+    return smap
+
+
+def _score_seeds(
+    img: jax.Array, pos: np.ndarray, dirs: np.ndarray, zncc_fn, chunk: int = 4096
+):
+    """Batched znccBBB over all seeds (Advantra_plugin.cpp:2561-2575)."""
+    n = len(pos)
+    corrs = np.empty(n, np.float32)
+    scored = jax.jit(zncc_fn)
+    for beg in range(0, n, chunk):
+        end = min(beg + chunk, n)
+        pad = chunk - (end - beg)
+        p = np.pad(pos[beg:end], ((0, pad), (0, 0)), mode="edge")
+        d = np.pad(dirs[beg:end], ((0, pad), (0, 0)), mode="edge")
+        c, _ = scored(img, jnp.asarray(p), jnp.asarray(d))
+        corrs[beg:end] = np.asarray(c)[: end - beg]
+    return corrs
+
+
+def reconstruction_func(
+    vol: np.ndarray,
+    cfg: PNRConfig,
+    verbose: bool = True,
+    key: Optional[jax.Array] = None,
+) -> ReconstructionResult:
+    """Full reconstruction of a (Z, Y, X) uint8 volume."""
+    vol = np.ascontiguousarray(vol, np.uint8)
+    is2d = vol.shape[0] == 1
+    tm = _StageTimer(verbose)
+    if key is None:
+        key = jax.random.key(cfg.seed)
+
+    from pnr_tpu.utils.runtime import warmup_device_transfers
+
+    tm.start("device warmup")
+    warmup_device_transfers()
+    tm.stop()
+
+    nodes = NodeList()
+    smap = None
+
+    if cfg.somaradius > 0:
+        tm.start("soma extraction")
+        smap = soma_extraction(vol, cfg, nodes)
+        tm.stop()
+
+    tm.start("frangi")
+    img = jnp.asarray(vol)
+    if is2d:
+        j, jmin, jmax, vx, vy, vz = frangi2d(
+            img[0], cfg.sigmas, cfg.frangi_betaone, cfg.frangi_betatwo
+        )
+        j, vx, vy, vz = j[None], vx[None], vy[None], vz[None]
+    else:
+        j, jmin, jmax, vx, vy, vz = frangi3d(
+            img, cfg.sigmas, cfg.zdist, cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c
+        )
+    j8 = normalize_to_u8(j, jmin, jmax)
+    j8.block_until_ready()
+    tm.stop()
+
+    tm.start("seed extraction")
+    # The tolerance flood is a tiny serial stage; the native C++ runtime
+    # finishes it in milliseconds, while the device label propagation
+    # pays a per-iteration sync on remote TPU runtimes. The device path
+    # remains available (and required) for sharded volumes.
+    pos, dirs = extract_seeds(
+        np.asarray(j8), np.asarray(vx), np.asarray(vy), np.asarray(vz),
+        cfg.tolerance, use_device=not native.have_native(),
+    )
+    tm.stop()
+    if verbose:
+        print(f"{len(pos) / 1000.0}k seeds")
+
+    tm.start("seed selection & sorting")
+    tracker = BatchedTracker(cfg, is2d)
+    if len(pos):
+        # drop seeds inside the soma (smap > 0)
+        if smap is not None:
+            xi = np.floor(pos[:, 0] + 0.5).astype(int)
+            yi = np.floor(pos[:, 1] + 0.5).astype(int)
+            zi = np.floor(pos[:, 2] + 0.5).astype(int)
+            outside = smap[zi, yi, xi] == 0
+            pos, dirs = pos[outside], dirs[outside]
+    if len(pos):
+        corr = _score_seeds(img, pos, dirs, tracker._zncc)
+        keep = corr >= cfg.znccth
+        pos, dirs, corr = pos[keep], dirs[keep], corr[keep]
+        order = np.argsort(-corr, kind="stable")
+        pos, dirs, corr = pos[order], dirs[order], corr[order]
+    else:
+        corr = np.zeros(0, np.float32)
+    tm.stop()
+    if verbose:
+        print(f"{len(pos) / 1000.0}k seeds after selection")
+
+    tm.start("tracing")
+    committer = TraceCommitter(vol.shape, cfg.vol, cfg.nodepervol, nodes, smap)
+    trace_count = 0
+    wave = max(1, cfg.wave_size)
+    idx = 0
+    nseeds = len(pos)
+    while idx < nseeds and trace_count <= cfg.max_trace_count:
+        # gather the next wave of seeds that pass the (stale) suppression check
+        batch: List[int] = []
+        while idx < nseeds and len(batch) < wave:
+            if committer.seed_allowed(pos[idx]):
+                batch.append(idx)
+            idx += 1
+        if not batch:
+            break
+        bsz = len(batch)
+        sel = np.asarray(batch)
+        # each seed traces both directions: 2*wave traces in lockstep
+        sp = np.concatenate([pos[sel], pos[sel]], axis=0)
+        sd = np.concatenate([dirs[sel], -dirs[sel]], axis=0)
+        if bsz < wave:  # pad for compile-cache stability
+            padn = wave - bsz
+            sp = np.concatenate([sp, np.tile(sp[:1], (2 * padn, 1))], axis=0)
+            sd = np.concatenate([sd, np.tile(sd[:1], (2 * padn, 1))], axis=0)
+        trace_ids = np.concatenate([2 * sel, 2 * sel + 1, np.zeros(2 * (wave - bsz), np.int64)])
+        res = tracker.trace_wave(img, sp, sd, key, trace_ids)
+
+        # sequential commit in seed order: exact reference semantics
+        for bi, si in enumerate(batch):
+            if not committer.seed_allowed(pos[si]):
+                continue
+            trace_count += 1
+            committer.commit_trace(
+                res.pos[bi], res.dir[bi], res.sig[bi], res.corr[bi], res.valid[bi]
+            )
+            nb = bsz + bi  # negative-direction twin
+            committer.commit_trace(
+                res.pos[nb], res.dir[nb], res.sig[nb], res.corr[nb], res.valid[nb]
+            )
+            if trace_count > cfg.max_trace_count:
+                break
+    tm.stop()
+    if verbose:
+        used = (100.0 * trace_count) / max(len(pos), 1)
+        print(f"{used:.1f}% seeds used, |n0|={len(nodes)}")
+
+    n0 = nodes
+    tm.start("reconstruct")
+    tree = reconstruct_graph(n0.copy(), cfg)
+    tm.stop()
+
+    return ReconstructionResult(
+        tree=tree,
+        n0=n0,
+        seeds_pos=pos,
+        seeds_corr=corr,
+        trace_count=trace_count,
+        timings=tm.timings,
+        j8=np.asarray(j8),
+    )
+
+
+def reconstruct_graph(n0: NodeList, cfg: PNRConfig) -> NodeList:
+    """Post-processing sub-pipeline (`reconstruct`, Advantra_plugin.cpp:2096)."""
+    interpolate_nodelist(n0, cfg.trace_rsmpl)
+    n1 = non_blurring(n0, cfg.sig2radius, cfg.refine_iter, cfg.epsilon2)
+    n2 = group1(n1, cfg.group_radius)
+    n2tree = bfs_forest(n2)
+    if cfg.enforce_single_tree:
+        n3 = extract_largest_tree(n2tree)
+    else:
+        n3 = extract_trees(n2tree, cfg.tree_size_min)
+    interpolate_treelist(n3, 1.0, AXON)
+    return n3

@@ -92,8 +92,13 @@ def _slice_max_points(img: jax.Array, tolerance: float) -> jax.Array:
         return changed
 
     def body(state):
+        # 16 propagation steps per convergence check: each while_loop
+        # round-trip costs far more than the propagation itself on a
+        # remote TPU runtime, so amortize the cond evaluation.
         claim, _ = state
-        new = propagate(claim)
+        new = claim
+        for _ in range(16):
+            new = propagate(new)
         return new, jnp.any(new != claim)
 
     claim, _ = jax.lax.while_loop(cond, body, (claim0, jnp.bool_(True)))

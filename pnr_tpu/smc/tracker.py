@@ -1,0 +1,277 @@
+"""Batched sequential-Monte-Carlo neurite tracer.
+
+Parity target: `Tracker::trackPos`/`iter0New`/`iterINew`
+(pnr-vaa3d/tracker.cpp:825-933, 1001-1198). The reference advances one
+trace at a time, one particle loop per iteration, with `srand(time)`
+re-seeded every iteration. This implementation is the TPU redesign
+(SURVEY.md §7 step 3): a whole wave of traces advances in lockstep —
+`vmap` over traces, `lax.scan` over iterations, masked termination —
+with keyed, reproducible PRNG (jax.random) instead of the reference's
+irreproducible stream.
+
+Per iteration and particle:
+* transition: pick the prior row by the nearest codebook direction of
+  the (possibly resampled) parent particle, draw one offset by inverse
+  CDF over the row's cumulative weights, move, adopt the offset's unit
+  direction (iterINew :1104-1132); iteration 0 instead draws all
+  particles systematically from the isotropic cloud around the seed
+  with the seed's direction (iter0New :1009-1033);
+* weight: prev * (prior / sum prior) * exp(Kc * zncc), normalized;
+  Neff = 1 / sum w^2 (:1140-1159);
+* estimate: weighted centroid of positions/directions; the emitted
+  radius and correlation come from the ZNCC at the centroid — the
+  reference overwrites the centroid's sig with the argmax sigma via
+  the by-reference out-param (zncc2 call :1072, :1177);
+* stop: centroid rounds out of bounds or corr < znccth (:1180-1184);
+* systematic resampling when Neff/np < neff_ratio (:1187-1195).
+
+Soma/density suppression is NOT part of the device loop: the particle
+evolution never reads the mutable maps, so traces are computed
+speculatively in waves and truncated/committed sequentially on host
+(pnr_tpu.pipeline), which reproduces the reference's first-come-first-
+served semantics exactly while keeping the hot math on the TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.smc.priors import PriorTables, build_prior_tables
+from pnr_tpu.ops.zncc import ZnccTemplates, make_zncc_fn
+
+
+def _round_half_away(x: jax.Array) -> jax.Array:
+    """C++ round(): half away from zero (jnp.round is half-to-even)."""
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+def _systematic_indices(csw: jax.Array, u0: jax.Array, n: int) -> jax.Array:
+    """Systematic (stratified) sampling: indices of csw bins for (i + u0)/n."""
+    ui = (jnp.arange(n, dtype=jnp.float32) + u0) / n
+    return jnp.clip(jnp.searchsorted(csw, ui, side="left"), 0, csw.shape[0] - 1)
+
+
+@dataclasses.dataclass
+class TraceResult:
+    """Per-wave trace estimates, host-side numpy."""
+
+    pos: np.ndarray  # (T, ni, 3) centroid positions (x, y, z)
+    dir: np.ndarray  # (T, ni, 3) unit directions
+    sig: np.ndarray  # (T, ni) radius estimates (argmax-sigma of centroid zncc)
+    corr: np.ndarray  # (T, ni) centroid correlations
+    valid: np.ndarray  # (T, ni) bool — estimate survives the stop criteria
+
+
+class BatchedTracker:
+    """Lockstep SMC tracer for a fixed config and volume geometry."""
+
+    def __init__(self, cfg: PNRConfig, is2d: bool):
+        self.cfg = cfg
+        self.is2d = is2d
+        self.tables: PriorTables = build_prior_tables(cfg.step, cfg.kappa, cfg.zdist, is2d)
+        self.templates = ZnccTemplates(cfg.sigmas, is2d)
+        self._zncc = make_zncc_fn(self.templates)
+
+        t = self.tables
+        self._p = jnp.asarray(t.p)
+        self._u = jnp.asarray(t.u)
+        self._w0 = jnp.asarray(t.w0)
+        self._w0_cws = jnp.asarray(t.w0_cws)
+        self._v = jnp.asarray(t.v)
+        self._w = jnp.asarray(t.w)
+        self._w_cws = jnp.asarray(t.w_cws)
+
+        self._trace_wave = jax.jit(self._build_trace_wave())
+
+    # ------------------------------------------------------------------
+    def _build_trace_wave(self):
+        """Explicitly batched wave tracer.
+
+        All arrays carry (T, P) leading dims rather than a vmapped
+        per-trace program: every gather in the hot path gets 1-D
+        indices and the directional-prior row lookup becomes a one-hot
+        matmul on the MXU — both avoid XLA:TPU's pathological handling
+        of multi-dimensional gather indices (see ops/interp.py).
+        """
+        cfg = self.cfg
+        npart = cfg.np
+        ni = cfg.ni
+        kc = cfg.kc
+        znccth = cfg.znccth
+        neff_ratio = cfg.neff_ratio
+        p_tab, u_tab = self._p, self._u
+        w0_tab, w0_cws = self._w0, self._w0_cws
+        v_tab, w_tab, w_cws_tab = self._v, self._w, self._w_cws
+        sz = int(p_tab.shape[0])
+        ndir = int(v_tab.shape[0])
+        w_flat = w_tab.reshape(-1)  # (D*S,)
+        zncc = self._zncc
+
+        def in_bounds(cpos, shape_zyx):
+            l, h, w = shape_zyx
+            x1 = _round_half_away(cpos[:, 0])
+            y1 = _round_half_away(cpos[:, 1])
+            z1 = _round_half_away(cpos[:, 2])
+            return (
+                (x1 >= 0) & (x1 < w) & (y1 >= 0) & (y1 < h) & (z1 >= 0) & (z1 < l)
+            )
+
+        def estimate(img, pos, dirs, wgt):
+            # pos/dirs (T, P, 3), wgt (T, P) -> per-trace centroid (T, 3)
+            cpos = jnp.sum(wgt[..., None] * pos, axis=1)
+            cdir = jnp.sum(wgt[..., None] * dirs, axis=1)
+            cdir = cdir / jnp.linalg.norm(cdir, axis=-1, keepdims=True)
+            ccorr, csig = zncc(img, cpos, cdir)
+            return cpos, cdir, ccorr, csig
+
+        def flat_zncc(img, pos, dirs):
+            t, p, _ = pos.shape
+            corr, sig = zncc(img, pos.reshape(t * p, 3), dirs.reshape(t * p, 3))
+            return corr.reshape(t, p), sig.reshape(t, p)
+
+        def trace_wave(img, seed_pos, seed_dir, keys):
+            # seed_pos/seed_dir (T, 3); keys (T,) PRNG keys
+            shape_zyx = img.shape
+            t = seed_pos.shape[0]
+
+            def uniforms(step, shape):
+                ks = jax.vmap(lambda k: jax.random.fold_in(k, step))(keys)
+                return jax.vmap(lambda k: jax.random.uniform(k, shape[1:]))(ks)
+
+            # ---- iteration 0 (iter0New, tracker.cpp:1001-1094) ----
+            u0 = uniforms(0, (t,))  # (T,)
+            ui = (jnp.arange(npart, dtype=jnp.float32)[None, :] + u0[:, None]) / npart
+            # systematic sampling by rank count: s = #\{cws < ui\} (== searchsorted left)
+            s = jnp.sum(w0_cws[None, None, :] < ui[..., None], axis=-1)
+            s = jnp.clip(s, 0, sz - 1)  # (T, P)
+            s_flat = s.reshape(-1)
+            pos = seed_pos[:, None, :] + p_tab[s_flat].reshape(t, npart, 3)
+            have_dir = ~jnp.any(jnp.isnan(seed_dir), axis=-1)  # (T,)
+            dirs = jnp.where(
+                have_dir[:, None, None],
+                jnp.broadcast_to(seed_dir[:, None, :], (t, npart, 3)),
+                u_tab[s_flat].reshape(t, npart, 3),
+            )
+            prior = w0_tab[s_flat].reshape(t, npart)
+
+            corr, _ = flat_zncc(img, pos, dirs)
+            lhood = jnp.exp(kc * corr)
+            wgt = (1.0 / npart) * (prior / jnp.sum(prior, axis=1, keepdims=True)) * lhood
+            wgt = wgt / jnp.sum(wgt, axis=1, keepdims=True)
+            neff = 1.0 / jnp.sum(wgt * wgt, axis=1)  # (T,)
+
+            cpos, cdir, ccorr, csig = estimate(img, pos, dirs, wgt)
+            ok0 = in_bounds(cpos, shape_zyx) & (ccorr >= znccth)
+
+            resampled = neff / npart < neff_ratio
+            res_u = uniforms(1, (t,))
+            csw = jnp.cumsum(wgt, axis=1)
+            ridx = jnp.sum(
+                csw[:, None, :]
+                < ((jnp.arange(npart, dtype=jnp.float32)[None, :] + res_u[:, None]) / npart)[
+                    ..., None
+                ],
+                axis=-1,
+            )
+            res_idx = jnp.clip(ridx, 0, npart - 1)
+
+            est0 = (cpos, cdir, csig, ccorr, ok0)
+
+            # ---- iterations 1..ni-1 (iterINew, tracker.cpp:1096-1198) ----
+            def body(carry, i):
+                pos, dirs, wgt, resampled, res_idx, alive = carry
+                u1 = uniforms(2 * i, (t, npart))
+                res_u = uniforms(2 * i + 1, (t,))
+
+                k1 = jnp.where(resampled[:, None], res_idx, jnp.arange(npart)[None, :])
+                gather_idx = (jnp.arange(t)[:, None] * npart + k1).reshape(-1)
+                base_pos = pos.reshape(t * npart, 3)[gather_idx].reshape(t, npart, 3)
+                base_dir = dirs.reshape(t * npart, 3)[gather_idx].reshape(t, npart, 3)
+
+                # nearest codebook direction, then the prior row via one-hot
+                # matmul (MXU) instead of a (T, P, S) row gather
+                dots = base_dir.reshape(t * npart, 3) @ v_tab.T  # (TP, D)
+                vi = jnp.argmax(dots, axis=1)  # (TP,)
+                onehot = jax.nn.one_hot(vi, ndir, dtype=jnp.float32)  # (TP, D)
+                rows = onehot @ w_cws_tab  # (TP, S)
+
+                s = jnp.sum(rows < u1.reshape(t * npart, 1), axis=-1)
+                s = jnp.clip(s, 0, sz - 1)  # (TP,)
+
+                new_pos = base_pos + p_tab[s].reshape(t, npart, 3)
+                new_dir = u_tab[s].reshape(t, npart, 3)
+                prior = w_flat[vi * sz + s].reshape(t, npart)
+
+                corr, _ = flat_zncc(img, new_pos, new_dir)
+                lhood = jnp.exp(kc * corr)
+                prev_w = jnp.where(resampled[:, None], 1.0 / npart, wgt)
+                wnew = prev_w * (prior / jnp.sum(prior, axis=1, keepdims=True)) * lhood
+                wnew = wnew / jnp.sum(wnew, axis=1, keepdims=True)
+                neff = 1.0 / jnp.sum(wnew * wnew, axis=1)
+
+                cpos, cdir, ccorr, csig = estimate(img, new_pos, new_dir, wnew)
+                ok = in_bounds(cpos, shape_zyx) & (ccorr >= znccth)
+                alive_new = alive & ok
+
+                resampled_new = neff / npart < neff_ratio
+                csw = jnp.cumsum(wnew, axis=1)
+                ridx = jnp.sum(
+                    csw[:, None, :]
+                    < (
+                        (jnp.arange(npart, dtype=jnp.float32)[None, :] + res_u[:, None])
+                        / npart
+                    )[..., None],
+                    axis=-1,
+                )
+                res_idx_new = jnp.clip(ridx, 0, npart - 1)
+
+                carry_new = (new_pos, new_dir, wnew, resampled_new, res_idx_new, alive_new)
+                return carry_new, (cpos, cdir, csig, ccorr, alive_new)
+
+            carry0 = (pos, dirs, wgt, resampled, res_idx, ok0)
+            _, ests = jax.lax.scan(body, carry0, jnp.arange(1, ni))
+
+            # scan stacks along axis 0 (iterations); move to (T, ni, ...)
+            all_pos = jnp.concatenate([est0[0][:, None], jnp.moveaxis(ests[0], 0, 1)], axis=1)
+            all_dir = jnp.concatenate([est0[1][:, None], jnp.moveaxis(ests[1], 0, 1)], axis=1)
+            all_sig = jnp.concatenate([est0[2][:, None], jnp.moveaxis(ests[2], 0, 1)], axis=1)
+            all_corr = jnp.concatenate([est0[3][:, None], jnp.moveaxis(ests[3], 0, 1)], axis=1)
+            all_valid = jnp.concatenate([est0[4][:, None], jnp.moveaxis(ests[4], 0, 1)], axis=1)
+            return all_pos, all_dir, all_sig, all_corr, all_valid
+
+        return trace_wave
+
+    # ------------------------------------------------------------------
+    def trace_wave(
+        self,
+        img: jax.Array,
+        seed_pos: np.ndarray,
+        seed_dir: np.ndarray,
+        base_key: jax.Array,
+        trace_ids: np.ndarray,
+    ) -> TraceResult:
+        """Trace a wave of seeds in lockstep; returns host-side estimates.
+
+        seed_pos/seed_dir: (T, 3) in (x, y, z) order. trace_ids give each
+        trace a stable PRNG stream (reproducible across wave shapes).
+        """
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+            jnp.asarray(trace_ids, jnp.uint32)
+        )
+        pos, dirs, sig, corr, valid = self._trace_wave(
+            img, jnp.asarray(seed_pos, jnp.float32), jnp.asarray(seed_dir, jnp.float32), keys
+        )
+        return TraceResult(
+            pos=np.asarray(pos),
+            dir=np.asarray(dirs),
+            sig=np.asarray(sig),
+            corr=np.asarray(corr),
+            valid=np.asarray(valid),
+        )

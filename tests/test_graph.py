@@ -1,0 +1,246 @@
+"""Graph layer tests: commit semantics, refinement, grouping, trees, SWC."""
+
+import numpy as np
+import pytest
+
+from pnr_tpu.graph.build import TraceCommitter, vol_neighbourhood
+from pnr_tpu.graph.nodes import AXON, END, SOMA, UNDEFINED, NodeList
+from pnr_tpu.graph.refine import (
+    group1,
+    interpolate_nodelist,
+    non_blurring,
+    non_blurring_reference,
+)
+from pnr_tpu.graph.trees import (
+    bfs_forest,
+    extract_largest_tree,
+    extract_trees,
+    interpolate_treelist,
+    remove_tails,
+)
+from pnr_tpu.io.swc import read_swc, save_nodelist
+
+
+def straight_trace(n, x0=5.0, y=8.0, z=4.0, step=2.0):
+    pos = np.stack(
+        [x0 + step * np.arange(n), np.full(n, y), np.full(n, z)], axis=-1
+    ).astype(np.float32)
+    dirs = np.tile(np.array([1.0, 0, 0], np.float32), (n, 1))
+    sig = np.full(n, 2.0, np.float32)
+    corr = np.full(n, 0.9, np.float32)
+    valid = np.ones(n, bool)
+    return pos, dirs, sig, corr, valid
+
+
+class TestVolNeighbourhood:
+    @pytest.mark.parametrize("vol,count", [(1, 0), (5, 4), (9, 8), (11, 10), (19, 18), (27, 26)])
+    def test_counts(self, vol, count):
+        assert len(vol_neighbourhood(vol)) == count
+
+
+class TestTraceCommitter:
+    def test_chain_nodes_and_end_type(self):
+        nodes = NodeList()
+        c = TraceCommitter((16, 32, 64), vol=9, nodepervol=4, nodes=nodes)
+        pos, dirs, sig, corr, valid = straight_trace(10)
+        added = c.commit_trace(pos, dirs, sig, corr, valid)
+        assert added == 10
+        assert len(nodes) == 11
+        assert nodes.type[1] == UNDEFINED
+        assert nodes.type[5] == AXON
+        assert nodes.type[10] == END
+        # chain links are bidirectional
+        assert nodes.is_bidirectional()
+        assert nodes.nbr[2] == [1, 3]
+
+    def test_truncates_at_invalid(self):
+        nodes = NodeList()
+        c = TraceCommitter((16, 32, 64), vol=9, nodepervol=4, nodes=nodes)
+        pos, dirs, sig, corr, valid = straight_trace(10)
+        valid[4:] = False
+        added = c.commit_trace(pos, dirs, sig, corr, valid)
+        assert added == 4
+
+    def test_density_suppression_links_and_stops(self):
+        nodes = NodeList()
+        c = TraceCommitter((16, 32, 64), vol=9, nodepervol=1, nodes=nodes)
+        pos, dirs, sig, corr, valid = straight_trace(5)
+        c.commit_trace(pos, dirs, sig, corr, valid)
+        n_after_first = len(nodes)
+        # identical second trace: first voxel saturated -> no new nodes
+        added = c.commit_trace(pos, dirs, sig, corr, valid)
+        assert added == 0
+        assert len(nodes) == n_after_first
+        # a trace entering the saturated corridor from outside links to it
+        pos2, dirs2, sig2, corr2, valid2 = straight_trace(5, x0=5.0, y=14.0)
+        pos2[:, 1] = [14.0, 11.0, 8.0, 8.0, 8.0]  # moves into the corridor at i=2
+        added2 = c.commit_trace(pos2, dirs2, sig2, corr2, valid2)
+        assert 0 < added2 < 5
+        assert nodes.is_bidirectional()
+
+    def test_soma_link_stops_trace(self):
+        nodes = NodeList()
+        soma_id = nodes.add(2, 8, 4, sig=3.0, ntype=SOMA)
+        smap = np.zeros((16, 32, 64), np.int32)
+        smap[4, 8, :4] = soma_id
+        c = TraceCommitter((16, 32, 64), vol=9, nodepervol=4, nodes=nodes, smap=smap)
+        pos, dirs, sig, corr, valid = straight_trace(5, x0=9.0, step=-2.0)  # walks into soma
+        added = c.commit_trace(pos, dirs, sig, corr, valid)
+        assert added == 3  # x = 9, 7, 5 added; x=3 hits smap
+        assert soma_id in nodes.nbr[len(nodes) - 1]
+
+    def test_seed_allowed_reflects_density(self):
+        nodes = NodeList()
+        c = TraceCommitter((16, 32, 64), vol=9, nodepervol=1, nodes=nodes)
+        assert c.seed_allowed((5.0, 8.0, 4.0))
+        pos, dirs, sig, corr, valid = straight_trace(3)
+        c.commit_trace(pos, dirs, sig, corr, valid)
+        assert not c.seed_allowed((5.0, 8.0, 4.0))
+
+
+class TestInterpolate:
+    def test_links_shorter_than_step(self):
+        nodes = NodeList()
+        a = nodes.add(0, 0, 0, sig=1, corr=0.5)
+        b = nodes.add(5, 0, 0, sig=2, corr=0.9)
+        nodes.link(a, b)
+        interpolate_nodelist(nodes, 1.0)
+        assert nodes.is_bidirectional()
+        # every link <= 1.0 long
+        for i in range(1, len(nodes)):
+            for j in nodes.nbr[i]:
+                d = np.hypot(nodes.x[i] - nodes.x[j], nodes.y[i] - nodes.y[j])
+                assert d <= 1.0 + 1e-5
+        assert len(nodes) == 2 + 4 + 1  # dummy + 2 ends + 4 interpolated
+
+    def test_interpolated_values_lerp(self):
+        nodes = NodeList()
+        a = nodes.add(0, 0, 0, sig=1, corr=0.0)
+        b = nodes.add(4, 0, 0, sig=3, corr=1.0)
+        nodes.link(a, b)
+        interpolate_nodelist(nodes, 1.0)
+        xs = np.asarray(nodes.x[3:])
+        sigs = np.asarray(nodes.sig[3:])
+        order = np.argsort(xs)
+        np.testing.assert_allclose(xs[order], [1, 2, 3])
+        np.testing.assert_allclose(sigs[order], [1.5, 2.0, 2.5])
+
+
+class TestMeanShift:
+    def test_matches_scalar_reference(self, rng):
+        nodes = NodeList()
+        for _ in range(60):
+            p = rng.normal(0, 3, 3)
+            nodes.add(20 + p[0], 20 + p[1], 8 + p[2], sig=2.0, corr=rng.random())
+        got = non_blurring(nodes, 1.5, 4, 1e-4)
+        want = non_blurring_reference(nodes, 1.5, 4, 1e-4)
+        np.testing.assert_allclose(got.x[1:], want.x[1:], atol=2e-3)
+        np.testing.assert_allclose(got.y[1:], want.y[1:], atol=2e-3)
+        np.testing.assert_allclose(got.z[1:], want.z[1:], atol=2e-3)
+
+    def test_contracts_toward_centerline(self, rng):
+        nodes = NodeList()
+        xs = np.linspace(0, 40, 80)
+        for x in xs:
+            nodes.add(x, 10 + rng.normal(0, 0.8), 5.0, sig=2.0, corr=0.8)
+        ref = non_blurring(nodes, 1.5, 4, 1e-4)
+        spread_before = np.std(np.asarray(nodes.y[1:]))
+        spread_after = np.std(np.asarray(ref.y[1:]))
+        assert spread_after < spread_before * 0.8
+
+
+class TestGroup:
+    def test_groups_merge_close_nodes(self):
+        nodes = NodeList()
+        a = nodes.add(10, 10, 5, sig=2, corr=0.9)
+        b = nodes.add(10.5, 10, 5, sig=2, corr=0.5)  # within radius 2 of a
+        c = nodes.add(20, 10, 5, sig=2, corr=0.8)
+        nodes.link(a, c)
+        nodes.link(b, c)
+        out = group1(nodes, 2.0)
+        assert len(out) == 3  # dummy + merged(ab) + c
+        assert out.is_bidirectional()
+        # merged group position is the running average
+        got = sorted((round(out.x[i], 2) for i in range(1, 3)))
+        assert got == [10.25, 20.0]
+
+    def test_soma_groups_are_singletons(self):
+        nodes = NodeList()
+        s = nodes.add(10, 10, 5, sig=5, corr=0.1, ntype=SOMA)
+        n = nodes.add(10.5, 10, 5, sig=2, corr=0.9)
+        nodes.link(s, n)
+        out = group1(nodes, 2.0)
+        assert len(out) == 3
+        assert out.type[1] == SOMA
+
+
+class TestTrees:
+    def _chain(self, nodes, pts, **kw):
+        ids = [nodes.add(*p, **kw) for p in pts]
+        for a, b in zip(ids, ids[1:]):
+            nodes.link(a, b)
+        return ids
+
+    def test_bfs_forest_parent_links(self):
+        nodes = NodeList()
+        ids = self._chain(nodes, [(0, 0, 0), (1, 0, 0), (2, 0, 0)], sig=1, corr=0.5)
+        tree = bfs_forest(nodes)
+        assert len(tree) == 4
+        # root has no parent, others exactly one
+        n_par = [len(tree.nbr[i]) for i in range(1, 4)]
+        assert sorted(n_par) == [0, 1, 1]
+
+    def test_isolated_singletons_dropped(self):
+        nodes = NodeList()
+        nodes.add(5, 5, 5, sig=1)
+        self._chain(nodes, [(0, 0, 0), (1, 0, 0)], sig=1)
+        tree = bfs_forest(nodes)
+        assert len(tree) == 3  # dummy + 2-node chain
+
+    def test_extract_trees_by_size(self):
+        nodes = NodeList()
+        self._chain(nodes, [(i, 0, 0) for i in range(12)], sig=1)
+        self._chain(nodes, [(i, 10, 0) for i in range(3)], sig=1)
+        tree = bfs_forest(nodes)
+        kept = extract_trees(tree, 10)
+        assert len(kept) == 13  # dummy + the 12-node tree
+        largest = extract_largest_tree(tree)
+        assert len(largest) == 13
+
+    def test_remove_tails(self):
+        nodes = NodeList()
+        trunk = self._chain(nodes, [(i, 0, 0) for i in range(8)], sig=1)
+        spur = nodes.add(4, 1, 0, sig=1)
+        nodes.link(trunk[4], spur)
+        tree = bfs_forest(nodes)
+        pruned = remove_tails(tree, 2)
+        assert len(pruned) == len(tree) - 1
+
+    def test_interpolate_treelist(self):
+        nodes = NodeList()
+        self._chain(nodes, [(0, 0, 0), (4, 0, 0)], sig=1)
+        tree = bfs_forest(nodes)
+        interpolate_treelist(tree, 1.0, AXON)
+        # all parent links <= 1
+        for i in range(1, len(tree)):
+            for j in tree.nbr[i]:
+                d = abs(tree.x[i] - tree.x[j])
+                assert d <= 1.0 + 1e-5
+        assert all(t == AXON for t in tree.type[1:])
+
+
+class TestSwcIO:
+    def test_roundtrip(self, tmp_path):
+        nodes = NodeList()
+        a = nodes.add(1, 2, 3, sig=1.5, ntype=2)
+        b = nodes.add(4, 5, 6, sig=2.5, ntype=2)
+        nodes.nbr[b] = [a]
+        p = str(tmp_path / "t.swc")
+        save_nodelist(nodes, p, name="test", comment="params:\nfoo=1")
+        rows = read_swc(p)
+        assert rows.shape == (2, 7)
+        np.testing.assert_allclose(rows[0, 2:5], [1, 2, 3])
+        assert rows[1, 6] == 1  # parent link
+        with open(p) as f:
+            head = f.read()
+        assert "#name test" in head and "#foo=1" in head

@@ -1,0 +1,120 @@
+"""End-to-end pipeline tests on synthetic phantoms (SURVEY.md §4 plan)."""
+
+import numpy as np
+import pytest
+
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.graph.nodes import SOMA
+from pnr_tpu.io.swc import read_swc, save_nodelist
+from pnr_tpu.pipeline import reconstruction_func, soma_extraction
+from pnr_tpu.graph.nodes import NodeList
+
+
+def tube_phantom(shape=(12, 40, 80), radius=2.5, zdist=2.0, seed=11, intensity=200.0):
+    """Bright x-aligned tube with realistic noise (noise-free ridges
+    produce zero seeds by edge-maximum exclusion — see verify skill)."""
+    rng = np.random.default_rng(seed)
+    z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    cy, cz = shape[1] / 2.0, shape[0] / 2.0
+    d2 = (y - cy) ** 2 + ((z - cz) * zdist) ** 2
+    profile = np.exp(-d2 / (2 * radius**2))
+    # Intensity modulation along the tube + soft ends inside the volume:
+    # a perfectly uniform ridge yields ZERO seeds (its tolerance flood
+    # reaches the border and edge maxima are excluded — faithful
+    # MaximumFinder behaviour); realistic stacks vary along the neurite.
+    along = (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 6) * (x < shape[2] - 7)
+    vol = intensity * profile * along + rng.normal(0, 5, shape)
+    return np.clip(vol, 0, 255).astype(np.uint8)
+
+
+CFG = PNRConfig(
+    sigmas=(2.0, 3.0), somaradius=0, tolerance=10.0, znccth=0.5, kappa=2.0,
+    step=2, ni=40, np=16, zdist=2.0, nodepervol=4, vol=9, wave_size=32,
+)
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def result(self):
+        return reconstruction_func(tube_phantom(), CFG, verbose=False)
+
+    def test_produces_tree(self, result):
+        assert len(result.tree) > 10
+        assert result.trace_count >= 1
+
+    def test_tree_follows_tube_axis(self, result):
+        t = result.tree
+        ys = np.asarray(t.y[1:])
+        zs = np.asarray(t.z[1:])
+        xs = np.asarray(t.x[1:])
+        # nodes lie near the tube axis (y=20, z=6)
+        assert np.median(np.abs(ys - 20.0)) < 2.0
+        assert np.median(np.abs(zs - 6.0)) < 2.0
+        # tree spans a good stretch of the tube
+        assert xs.max() - xs.min() > 30
+
+    def test_tree_structure_valid(self, result):
+        t = result.tree
+        for i in range(1, len(t)):
+            assert len(t.nbr[i]) <= 1  # treelist: at most one parent
+            for j in t.nbr[i]:
+                assert 1 <= j < len(t)
+
+    def test_swc_export(self, result, tmp_path):
+        p = str(tmp_path / "out.swc")
+        save_nodelist(result.tree, p, name="Advantra", comment=CFG.provenance_comment())
+        rows = read_swc(p)
+        assert len(rows) == len(result.tree) - 1
+        with open(p) as f:
+            content = f.read()
+        assert "#znccth=0.5" in content  # provenance embedded
+
+    def test_reproducible(self):
+        r1 = reconstruction_func(tube_phantom(), CFG, verbose=False)
+        r2 = reconstruction_func(tube_phantom(), CFG, verbose=False)
+        np.testing.assert_array_equal(
+            np.asarray(r1.tree.x), np.asarray(r2.tree.x)
+        )
+
+
+class TestSomaExtraction:
+    def test_soma_detected_and_mapped(self):
+        shape = (12, 48, 48)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (x - 24) ** 2 + (y - 24) ** 2 + ((z - 6) * 2.0) ** 2
+        vol = np.clip(220.0 * np.exp(-d2 / (2 * 8.0**2)), 0, 255).astype(np.uint8)
+        cfg = PNRConfig(somaradius=4, sigmas=(2.0,), nodepervol=4, vol=9)
+        nodes = NodeList()
+        smap = soma_extraction(vol, cfg, nodes)
+        assert len(nodes) == 2  # dummy + one soma
+        assert nodes.type[1] == SOMA
+        assert abs(nodes.x[1] - 24) < 3 and abs(nodes.y[1] - 24) < 3
+        # smap voxels point at the soma node id
+        assert smap.max() == 1
+        assert smap[6, 24, 24] == 1
+
+    def test_empty_when_no_soma(self):
+        vol = np.zeros((8, 32, 32), np.uint8)
+        cfg = PNRConfig(somaradius=4, sigmas=(2.0,), nodepervol=4, vol=9)
+        nodes = NodeList()
+        smap = soma_extraction(vol, cfg, nodes)
+        assert len(nodes) == 1
+        assert smap.max() == 0
+
+
+class Test2DPath:
+    def test_single_slice_runs(self):
+        rng = np.random.default_rng(5)
+        shape = (1, 48, 96)
+        y, x = np.meshgrid(np.arange(48), np.arange(96), indexing="ij")
+        along = (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 6) * (x < 89)
+        img = 200.0 * np.exp(-((y - 24) ** 2) / (2 * 2.5**2)) * along + rng.normal(0, 5, (48, 96))
+        vol = np.clip(img, 0, 255).astype(np.uint8)[None]
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.4, kappa=2.0, step=2,
+            ni=30, np=16, zdist=2.0, nodepervol=4, vol=9, wave_size=16,
+        )
+        res = reconstruction_func(vol, cfg, verbose=False)
+        assert res.trace_count >= 1
+        if len(res.tree) > 1:
+            assert np.median(np.abs(np.asarray(res.tree.y[1:]) - 24.0)) < 3.0
