@@ -1,0 +1,21 @@
+"""Device-mesh parallelism: halo-exchange stencils and sharded pipeline."""
+
+from pnr_tpu.parallel.halo import halo_exchange_z
+from pnr_tpu.parallel.sharded import (
+    build_sharded_step,
+    frangi3d_sharded,
+    frangi_halo,
+    make_mesh,
+    normalize_to_u8_sharded,
+    shard_volume,
+)
+
+__all__ = [
+    "halo_exchange_z",
+    "make_mesh",
+    "frangi_halo",
+    "frangi3d_sharded",
+    "normalize_to_u8_sharded",
+    "shard_volume",
+    "build_sharded_step",
+]

@@ -1,0 +1,169 @@
+"""Sharded pipeline stages over a device mesh.
+
+TPU-native redesign of the reference's single-address-space assumption
+(SURVEY.md §2b): the voxel grid shards along Z over a 1-D mesh with
+halo exchange for the dense stencils; the J8 normalization's global
+min/max become mesh reductions (pmin/pmax); seed scoring and SMC
+tracing run data-parallel over the trace batch against the (replicated)
+volume. XLA inserts the ICI collectives from the shardings.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.ops.frangi import frangi3d
+from pnr_tpu.parallel.halo import halo_exchange_z
+
+_FLT_MIN = 1.175494e-38
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "z") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def frangi_halo(sigmas: Sequence[float], zdist: float) -> int:
+    """Ghost slices needed in Z: Gaussian z-kernel + two first-difference passes."""
+    smax = max(sigmas)
+    return int(math.ceil(3.0 * smax / zdist)) + 2
+
+
+def frangi3d_sharded(
+    vol: jax.Array,
+    sigmas: Tuple[float, ...],
+    zdist: float,
+    mesh: Mesh,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    c: float = 500.0,
+):
+    """Multi-scale Frangi over a Z-sharded volume; returns sharded outputs.
+
+    Matches the unsharded `frangi3d` (same clamped-border semantics at
+    the global boundaries; interior shard boundaries exchange halos over
+    ICI). Jmin/Jmax are global (psum-tree reductions).
+    """
+    halo = frangi_halo(sigmas, zdist)
+    axis = mesh.axis_names[0]
+
+    def local_fn(v):
+        padded = halo_exchange_z(v, halo, axis)
+        j, jmin, jmax, vx, vy, vz = frangi3d(padded, sigmas, zdist, alpha, beta, c)
+        j = j[halo:-halo]
+        vx = vx[halo:-halo]
+        vy = vy[halo:-halo]
+        vz = vz[halo:-halo]
+        jmin = lax.pmin(jnp.min(j), axis)
+        jmax = lax.pmax(jnp.max(j), axis)
+        return j, jmin, jmax, vx, vy, vz
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(mesh.axis_names[0]),
+        out_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis)),
+    )
+    return fn(vol)
+
+
+def normalize_to_u8_sharded(j, jmin, jmax):
+    span = jmax - jmin
+    degenerate = jnp.abs(span) <= _FLT_MIN
+    val = jnp.round(((j - jmin) / jnp.where(degenerate, 1.0, span)) * 255.0)
+    return jnp.where(degenerate, 0.0, jnp.clip(val, 0.0, 255.0)).astype(jnp.uint8)
+
+
+def shard_volume(vol: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a (Z, Y, X) volume Z-sharded on the mesh (Z must divide evenly)."""
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.device_put(jnp.asarray(vol), sharding)
+
+
+# ---------------------------------------------------------------------------
+# one full sharded pipeline step (filter + seeds + one trace wave)
+
+
+def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
+    """A jittable full pipeline step over the mesh: sharded Frangi ->
+    global J8 -> per-shard top-k seed candidates -> one data-parallel
+    SMC wave on the replicated volume. Used by `dryrun_multichip` and as
+    the template for the production multi-chip driver.
+    """
+    from pnr_tpu.smc.tracker import BatchedTracker
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    tracker = BatchedTracker(cfg, is2d=False)
+    trace_fn = tracker._trace_wave  # jittable (img, seed_pos, seed_dir, keys)
+    per_shard = max(1, wave // n_dev)
+
+    def local_candidates(j8_local):
+        # strongest voxels per shard as seed candidates (top-k by J8)
+        zl, h, w = j8_local.shape
+        flat = j8_local.reshape(-1).astype(jnp.float32)
+        vals, idx = lax.top_k(flat, per_shard)
+        z = idx // (h * w)
+        rem = idx % (h * w)
+        y = rem // w
+        x = rem % w
+        z_off = lax.axis_index(axis) * zl
+        pos = jnp.stack([x, y, z + z_off], axis=-1).astype(jnp.float32)
+        return pos
+
+    candidates_fn = shard_map(
+        local_candidates, mesh=mesh, in_specs=P(axis), out_specs=P(axis)
+    )
+
+    def step(vol_sharded, key):
+        j, jmin, jmax, vx, vy, vz = frangi3d_sharded(
+            vol_sharded, cfg.sigmas, cfg.zdist, mesh,
+            cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
+        )
+        j8 = normalize_to_u8_sharded(j, jmin, jmax)
+
+        seed_pos = candidates_fn(j8)  # (wave, 3), sharded over traces
+        dirs_u8 = jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32)
+        # decode the Frangi direction at each seed (gather from replicated copy)
+        dcode = (dirs_u8 / 255.0) * 2.0 - 1.0
+        flat_idx = (
+            seed_pos[:, 2].astype(jnp.int32) * j8.shape[1] * j8.shape[2]
+            + seed_pos[:, 1].astype(jnp.int32) * j8.shape[2]
+            + seed_pos[:, 0].astype(jnp.int32)
+        )
+        seed_dir = dcode.reshape(-1, 3)[flat_idx]
+        norm = jnp.linalg.norm(seed_dir, axis=-1, keepdims=True)
+        seed_dir = seed_dir / jnp.maximum(norm, 1e-6)
+
+        # data-parallel trace wave on the replicated volume: shard the
+        # trace batch over the mesh, replicate the image
+        n_traces = seed_pos.shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_traces, dtype=jnp.uint32))
+        img_rep = lax.with_sharding_constraint(
+            vol_sharded, NamedSharding(mesh, P())
+        )
+        seed_pos_dp = lax.with_sharding_constraint(
+            seed_pos, NamedSharding(mesh, P(axis))
+        )
+        pos, dirs, sig, corr, valid = trace_fn(img_rep, seed_pos_dp, seed_dir, keys)
+        return {
+            "j8": j8,
+            "seed_pos": seed_pos,
+            "trace_pos": pos,
+            "trace_corr": corr,
+            "trace_valid": valid,
+        }
+
+    return jax.jit(step)

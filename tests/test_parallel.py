@@ -1,0 +1,105 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.ops import frangi3d, normalize_to_u8
+from pnr_tpu.parallel import (
+    build_sharded_step,
+    frangi3d_sharded,
+    halo_exchange_z,
+    make_mesh,
+    normalize_to_u8_sharded,
+    shard_volume,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def make_vol(shape=(32, 24, 40), seed=0):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    d2 = (y - 12) ** 2 + ((z - 16) * 2.0) ** 2
+    vol = 180.0 * np.exp(-d2 / (2 * 2.5**2)) + rng.normal(0, 5, shape)
+    return np.clip(vol, 0, 255).astype(np.uint8)
+
+
+class TestHaloExchange:
+    def test_matches_edge_padding(self, mesh):
+        vol = make_vol()
+        halo = 3
+
+        fn = shard_map(
+            lambda v: halo_exchange_z(v, halo, "z"),
+            mesh=mesh,
+            in_specs=P("z"),
+            out_specs=P("z"),
+        )
+        padded_sharded = np.asarray(fn(shard_volume(vol, mesh)))
+        # per-shard padded blocks concatenate to (Z + n*2h); verify each
+        # shard's padded block equals the globally edge-padded slice
+        n = 8
+        zl = vol.shape[0] // n
+        global_pad = np.pad(vol, ((halo, halo), (0, 0), (0, 0)), mode="edge")
+        blocks = padded_sharded.reshape(n, zl + 2 * halo, *vol.shape[1:])
+        for r in range(n):
+            want = global_pad[r * zl : r * zl + zl + 2 * halo]
+            np.testing.assert_array_equal(blocks[r], want)
+
+
+class TestShardedFrangi:
+    def test_matches_single_device(self, mesh):
+        vol = make_vol()
+        sigmas = (2.0, 3.0)
+        j_ref, jmin_ref, jmax_ref, vx_ref, vy_ref, vz_ref = frangi3d(
+            jnp.asarray(vol), sigmas, 2.0
+        )
+        j8_ref = np.asarray(normalize_to_u8(j_ref, jmin_ref, jmax_ref))
+
+        vs = shard_volume(vol, mesh)
+        j, jmin, jmax, vx, vy, vz = frangi3d_sharded(vs, sigmas, 2.0, mesh)
+        j8 = np.asarray(normalize_to_u8_sharded(j, jmin, jmax))
+
+        np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref), atol=1e-5)
+        np.testing.assert_allclose(float(jmax), float(jmax_ref), rtol=1e-6)
+        # uint8 quantization may flip on exact .5 boundaries; allow 1 LSB
+        diff = np.abs(j8.astype(int) - j8_ref.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+        # Directions are only meaningful where the response is nonzero
+        # (at J==0 the Hessian eigenvector is numerical noise and never
+        # consumed — seeds decode directions at J8 maxima only).
+        m = j8_ref > 0
+        np.testing.assert_array_equal(np.asarray(vx)[m], np.asarray(vx_ref)[m])
+        np.testing.assert_array_equal(np.asarray(vy)[m], np.asarray(vy_ref)[m])
+        np.testing.assert_array_equal(np.asarray(vz)[m], np.asarray(vz_ref)[m])
+
+
+class TestShardedStep:
+    def test_full_step_compiles_and_runs(self, mesh):
+        cfg = PNRConfig(
+            sigmas=(2.0,), znccth=0.3, kappa=2.0, step=2, ni=6, np=8,
+            zdist=2.0, nodepervol=4, vol=9, wave_size=8,
+        )
+        step = build_sharded_step(cfg, mesh, wave=8)
+        vol = make_vol()
+        out = step(shard_volume(vol, mesh), jax.random.key(0))
+        assert out["j8"].shape == vol.shape
+        assert out["seed_pos"].shape == (8, 3)
+        assert out["trace_pos"].shape == (8, 6, 3)
+        assert np.asarray(out["trace_valid"]).dtype == bool
+        # shards containing the tube pick candidates on it; empty shards
+        # pick arbitrary voxels (the real pipeline filters those by znccth)
+        sp = np.asarray(out["seed_pos"])
+        on_tube = np.abs(sp[:, 1] - 12) < 4
+        assert on_tube.sum() >= 2
