@@ -23,7 +23,7 @@ import numpy as np
 
 SIGMAS = (2.0, 4.0, 6.0)
 ZDIST = 2.0
-SHAPE = (64, 448, 448)  # ~12.8 Mvoxels (3-scale graph peaks ~0.7 KB/voxel HBM)
+SHAPE = (128, 448, 448)  # ~25.7 Mvoxels
 BASE_SHAPE = (24, 96, 96)  # oracle volume (~0.22 Mvoxels)
 
 

@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     ap.add_argument("-p", dest="params", nargs="*", default=None)
     ap.add_argument("-o", dest="output", default=None)
     ap.add_argument("--save-midres", action="store_true")
+    ap.add_argument(
+        "--zncc-mode",
+        choices=("exact", "tube"),
+        default="exact",
+        help="likelihood engine: 'exact' (reference parity) or 'tube' (fast map-based approximation)",
+    )
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("-h", "--help", action="store_true")
     args = ap.parse_args(argv)
@@ -63,10 +69,12 @@ def main(argv=None) -> int:
     except ValueError as e:
         sys.stderr.write(f"{e}\n")
         return 1
-    if args.save_midres:
-        import dataclasses
+    import dataclasses
 
+    if args.save_midres:
         cfg = dataclasses.replace(cfg, save_midres=True)
+    if args.zncc_mode != "exact":
+        cfg = dataclasses.replace(cfg, zncc_mode=args.zncc_mode)
 
     verbose = not args.quiet
     if verbose:

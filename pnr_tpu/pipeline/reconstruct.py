@@ -178,6 +178,7 @@ def reconstruction_func(
 
     tm.start("seed selection & sorting")
     tracker = BatchedTracker(cfg, is2d)
+    field = tracker.prepare_field(img)
     if len(pos):
         # drop seeds inside the soma (smap > 0)
         if smap is not None:
@@ -187,7 +188,7 @@ def reconstruction_func(
             outside = smap[zi, yi, xi] == 0
             pos, dirs = pos[outside], dirs[outside]
     if len(pos):
-        corr = _score_seeds(img, pos, dirs, tracker._zncc)
+        corr = _score_seeds(field, pos, dirs, tracker._zncc)
         keep = corr >= cfg.znccth
         pos, dirs, corr = pos[keep], dirs[keep], corr[keep]
         order = np.argsort(-corr, kind="stable")
@@ -223,7 +224,7 @@ def reconstruction_func(
             sp = np.concatenate([sp, np.tile(sp[:1], (2 * padn, 1))], axis=0)
             sd = np.concatenate([sd, np.tile(sd[:1], (2 * padn, 1))], axis=0)
         trace_ids = np.concatenate([2 * sel, 2 * sel + 1, np.zeros(2 * (wave - bsz), np.int64)])
-        res = tracker.trace_wave(img, sp, sd, key, trace_ids)
+        res = tracker.trace_wave(field, sp, sd, key, trace_ids)
 
         # sequential commit in seed order: exact reference semantics
         for bi, si in enumerate(batch):

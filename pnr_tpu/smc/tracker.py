@@ -77,7 +77,21 @@ class BatchedTracker:
         self.is2d = is2d
         self.tables: PriorTables = build_prior_tables(cfg.step, cfg.kappa, cfg.zdist, is2d)
         self.templates = ZnccTemplates(cfg.sigmas, is2d)
-        self._zncc = make_zncc_fn(self.templates)
+        if cfg.zncc_mode == "tube":
+            from pnr_tpu.ops.zncc_fast import (
+                TubeZnccModel,
+                build_tube_maps,
+                make_tube_zncc_fn,
+            )
+
+            model = TubeZnccModel(cfg.sigmas, is2d)
+            self._zncc = make_tube_zncc_fn(model)
+            self._prepare_field = jax.jit(lambda im: build_tube_maps(im, model))
+            self._field_is_maps = True
+        else:
+            self._zncc = make_zncc_fn(self.templates)
+            self._prepare_field = lambda im: im
+            self._field_is_maps = False
 
         t = self.tables
         self._p = jnp.asarray(t.p)
@@ -89,6 +103,11 @@ class BatchedTracker:
         self._w_cws = jnp.asarray(t.w_cws)
 
         self._trace_wave = jax.jit(self._build_trace_wave())
+
+    def prepare_field(self, img):
+        """Build the likelihood field for a volume: the volume itself in
+        exact mode, or the precomputed tube-ZNCC map stack in tube mode."""
+        return self._prepare_field(img)
 
     # ------------------------------------------------------------------
     def _build_trace_wave(self):
@@ -113,6 +132,7 @@ class BatchedTracker:
         ndir = int(v_tab.shape[0])
         w_flat = w_tab.reshape(-1)  # (D*S,)
         zncc = self._zncc
+        field_is_maps = self._field_is_maps
 
         def in_bounds(cpos, shape_zyx):
             l, h, w = shape_zyx
@@ -138,7 +158,9 @@ class BatchedTracker:
 
         def trace_wave(img, seed_pos, seed_dir, keys):
             # seed_pos/seed_dir (T, 3); keys (T,) PRNG keys
-            shape_zyx = img.shape
+            # `img` is the likelihood field: the raw volume (exact mode)
+            # or the precomputed map stack (tube mode)
+            shape_zyx = img.shape[1:] if field_is_maps else img.shape
             t = seed_pos.shape[0]
 
             def uniforms(step, shape):

@@ -1,0 +1,180 @@
+"""ZNCC tests: exact template correlation and the fast tube approximation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pnr_tpu.ops.zncc import ZnccTemplates, make_zncc_fn
+from pnr_tpu.ops.zncc_fast import TubeZnccModel, build_tube_maps, make_tube_zncc_fn
+
+
+def make_noisy_tube(shape=(16, 48, 96), radius=2.5, zdist=2.0, seed=3):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    cy, cz = shape[1] / 2.0, shape[0] / 2.0
+    d2 = (y - cy) ** 2 + ((z - cz) * zdist) ** 2
+    vol = 200.0 * np.exp(-d2 / (2 * radius**2)) + rng.normal(0, 4, shape)
+    return np.clip(vol, 0, 255).astype(np.uint8)
+
+
+def _exact_scalar_zncc(img, pos, direction, sigmas):
+    """Scalar oracle of znccBBB (tracker.cpp:1891-1964)."""
+    from pnr_tpu.ops.zncc import _frac_range
+
+    vx, vy, vz = direction
+    nrm = np.sqrt(vx * vx + vy * vy)
+    if nrm > 1e-4:
+        sg = -1.0 if vy < 0 else 1.0
+        ux, uy, uz = sg * vy / nrm, -sg * vx / nrm, 0.0
+    else:
+        ux, uy, uz = 1.0, 0.0, 0.0
+    wx = uy * vz - uz * vy
+    wy = -ux * vz + uz * vx
+    wz = ux * vy - uy * vx
+
+    l, h, w = img.shape
+
+    def interp(x, y, z):
+        xc = min(max(x, 0.0), w - 1.001)
+        x1 = int(xc)
+        xf = xc - x1
+        yc = min(max(y, 0.0), h - 1.001)
+        y1 = int(yc)
+        yf = yc - y1
+        zc = min(max(z, 0.0), l - 1.001)
+        z1 = int(zc)
+        zf = zc - z1
+        i = img.astype(np.float64)
+        p1 = (1 - yf) * ((1 - xf) * i[z1, y1, x1] + xf * i[z1, y1, x1 + 1]) + yf * (
+            (1 - xf) * i[z1, y1 + 1, x1] + xf * i[z1, y1 + 1, x1 + 1]
+        )
+        p2 = (1 - yf) * ((1 - xf) * i[z1 + 1, y1, x1] + xf * i[z1 + 1, y1, x1 + 1]) + yf * (
+            (1 - xf) * i[z1 + 1, y1 + 1, x1] + xf * i[z1 + 1, y1 + 1, x1 + 1]
+        )
+        return (1 - zf) * p1 + zf * p2
+
+    best = -np.inf
+    best_sig = 1.0
+    for sig in sigmas:
+        v2 = int(round(sig))
+        u2 = int(round(3 * sig))
+        pitch = max(1.0, 3 * sig / 12.0)
+        vv = _frac_range(v2, pitch)
+        uu = _frac_range(u2, pitch)
+        vals, wgts = [], []
+        for a in vv:
+            for b in uu:
+                for c in uu:
+                    x = pos[0] + a * (-vx) + b * ux + c * wx
+                    y = pos[1] + a * (-vy) + b * uy + c * wy
+                    z = pos[2] + a * (-vz) + b * uz + c * wz
+                    vals.append(interp(x, y, z))
+                    wgts.append(np.exp(-(b * b + c * c) / (2 * sig * sig)))
+        vals = np.asarray(vals)
+        wgts = np.asarray(wgts)
+        ag = vals.mean()
+        aw = wgts.mean()
+        corra = np.sum((vals - ag) * (wgts - aw))
+        corrb = np.sum((vals - ag) ** 2)
+        corrc = np.sum((wgts - aw) ** 2)
+        corr = corra / np.sqrt(corrb * corrc) if corrb * corrc > 1e-38 else 0.0
+        if corr > best:
+            best, best_sig = corr, sig
+    return best, best_sig
+
+
+class TestExactZncc:
+    def test_matches_scalar_oracle(self):
+        img = make_noisy_tube()
+        sigmas = (2.0, 3.0)
+        tpl = ZnccTemplates(sigmas, is2d=False)
+        fn = make_zncc_fn(tpl)
+        queries = [
+            ((48.0, 24.0, 8.0), (1.0, 0.0, 0.0)),
+            ((48.0, 24.0, 8.0), (0.0, 1.0, 0.0)),
+            ((20.5, 25.5, 8.5), (0.8, 0.6, 0.0)),
+            ((10.0, 5.0, 2.0), (0.0, 0.0, 1.0)),
+        ]
+        pos = jnp.asarray([q[0] for q in queries], jnp.float32)
+        dirs = jnp.asarray([q[1] for q in queries], jnp.float32)
+        corr, sig = fn(jnp.asarray(img), pos, dirs)
+        for i, (p, d) in enumerate(queries):
+            want_corr, want_sig = _exact_scalar_zncc(img, p, d, sigmas)
+            np.testing.assert_allclose(float(corr[i]), want_corr, atol=2e-3)
+            assert float(sig[i]) == want_sig
+
+    def test_on_axis_beats_off_axis(self):
+        img = make_noisy_tube()
+        tpl = ZnccTemplates((2.0, 3.0), is2d=False)
+        fn = make_zncc_fn(tpl)
+        pos = jnp.asarray([[48.0, 24.0, 8.0], [48.0, 10.0, 3.0]], jnp.float32)
+        dirs = jnp.asarray([[1.0, 0, 0], [1.0, 0, 0]], jnp.float32)
+        corr, _ = fn(jnp.asarray(img), pos, dirs)
+        assert float(corr[0]) > 0.7
+        assert float(corr[0]) > float(corr[1]) + 0.3
+
+
+class TestTubeZncc:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        img = make_noisy_tube()
+        sigmas = (2.0, 3.0)
+        model = TubeZnccModel(sigmas, is2d=False)
+        maps = build_tube_maps(jnp.asarray(img), model)
+        tube_fn = make_tube_zncc_fn(model)
+        exact_fn = make_zncc_fn(ZnccTemplates(sigmas, is2d=False))
+        return img, maps, tube_fn, exact_fn
+
+    def _grid_queries(self, img, rng, n=200):
+        l, h, w = img.shape
+        pos = np.stack(
+            [
+                rng.uniform(5, w - 5, n),
+                rng.uniform(3, h - 3, n),
+                rng.uniform(2, l - 2, n),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return pos, d
+
+    def test_tracks_exact_zncc(self, setup, rng):
+        img, maps, tube_fn, exact_fn = setup
+        pos, dirs = self._grid_queries(img, rng)
+        c_tube, _ = tube_fn(maps, jnp.asarray(pos), jnp.asarray(dirs))
+        c_exact, _ = exact_fn(jnp.asarray(img), jnp.asarray(pos), jnp.asarray(dirs))
+        c_tube = np.asarray(c_tube)
+        c_exact = np.asarray(c_exact)
+        # strong rank agreement and bounded absolute deviation in the
+        # decision-relevant region (corr above ~0.3)
+        r = np.corrcoef(c_tube, c_exact)[0, 1]
+        assert r > 0.9, f"correlation with exact zncc too low: {r}"
+        hi = c_exact > 0.3
+        if hi.any():
+            mad = np.abs(c_tube[hi] - c_exact[hi]).mean()
+            assert mad < 0.15, f"mean abs deviation too high: {mad}"
+
+    def test_on_axis_high_and_directional(self, setup):
+        img, maps, tube_fn, _ = setup
+        pos = jnp.asarray(
+            [[48.0, 24.0, 8.0], [48.0, 24.0, 8.0], [48.0, 6.0, 2.0]], jnp.float32
+        )
+        dirs = jnp.asarray([[1, 0, 0], [0, 1, 0], [1, 0, 0]], jnp.float32)
+        corr, sig = tube_fn(maps, pos, dirs)
+        assert float(corr[0]) > 0.6  # on-axis, aligned
+        assert float(corr[0]) > float(corr[2]) + 0.3  # background is worse
+        # radius estimate picks a sensible sigma on the tube
+        assert float(sig[0]) in (2.0, 3.0)
+
+    def test_affine_invariance(self, setup, rng):
+        img, maps, tube_fn, _ = setup
+        pos, dirs = self._grid_queries(img, rng, n=50)
+        c1, _ = tube_fn(maps, jnp.asarray(pos), jnp.asarray(dirs))
+        img2 = np.clip(img.astype(np.float32) * 0.5 + 40, 0, 255).astype(np.uint8)
+        model = TubeZnccModel((2.0, 3.0), is2d=False)
+        maps2 = build_tube_maps(jnp.asarray(img2), model)
+        c2, _ = tube_fn(maps2, jnp.asarray(pos), jnp.asarray(dirs))
+        # uint8 rounding of the transformed image perturbs slightly
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=0.08)
