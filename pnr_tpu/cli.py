@@ -46,6 +46,14 @@ def main(argv=None) -> int:
     ap.add_argument("-o", dest="output", default=None)
     ap.add_argument("--save-midres", action="store_true")
     ap.add_argument(
+        "--find-maxima",
+        action="store_true",
+        help="debug mode: dump raw-image local maxima as SWC and exit "
+        "(the reference's findMaxima path, Advantra_plugin.cpp:2308-2327)",
+    )
+    ap.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
+    ap.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    ap.add_argument(
         "--zncc-mode",
         choices=("exact", "tube"),
         default="exact",
@@ -88,9 +96,25 @@ def main(argv=None) -> int:
 
     vol = load_volume(args.image)
 
+    if args.find_maxima:
+        import numpy as np
+
+        from pnr_tpu.seeds.extract import max_points_host
+        from pnr_tpu.utils.exporters import export_points_swc
+
+        mask = max_points_host(vol, cfg.tolerance)
+        zz, yy, xx = np.nonzero(mask)
+        out = args.output or f"{args.image}_findMaxima_{cfg.tolerance:g}.swc"
+        export_points_swc(out, np.stack([xx, yy, zz], axis=-1), ntype=13, radius=0.1)
+        print(f"{len(xx)} local maxima -> {out}")
+        return 0
+
     from pnr_tpu.pipeline import reconstruction_func
 
-    result = reconstruction_func(vol, cfg, verbose=verbose)
+    result = reconstruction_func(
+        vol, cfg, verbose=verbose,
+        checkpoint_path=args.checkpoint, resume=args.resume,
+    )
 
     out = args.output or (args.image + "_Advantra.swc")
     save_nodelist(
@@ -101,8 +125,19 @@ def main(argv=None) -> int:
         print(f"wrote {out} ({len(result.tree) - 1} nodes)")
 
     if cfg.save_midres and result.j8 is not None:
+        from pnr_tpu.graph.trees import bfs_forest
+        from pnr_tpu.utils.exporters import export_directionality_swc, export_seeds_swc
+
         save_volume(args.image + "_J8.tif", result.j8)
         save_nodelist(result.n0, args.image + "_n0.swc")
+        save_nodelist(bfs_forest(result.n0), args.image + "_n0tree.swc")
+        if result.midres is not None:
+            export_directionality_swc(
+                args.image + "_VxVyVz.swc", result.j8,
+                result.midres["vx"], result.midres["vy"], result.midres["vz"],
+            )
+            save_volume(args.image + "_TraceDensity.tif", result.midres["trace_density"])
+        export_seeds_swc(args.image + "_Seeds.swc", result.seeds_pos)
     return 0
 
 

@@ -226,3 +226,43 @@ def group1(nodes: NodeList, rad: float) -> NodeList:
             out.nbr[gi].append(int(group_of[j - 1]) + 1)
     out.check_nbr()
     return out
+
+
+def refine_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float) -> NodeList:
+    """Blurring mean-shift variant (Advantra_plugin.cpp:863-966, the
+    alternate to `non_blurring`): all nodes shift together each global
+    iteration — the kernel support is the CURRENT (moving) positions —
+    soma nodes are frozen and excluded from the averages, and iteration
+    stops when the largest move falls below eps2.
+    """
+    out = nodes.copy()
+    n = len(nodes)
+    if n <= 1:
+        return out
+    is_soma = np.asarray([t == SOMA for t in nodes.type[1:]])
+    conv = np.stack(
+        [
+            np.asarray(nodes.x[1:], np.float64),
+            np.asarray(nodes.y[1:], np.float64),
+            np.asarray(nodes.z[1:], np.float64),
+            np.asarray(nodes.sig[1:], np.float64),
+        ],
+        axis=-1,
+    )
+    for _ in range(max_iter):
+        pts = conv[:, :3]
+        r2 = (sig2rad * conv[:, 3]) ** 2
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        mask = (d2 <= r2[:, None]) & (~is_soma)[None, :]
+        cnt = np.maximum(mask.sum(1), 1)
+        nxt = (mask[..., None] * conv[None, :, :]).sum(1) / cnt[:, None]
+        nxt[is_soma] = conv[is_soma]
+        move2 = ((nxt[:, :3] - conv[:, :3]) ** 2).sum(1)
+        conv = nxt
+        if move2.max() <= eps2:
+            break
+    out.x[1:] = conv[:, 0].tolist()
+    out.y[1:] = conv[:, 1].tolist()
+    out.z[1:] = conv[:, 2].tolist()
+    out.sig[1:] = conv[:, 3].tolist()
+    return out

@@ -333,3 +333,26 @@ def _group_nodes_py(x, y, z, sig, corr, is_soma, rad):
             ]
         groups.append(acc)
     return group_of, np.asarray(groups, np.float32).reshape(-1, 5)
+
+
+def conn2d(img: np.ndarray, background: int = 0) -> Tuple[np.ndarray, int]:
+    """2-D connected components with 8-connectivity over same-valued pixels.
+
+    Functional equivalent of the reference's (dead-code) templated
+    union-find `ConnectedComponents` (connected.h:13-188). Returns
+    (labels int32 (H, W) with 1-based ids, number of components).
+    """
+    import scipy.ndimage as ndi
+
+    img = np.asarray(img)
+    labels = np.zeros(img.shape, np.int32)
+    structure = np.ones((3, 3), bool)
+    next_label = 0
+    for val in np.unique(img):
+        if val == background:
+            continue
+        lab, nlab = ndi.label(img == val, structure=structure)
+        mask = lab > 0
+        labels[mask] = lab[mask] + next_label
+        next_label += nlab
+    return labels, next_label

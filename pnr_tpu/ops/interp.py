@@ -78,3 +78,19 @@ def trilinear(vol: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.A
     )
     out = (1 - zf) * plane1 + zf * plane2
     return out.reshape(out_shape)
+
+
+def interpz(vol: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
+    """Interpolate along z only at integer (x, y) (Frangi::interpz,
+    pnr-vaa3d/frangi.cpp:1201-1228)."""
+    l, h, w = vol.shape
+    v = vol.astype(jnp.float32)
+    xi = jnp.asarray(x, jnp.int32)
+    yi = jnp.asarray(y, jnp.int32)
+    if l == 1:
+        return v[0, yi, xi]
+    z1 = jnp.clip(jnp.asarray(z, jnp.int32), 0, l - 2)
+    zf = jnp.clip(z - z1, 0.0, 1.0)
+    i1 = v[z1, yi, xi]
+    i2 = v[z1 + 1, yi, xi]
+    return (1 - zf) * i1 + zf * i2

@@ -60,6 +60,7 @@ class ReconstructionResult:
     trace_count: int
     timings: Dict[str, float]
     j8: Optional[np.ndarray] = None
+    midres: Optional[Dict[str, np.ndarray]] = None  # when cfg.save_midres
 
 
 class _StageTimer:
@@ -126,8 +127,22 @@ def reconstruction_func(
     cfg: PNRConfig,
     verbose: bool = True,
     key: Optional[jax.Array] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every_waves: int = 1,
+    resume: bool = False,
 ) -> ReconstructionResult:
-    """Full reconstruction of a (Z, Y, X) uint8 volume."""
+    """Full reconstruction of a (Z, Y, X) uint8 volume.
+
+    With `checkpoint_path`, the mutable trace state snapshots every
+    `checkpoint_every_waves` committed waves; `resume=True` continues
+    from the snapshot (deterministic — PRNG streams are per-trace-id).
+    Setting env PNR_TPU_PROFILE_DIR captures a jax.profiler trace.
+    """
+    import os
+
+    profile_dir = os.environ.get("PNR_TPU_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     vol = np.ascontiguousarray(vol, np.uint8)
     is2d = vol.shape[0] == 1
     tm = _StageTimer(verbose)
@@ -202,8 +217,16 @@ def reconstruction_func(
     tm.start("tracing")
     committer = TraceCommitter(vol.shape, cfg.vol, cfg.nodepervol, nodes, smap)
     trace_count = 0
-    wave = max(1, cfg.wave_size)
     idx = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from pnr_tpu.pipeline.checkpoint import load_checkpoint
+
+        committer, idx, trace_count = load_checkpoint(checkpoint_path)
+        nodes = committer.nodes
+        if verbose:
+            print(f"resumed at seed {idx}, {trace_count} traces, |n0|={len(nodes)}")
+    wave = max(1, cfg.wave_size)
+    waves_done = 0
     nseeds = len(pos)
     while idx < nseeds and trace_count <= cfg.max_trace_count:
         # gather the next wave of seeds that pass the (stale) suppression check
@@ -240,6 +263,11 @@ def reconstruction_func(
             )
             if trace_count > cfg.max_trace_count:
                 break
+        waves_done += 1
+        if checkpoint_path and waves_done % max(1, checkpoint_every_waves) == 0:
+            from pnr_tpu.pipeline.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, committer, idx, trace_count)
     tm.stop()
     if verbose:
         used = (100.0 * trace_count) / max(len(pos), 1)
@@ -250,6 +278,18 @@ def reconstruction_func(
     tree = reconstruct_graph(n0.copy(), cfg)
     tm.stop()
 
+    midres = None
+    if cfg.save_midres:
+        midres = {
+            "vx": np.asarray(vx),
+            "vy": np.asarray(vy),
+            "vz": np.asarray(vz),
+            "trace_density": np.clip(committer.npervol, 0, 255).astype(np.uint8),
+        }
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+
     return ReconstructionResult(
         tree=tree,
         n0=n0,
@@ -258,6 +298,7 @@ def reconstruction_func(
         trace_count=trace_count,
         timings=tm.timings,
         j8=np.asarray(j8),
+        midres=midres,
     )
 
 

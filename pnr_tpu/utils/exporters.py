@@ -1,0 +1,128 @@
+"""Debug exporters: precomputed structures and traces as SWC / logs.
+
+Parity targets (component 35, SURVEY.md §2): `Tracker::export_model /
+export_off3 / export_track / export_trackcorr` (tracker.cpp:623-749),
+`SeedExtractor::export_seeds/export_Suv/export_Suwv` (seed.cpp:493-554),
+`export_directionality` (Advantra_plugin.cpp:1862-1883) and
+`save_vector` (:701-712). These write SWC point clouds for visual
+inspection — the reference's de-facto test oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+
+def save_vector(values: Sequence[float], path: str) -> None:
+    """Comma-separated scalar log (Advantra_plugin.cpp:701-712)."""
+    with open(path, "w") as f:
+        f.write(",".join(f"{v:g}" for v in values) + "\n")
+
+
+def export_points_swc(path: str, pts, ntype: int = 1, radius: float = 0.3) -> None:
+    """Generic SWC point cloud: pts rows are (x, y, z[, radius])."""
+    with open(path, "w") as f:
+        for i, p in enumerate(pts, start=1):
+            r = p[3] if len(p) > 3 else radius
+            f.write(f"{i} {ntype} {p[0]:g} {p[1]:g} {p[2]:g} {r:g} -1\n")
+
+
+def export_seeds_swc(path: str, pos, dirs=None, ntype: int = 7, arrow: float = 10.0) -> None:
+    """Seeds (+ direction arrows) as SWC (seed.cpp:519-540 export_seeds)."""
+    pos = np.asarray(pos)
+    lines = []
+    cnt = 1
+    for i in range(len(pos)):
+        lines.append(f"{cnt} {ntype} {pos[i,0]:g} {pos[i,1]:g} {pos[i,2]:g} .3 -1")
+        base = cnt
+        cnt += 1
+        if dirs is not None:
+            d = np.asarray(dirs)[i]
+            tip = pos[i] + arrow * d
+            lines.append(f"{cnt} {ntype} {tip[0]:g} {tip[1]:g} {tip[2]:g} .1 {base}")
+            cnt += 1
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def export_offsets_swc(path: str, offset_groups, shift: float) -> None:
+    """Offset clouds per group, x-shifted for visualization
+    (export_off3/export_Suv/export_Suwv)."""
+    lines = []
+    cnt = 1
+    for gi, offs in enumerate(offset_groups):
+        for o in np.asarray(offs):
+            lines.append(
+                f"{cnt} {gi} {o[0] + gi * shift:g} {o[1]:g} {o[2] if len(o) > 2 else 0:g} .3 -1"
+            )
+            cnt += 1
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def export_model_swc(path: str, templates, shift: float | None = None) -> None:
+    """ZNCC template offsets + weights as SWC (tracker.cpp:639-652)."""
+    if shift is None:
+        shift = 2 * 3 * max(templates.sigmas)
+    lines = []
+    cnt = 1
+    for si in range(len(templates.sigmas)):
+        k = int(templates.cnt[si])
+        offs = templates.offs[si, :k]
+        wgt = templates.wgt[si, :k]
+        for o, g in zip(offs, wgt):
+            lines.append(f"{cnt} {si} {o[0] + si * shift:g} {o[1]:g} {o[2]:g} {g:g} -1")
+            cnt += 1
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def export_track_swc(path: str, pos, valid=None, ntype: int = 3) -> None:
+    """One trace's estimate chain as SWC (tracker.cpp:722-734 export_track)."""
+    pos = np.asarray(pos)
+    if valid is not None:
+        pos = pos[np.asarray(valid, bool)]
+    lines = []
+    for i in range(len(pos)):
+        parent = -1 if i == 0 else i
+        lines.append(
+            f"{i + 1} {ntype} {pos[i,0]:g} {pos[i,1]:g} {pos[i,2]:g} .5 {parent}"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def export_track_corr(path: str, corr, valid=None) -> None:
+    """Per-iteration centroid correlations (tracker.cpp:736-749)."""
+    corr = np.asarray(corr)
+    if valid is not None:
+        corr = corr[np.asarray(valid, bool)]
+    with open(path, "w") as f:
+        for c in corr:
+            f.write(f"{c:g}\n")
+
+
+def export_directionality_swc(
+    path: str, j8, vx_u8, vy_u8, vz_u8, threshold: int = 10, arrow: float = 10.0
+) -> None:
+    """Direction arrows at voxels with J8 > threshold
+    (Advantra_plugin.cpp:1862-1883)."""
+    j8 = np.asarray(j8)
+    zz, yy, xx = np.nonzero(j8 > threshold)
+    ux = (np.asarray(vx_u8)[zz, yy, xx] / 255.0) * 2 - 1
+    uy = (np.asarray(vy_u8)[zz, yy, xx] / 255.0) * 2 - 1
+    uz = (np.asarray(vz_u8)[zz, yy, xx] / 255.0) * 2 - 1
+    lines = []
+    cnt = 1
+    for i in range(len(xx)):
+        lines.append(f"{cnt} 17 {xx[i]} {yy[i]} {zz[i]} 0.1 -1")
+        cnt += 1
+        lines.append(
+            f"{cnt} 17 {xx[i] + arrow * ux[i]:g} {yy[i] + arrow * uy[i]:g} "
+            f"{zz[i] + arrow * uz[i]:g} 0.1 {cnt - 1}"
+        )
+        cnt += 1
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

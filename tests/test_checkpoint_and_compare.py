@@ -1,0 +1,85 @@
+"""Checkpoint/resume determinism and the SWC comparison harness."""
+
+import numpy as np
+import pytest
+
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.io.swc import read_swc, save_nodelist
+from pnr_tpu.pipeline import reconstruction_func
+from pnr_tpu.pipeline.checkpoint import load_checkpoint, save_checkpoint
+from pnr_tpu.graph.build import TraceCommitter
+from pnr_tpu.graph.nodes import NodeList
+from pnr_tpu.utils.swc_compare import compare_swc
+
+from tests.test_pipeline import tube_phantom
+
+
+CFG = PNRConfig(
+    sigmas=(2.0, 3.0), tolerance=10.0, znccth=0.5, kappa=2.0, step=2, ni=25,
+    np=12, zdist=2.0, nodepervol=4, vol=9, wave_size=4, zncc_mode="tube",
+)
+
+
+class TestCheckpoint:
+    def test_roundtrip_state(self, tmp_path):
+        nodes = NodeList()
+        nodes.add(1, 2, 3, 0.5, 0.5, 0, corr=0.7, sig=2.0, ntype=2)
+        nodes.add(4, 5, 6, corr=0.8, sig=1.5, ntype=6)
+        nodes.link(1, 2)
+        c = TraceCommitter((4, 8, 8), vol=9, nodepervol=3, nodes=nodes)
+        c.npervol[1, 2, 3] = 2
+        c.nidx[1, 2, 3] = 1
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(p, c, seed_cursor=7, trace_count=3)
+        c2, cursor, count = load_checkpoint(p)
+        assert cursor == 7 and count == 3
+        assert len(c2.nodes) == 3
+        assert c2.nodes.nbr[1] == [2] and c2.nodes.nbr[2] == [1]
+        assert c2.npervol[1, 2, 3] == 2 and c2.nidx[1, 2, 3] == 1
+        assert c2.vol == 9 and c2.nodepervol == 3
+
+    def test_resume_matches_uninterrupted_run(self, tmp_path):
+        vol = tube_phantom()
+        ck = str(tmp_path / "run.npz")
+        # full run with checkpointing enabled
+        full = reconstruction_func(vol, CFG, verbose=False, checkpoint_path=ck)
+        # resumed run: continues from the final checkpoint -> no new work,
+        # but the post-processing from the same state must match
+        resumed = reconstruction_func(
+            vol, CFG, verbose=False, checkpoint_path=ck, resume=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.n0.x), np.asarray(resumed.n0.x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.tree.x), np.asarray(resumed.tree.x)
+        )
+
+
+class TestSwcCompare:
+    def test_identical_swc_scores_perfect(self, tmp_path):
+        vol = tube_phantom()
+        res = reconstruction_func(vol, CFG, verbose=False)
+        p = str(tmp_path / "a.swc")
+        save_nodelist(res.tree, p)
+        rows = read_swc(p)
+        s = compare_swc(rows, rows, dist=2.0)
+        assert s.precision == 1.0 and s.recall == 1.0 and s.f1 == 1.0
+        assert s.topology == 1.0
+
+    def test_jittered_swc_high_score(self, tmp_path, rng):
+        vol = tube_phantom()
+        res = reconstruction_func(vol, CFG, verbose=False)
+        p = str(tmp_path / "a.swc")
+        save_nodelist(res.tree, p)
+        rows = read_swc(p)
+        jit = rows.copy()
+        jit[:, 2:5] += rng.normal(0, 0.5, (len(rows), 3))
+        s = compare_swc(jit, rows, dist=4.0)
+        assert s.f1 > 0.95
+
+    def test_disjoint_swc_scores_zero(self):
+        a = np.array([[1, 2, 0, 0, 0, 1, -1]], np.float64)
+        b = np.array([[1, 2, 100, 100, 100, 1, -1]], np.float64)
+        s = compare_swc(a, b, dist=4.0)
+        assert s.f1 == 0.0
