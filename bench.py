@@ -49,15 +49,18 @@ def bench_tpu(vol):
         j, jmin, jmax, vx, vy, vz = frangi3d(v, SIGMAS, ZDIST)
         return normalize_to_u8(j, jmin, jmax), vx, vy, vz
 
+    def force(o):
+        # jax.block_until_ready is NOT a completion barrier on remote TPU
+        # runtimes (execution is lazy until a fetch); a scalar fetch is.
+        return float(o[0][5, 5, 5])
+
     dvol = jnp.asarray(vol)
-    out = step(dvol)  # compile + first run
-    jax.block_until_ready(out)
+    force(step(dvol))  # compile + first run
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = step(dvol)
-    jax.block_until_ready(out)
+        force(step(dvol))
     dt = (time.perf_counter() - t0) / reps
     return vol.size / dt / 1e6  # Mvoxels/s
 

@@ -296,3 +296,23 @@ def _interp_ref_2d(img, x, y):
     return (1 - yf) * ((1 - xf) * i[y1, x1] + xf * i[y1, x1 + 1]) + yf * (
         (1 - xf) * i[y1 + 1, x1] + xf * i[y1 + 1, x1 + 1]
     )
+
+
+class TestPallasConv:
+    @pytest.mark.skipif(
+        jnp.zeros(1).devices().pop().platform == "cpu",
+        reason="Mosaic kernel requires TPU",
+    )
+    def test_matches_xla_conv(self, rng):
+        import jax
+
+        from pnr_tpu.ops.pallas_conv import pallas_conv1d_along_axis
+
+        vol = jnp.asarray((rng.random((16, 64, 128)) * 255).astype(np.uint8))
+        k = gaussian_kernel(3.0)
+        for axis in (0, 1, 2):
+            got = np.asarray(jax.jit(
+                lambda v, a=axis: pallas_conv1d_along_axis(v, k, a)
+            )(vol))
+            want = np.asarray(conv1d_along_axis(vol.astype(jnp.float32), jnp.asarray(k), axis))
+            np.testing.assert_allclose(got, want, atol=1e-4)
