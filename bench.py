@@ -111,10 +111,81 @@ def bench_numpy_oracle(vol):
     return vol.size / dt / 1e6
 
 
+def bench_tracer(vol):
+    """Particle-updates/s of the lockstep SMC tracer (tube likelihood)."""
+    import jax
+    import numpy as np
+
+    from pnr_tpu.config import PNRConfig
+    from pnr_tpu.smc.tracker import BatchedTracker
+
+    cfg = PNRConfig(
+        sigmas=SIGMAS, znccth=0.3, kappa=3.0, step=2, ni=100, np=20,
+        zdist=ZDIST, nodepervol=4, vol=9, zncc_mode="tube",
+    )
+    tracker = BatchedTracker(cfg, is2d=False)
+    import jax.numpy as jnp
+
+    img = jnp.asarray(vol)
+    field = tracker.prepare_field(img)
+    t_traces = 256
+    cy, cz = vol.shape[1] / 2.0, vol.shape[0] / 2.0
+    sp = np.stack(
+        [
+            np.linspace(10, vol.shape[2] - 10, t_traces),
+            np.full(t_traces, cy),
+            np.full(t_traces, cz),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    sd = np.tile(np.array([[1.0, 0, 0]], np.float32), (t_traces, 1))
+    ids = np.arange(t_traces)
+    tracker.trace_wave(field, sp, sd, jax.random.key(0), ids)  # compile
+    t0 = time.perf_counter()
+    res = tracker.trace_wave(field, sp, sd, jax.random.key(1), ids)
+    dt = time.perf_counter() - t0  # TraceResult fetches -> real barrier
+    updates = t_traces * cfg.np * cfg.ni
+    return updates / dt
+
+
+def bench_quality():
+    """Branching-phantom reconstruction F1 vs ground truth."""
+    import sys
+
+    sys.path.insert(0, ".")
+    try:
+        from tests.test_phantom_neuron import CFG, branching_neuron_phantom
+    except ImportError:
+        return None
+    import tempfile
+
+    from pnr_tpu.io.swc import read_swc, save_nodelist
+    from pnr_tpu.pipeline import reconstruction_func
+    from pnr_tpu.utils.swc_compare import compare_swc
+
+    vol, gold = branching_neuron_phantom()
+    res = reconstruction_func(vol, CFG, verbose=False)
+    p = tempfile.mktemp(suffix=".swc")
+    save_nodelist(res.tree, p)
+    s = compare_swc(read_swc(p), gold, dist=4.0)
+    return {"f1": round(s.f1, 3), "precision": round(s.precision, 3), "recall": round(s.recall, 3)}
+
+
 def main():
     vol = make_volume(SHAPE)
     tpu_mvox = bench_tpu(vol)
     base_mvox = bench_numpy_oracle(make_volume(BASE_SHAPE))
+    extras = {}
+    try:
+        extras["particle_updates_per_s"] = round(bench_tracer(make_volume((64, 256, 256))))
+    except Exception as e:  # never fail the headline metric
+        extras["particle_updates_per_s_error"] = str(e)[:120]
+    try:
+        q = bench_quality()
+        if q:
+            extras["phantom_swc"] = q
+    except Exception as e:
+        extras["phantom_swc_error"] = str(e)[:120]
     print(
         json.dumps(
             {
@@ -122,6 +193,7 @@ def main():
                 "value": round(tpu_mvox, 2),
                 "unit": "Mvoxels/s",
                 "vs_baseline": round(tpu_mvox / base_mvox, 2),
+                "extras": extras,
             }
         )
     )

@@ -107,14 +107,17 @@ def _mean_shift_device(p4: jax.Array, sig2rad: float, max_iter: int, eps2: float
             # c_blk: (B, 4) current estimates for a block of nodes
             cxyz = c_blk[:, :3]
             r2 = (sig2rad * c_blk[:, 3]) ** 2  # (B,)
+            # PRECISION MATTERS: TPU matmuls default to bf16; with
+            # coordinates ~100 the d2 error would exceed the kernel
+            # radius and nodes with empty masks collapse to the origin.
             d2 = (
                 jnp.sum(cxyz * cxyz, axis=1)[:, None]
                 + pts_norm2[None, :]
-                - 2.0 * cxyz @ pts.T
-            )  # (B, N) — MXU matmul
+                - 2.0 * jnp.matmul(cxyz, pts.T, precision=jax.lax.Precision.HIGHEST)
+            )  # (B, N) — MXU matmul, f32
             mask = (d2 <= r2[:, None]).astype(jnp.float32)
             cnt = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
-            summ = mask @ p4  # (B, 4) — MXU matmul
+            summ = jnp.matmul(mask, p4, precision=jax.lax.Precision.HIGHEST)  # (B, 4)
             return summ / cnt[:, None]
 
         nblk = -(-n // _BLOCK)

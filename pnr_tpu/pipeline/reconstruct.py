@@ -171,9 +171,19 @@ def reconstruction_func(
         )
         j, vx, vy, vz = j[None], vx[None], vy[None], vz[None]
     else:
-        j, jmin, jmax, vx, vy, vz = frangi3d(
-            img, cfg.sigmas, cfg.zdist, cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c
-        )
+        if vol.size > 40_000_000:
+            # stream in Z-tiles: the fused graph peaks at ~180 B/voxel,
+            # beyond one chip's HBM for large stacks
+            from pnr_tpu.ops.frangi_blocked import frangi3d_blocked
+
+            j, jmin, jmax, vx, vy, vz = frangi3d_blocked(
+                img, cfg.sigmas, cfg.zdist,
+                cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
+            )
+        else:
+            j, jmin, jmax, vx, vy, vz = frangi3d(
+                img, cfg.sigmas, cfg.zdist, cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c
+            )
     j8 = normalize_to_u8(j, jmin, jmax)
     j8.block_until_ready()
     tm.stop()

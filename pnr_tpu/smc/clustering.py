@@ -34,7 +34,7 @@ def mean_shift(pts: jax.Array, krad: float, max_iter: int = 50, eps2: float = 1e
         d2 = jnp.sum((conv[:, None, :] - support[None, :, :]) ** 2, axis=-1)
         m = (d2 <= k2).astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-        nxt = (m @ support) / cnt[:, None]
+        nxt = jnp.matmul(m, support, precision=jax.lax.Precision.HIGHEST) / cnt[:, None]
         move2 = jnp.sum((nxt - conv) ** 2, axis=1)
         conv = jnp.where(active[:, None], nxt, conv)
         return conv, active & (move2 > eps2), it + 1

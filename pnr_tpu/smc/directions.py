@@ -72,5 +72,7 @@ def nearest_direction(dirs: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
 
     dirs: (..., 3); codebook: (N, 3). Returns (...,) int32.
     """
-    dots = dirs @ codebook.T
+    import jax
+
+    dots = jnp.matmul(dirs, codebook.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.argmax(dots, axis=-1).astype(jnp.int32)

@@ -219,10 +219,15 @@ class BatchedTracker:
 
                 # nearest codebook direction, then the prior row via one-hot
                 # matmul (MXU) instead of a (T, P, S) row gather
-                dots = base_dir.reshape(t * npart, 3) @ v_tab.T  # (TP, D)
+                dots = jnp.matmul(
+                    base_dir.reshape(t * npart, 3), v_tab.T,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (TP, D) — f32: bf16 dots can flip near-tie argmax
                 vi = jnp.argmax(dots, axis=1)  # (TP,)
                 onehot = jax.nn.one_hot(vi, ndir, dtype=jnp.float32)  # (TP, D)
-                rows = onehot @ w_cws_tab  # (TP, S)
+                rows = jnp.matmul(
+                    onehot, w_cws_tab, precision=jax.lax.Precision.HIGHEST
+                )  # (TP, S) — f32: bf16 would quantize the CDF rows
 
                 s = jnp.sum(rows < u1.reshape(t * npart, 1), axis=-1)
                 s = jnp.clip(s, 0, sz - 1)  # (TP,)

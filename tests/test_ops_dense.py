@@ -316,3 +316,26 @@ class TestPallasConv:
             )(vol))
             want = np.asarray(conv1d_along_axis(vol.astype(jnp.float32), jnp.asarray(k), axis))
             np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestFrangiBlocked:
+    def test_matches_unblocked(self, rng):
+        from pnr_tpu.ops.frangi_blocked import frangi3d_blocked
+
+        vol = make_tube_volume(shape=(22, 40, 48))  # 22 not divisible by block
+        vol = np.clip(
+            vol.astype(np.int16) + rng.normal(0, 4, vol.shape), 0, 255
+        ).astype(np.uint8)
+        sigmas = (2.0, 3.0)
+        j_ref, jmin_r, jmax_r, vx_r, vy_r, vz_r = frangi3d(jnp.asarray(vol), sigmas, 2.0)
+        j, jmin, jmax, vx, vy, vz = frangi3d_blocked(
+            jnp.asarray(vol), sigmas, 2.0, block_z=8
+        )
+        np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref), atol=1e-6)
+        np.testing.assert_allclose(float(jmax), float(jmax_r), rtol=1e-6)
+        # Directions compare where the response is meaningful (>= 1 J8
+        # LSB). Weak-response voxels pick their scale by a near-tie that
+        # ulp-level conv differences can flip, swapping the eigenvector.
+        m = np.asarray(j_ref) > float(jmax_r) / 510.0
+        assert m.sum() > 100
+        np.testing.assert_array_equal(np.asarray(vx)[m], np.asarray(vx_r)[m])
