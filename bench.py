@@ -128,7 +128,7 @@ def bench_tracer(vol):
 
     img = jnp.asarray(vol)
     field = tracker.prepare_field(img)
-    t_traces = 256
+    t_traces = 1024
     cy, cz = vol.shape[1] / 2.0, vol.shape[0] / 2.0
     sp = np.stack(
         [

@@ -80,6 +80,54 @@ def trilinear(vol: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.A
     return out.reshape(out_shape)
 
 
+def trilinear_multi(vol_c: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
+    """Trilinear sampling of a channel-interleaved (Z, Y, X, C) volume.
+
+    One gather per corner fetches the (2, C) contiguous block — C
+    channels cost the same bandwidth pattern as one (used by the tube
+    ZNCC to fetch its three maps per sigma in a single gather).
+    Returns (..., C) float32 with the same clamping as `trilinear`.
+    """
+    l, h, w, c = vol_c.shape
+    v3 = vol_c.reshape(l * h, w, c).astype(jnp.float32)
+
+    x, y, z = jnp.broadcast_arrays(x, y, z)
+    out_shape = x.shape
+    x = x.reshape(-1)
+    y = y.reshape(-1)
+    z = z.reshape(-1)
+
+    xc = jnp.clip(x, 0.0, w - 1.001)
+    x1 = jnp.floor(xc).astype(jnp.int32)
+    xf = (xc - x1)[:, None]
+    yc = jnp.clip(y, 0.0, h - 1.001)
+    y1 = jnp.floor(yc).astype(jnp.int32)
+    yf = (yc - y1)[:, None]
+    zc = jnp.clip(z, 0.0, l - 1.001)
+    z1 = jnp.floor(zc).astype(jnp.int32)
+    zf = (zc - z1)[:, None]
+
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1, 2)
+    )
+
+    def pair(row, col):
+        idx = jnp.stack([row, col, jnp.zeros_like(row)], axis=-1)
+        g = lax.gather(v3, idx, dn, slice_sizes=(1, 2, c), mode="clip")
+        return g[:, 0, 0, :], g[:, 0, 1, :]  # (N, C) x 2 corners
+
+    row11 = z1 * h + y1
+    a000, a001 = pair(row11, x1)
+    a010, a011 = pair(row11 + 1, x1)
+    a100, a101 = pair(row11 + h, x1)
+    a110, a111 = pair(row11 + h + 1, x1)
+
+    p1 = (1 - yf) * ((1 - xf) * a000 + xf * a001) + yf * ((1 - xf) * a010 + xf * a011)
+    p2 = (1 - yf) * ((1 - xf) * a100 + xf * a101) + yf * ((1 - xf) * a110 + xf * a111)
+    out = (1 - zf) * p1 + zf * p2
+    return out.reshape(out_shape + (c,))
+
+
 def interpz(vol: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
     """Interpolate along z only at integer (x, y) (Frangi::interpz,
     pnr-vaa3d/frangi.cpp:1201-1228)."""

@@ -160,7 +160,7 @@ class BatchedTracker:
             # seed_pos/seed_dir (T, 3); keys (T,) PRNG keys
             # `img` is the likelihood field: the raw volume (exact mode)
             # or the precomputed map stack (tube mode)
-            shape_zyx = img.shape[1:] if field_is_maps else img.shape
+            shape_zyx = tuple(img.shape[1:4]) if field_is_maps else img.shape
             t = seed_pos.shape[0]
 
             def uniforms(step, shape):
