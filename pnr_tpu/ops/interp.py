@@ -80,16 +80,19 @@ def trilinear(vol: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.A
     return out.reshape(out_shape)
 
 
-def trilinear_multi(vol_c: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
-    """Trilinear sampling of a channel-interleaved (Z, Y, X, C) volume.
+def trilinear_multi(vol_xc: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array, c: int) -> jax.Array:
+    """Trilinear sampling of an X-interleaved (Z, Y, X*C) multi-map volume.
 
-    One gather per corner fetches the (2, C) contiguous block — C
-    channels cost the same bandwidth pattern as one (used by the tube
-    ZNCC to fetch its three maps per sigma in a single gather).
-    Returns (..., C) float32 with the same clamping as `trilinear`.
+    Channels interleave along X ([x0c0, x0c1, ..., x1c0, ...]) so one
+    gather of a contiguous (1, 2*C) slice fetches both x-corners of all
+    C channels (used by the tube ZNCC for its three maps per sigma).
+    A trailing channel axis would instead be lane-tiled to 128 and
+    blow up memory 42x. Returns (..., C) float32 with the same
+    clamping as `trilinear`.
     """
-    l, h, w, c = vol_c.shape
-    v3 = vol_c.reshape(l * h, w, c).astype(jnp.float32)
+    l, h, wc = vol_xc.shape
+    w = wc // c
+    v2 = vol_xc.reshape(l * h, wc).astype(jnp.float32)
 
     x, y, z = jnp.broadcast_arrays(x, y, z)
     out_shape = x.shape
@@ -103,18 +106,26 @@ def trilinear_multi(vol_c: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) 
     yc = jnp.clip(y, 0.0, h - 1.001)
     y1 = jnp.floor(yc).astype(jnp.int32)
     yf = (yc - y1)[:, None]
-    zc = jnp.clip(z, 0.0, l - 1.001)
-    z1 = jnp.floor(zc).astype(jnp.int32)
-    zf = (zc - z1)[:, None]
 
     dn = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1, 2)
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
     )
 
     def pair(row, col):
-        idx = jnp.stack([row, col, jnp.zeros_like(row)], axis=-1)
-        g = lax.gather(v3, idx, dn, slice_sizes=(1, 2, c), mode="clip")
-        return g[:, 0, 0, :], g[:, 0, 1, :]  # (N, C) x 2 corners
+        idx = jnp.stack([row, col * c], axis=-1)
+        g = lax.gather(v2, idx, dn, slice_sizes=(1, 2 * c), mode="clip")
+        g = g[:, 0, :].reshape(-1, 2, c)
+        return g[:, 0, :], g[:, 1, :]  # (N, C) x 2 corners
+
+    if l == 1:  # bilinear: z ignored (reference interp semantics)
+        a00, a01 = pair(y1, x1)
+        a10, a11 = pair(y1 + 1, x1)
+        out = (1 - yf) * ((1 - xf) * a00 + xf * a01) + yf * ((1 - xf) * a10 + xf * a11)
+        return out.reshape(out_shape + (c,))
+
+    zc = jnp.clip(z, 0.0, l - 1.001)
+    z1 = jnp.floor(zc).astype(jnp.int32)
+    zf = (zc - z1)[:, None]
 
     row11 = z1 * h + y1
     a000, a001 = pair(row11, x1)

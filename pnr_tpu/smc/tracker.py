@@ -160,7 +160,11 @@ class BatchedTracker:
             # seed_pos/seed_dir (T, 3); keys (T,) PRNG keys
             # `img` is the likelihood field: the raw volume (exact mode)
             # or the precomputed map stack (tube mode)
-            shape_zyx = tuple(img.shape[1:4]) if field_is_maps else img.shape
+            shape_zyx = (
+                (img.shape[1], img.shape[2], img.shape[3] // 3)
+                if field_is_maps
+                else img.shape
+            )
             t = seed_pos.shape[0]
 
             def uniforms(step, shape):
@@ -275,6 +279,12 @@ class BatchedTracker:
 
         return trace_wave
 
+    #: Fixed device batch: every trace_wave launch runs at this T so only
+    #: one shape ever compiles. XLA:TPU compile time/stability for the
+    #: tracer graph is erratically shape-dependent (T=256 on large
+    #: volumes crashed the remote worker; T=128 is validated).
+    TRACE_CHUNK = 128
+
     # ------------------------------------------------------------------
     def trace_wave(
         self,
@@ -287,18 +297,46 @@ class BatchedTracker:
         """Trace a wave of seeds in lockstep; returns host-side estimates.
 
         seed_pos/seed_dir: (T, 3) in (x, y, z) order. trace_ids give each
-        trace a stable PRNG stream (reproducible across wave shapes).
+        trace a stable PRNG stream (reproducible across wave shapes:
+        chunking to TRACE_CHUNK never changes a trace's PRNG key).
         """
-        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-            jnp.asarray(trace_ids, jnp.uint32)
-        )
-        pos, dirs, sig, corr, valid = self._trace_wave(
-            img, jnp.asarray(seed_pos, jnp.float32), jnp.asarray(seed_dir, jnp.float32), keys
-        )
+        t = len(seed_pos)
+        # pad small batches to the next power of two (bounded shape set),
+        # large ones chunk at TRACE_CHUNK
+        chunk = self.TRACE_CHUNK
+        if t < chunk:
+            chunk = 1 << max(0, (t - 1).bit_length())
+        outs = []
+        for beg in range(0, t, chunk):
+            end = min(beg + chunk, t)
+            pad = chunk - (end - beg)
+            sp = np.asarray(seed_pos[beg:end], np.float32)
+            sd = np.asarray(seed_dir[beg:end], np.float32)
+            ids = np.asarray(trace_ids[beg:end], np.uint32)
+            if pad:
+                sp = np.concatenate([sp, np.repeat(sp[:1], pad, 0)], 0)
+                sd = np.concatenate([sd, np.repeat(sd[:1], pad, 0)], 0)
+                ids = np.concatenate([ids, np.zeros(pad, np.uint32)])
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                jnp.asarray(ids, jnp.uint32)
+            )
+            pos, dirs, sig, corr, valid = self._trace_wave(
+                img, jnp.asarray(sp), jnp.asarray(sd), keys
+            )
+            n = end - beg
+            outs.append(
+                (
+                    np.asarray(pos)[:n],
+                    np.asarray(dirs)[:n],
+                    np.asarray(sig)[:n],
+                    np.asarray(corr)[:n],
+                    np.asarray(valid)[:n],
+                )
+            )
         return TraceResult(
-            pos=np.asarray(pos),
-            dir=np.asarray(dirs),
-            sig=np.asarray(sig),
-            corr=np.asarray(corr),
-            valid=np.asarray(valid),
+            pos=np.concatenate([o[0] for o in outs]),
+            dir=np.concatenate([o[1] for o in outs]),
+            sig=np.concatenate([o[2] for o in outs]),
+            corr=np.concatenate([o[3] for o in outs]),
+            valid=np.concatenate([o[4] for o in outs]),
         )

@@ -151,3 +151,33 @@ class TestBatchedTracker:
             if v.any():
                 last = np.max(np.nonzero(v))
                 assert v[: last + 1].all(), "validity must be a prefix (masked termination)"
+
+
+class TestPriorSamplingStatistics:
+    def test_iter0_offsets_follow_w0(self, rng):
+        """Systematic samples from the isotropic prior reproduce w0."""
+        from pnr_tpu.smc.priors import build_prior_tables
+        from pnr_tpu.smc.tracker import _systematic_indices
+
+        t = build_prior_tables(step=2, kappa=2.0, zdist=2.0, is2d=False)
+        counts = np.zeros(len(t.w0))
+        csw = jnp.asarray(t.w0_cws)
+        n = 64
+        for _ in range(400):
+            idx = np.asarray(_systematic_indices(csw, jnp.float32(rng.random()), n))
+            counts += np.bincount(idx, minlength=len(t.w0))
+        freqs = counts / counts.sum()
+        # total-variation distance to the target distribution is small
+        tv = 0.5 * np.abs(freqs - t.w0).sum()
+        assert tv < 0.02, f"TV distance {tv}"
+
+    def test_directional_prior_mean_points_forward(self, rng):
+        """Offsets drawn from a directional row average along that direction."""
+        from pnr_tpu.smc.priors import build_prior_tables
+
+        t = build_prior_tables(step=3, kappa=2.0, zdist=1.0, is2d=False)
+        vi = int(np.argmax(t.v @ np.array([0.0, 1.0, 0.0])))
+        # expectation under the row directly (no sampling noise)
+        mean_off = t.w[vi] @ t.p
+        norm = mean_off / np.linalg.norm(mean_off)
+        assert norm @ t.v[vi] > 0.95

@@ -178,3 +178,21 @@ class TestTubeZncc:
         c2, _ = tube_fn(maps2, jnp.asarray(pos), jnp.asarray(dirs))
         # uint8 rounding of the transformed image perturbs slightly
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=0.08)
+
+
+class TestTubeZncc2D:
+    def test_2d_maps_and_correlation(self, rng):
+        """Tube mode on a single-slice volume: bilinear map sampling."""
+        shape = (1, 48, 96)
+        y, x = np.meshgrid(np.arange(48), np.arange(96), indexing="ij")
+        img2 = 200.0 * np.exp(-((y - 24) ** 2) / (2 * 2.5**2)) + rng.normal(0, 4, (48, 96))
+        vol = np.clip(img2, 0, 255).astype(np.uint8)[None]
+        model = TubeZnccModel((2.0, 3.0), is2d=True)
+        maps = build_tube_maps(jnp.asarray(vol), model)
+        fn = make_tube_zncc_fn(model)
+        pos = jnp.asarray([[48.0, 24.0, 0.0], [48.0, 8.0, 0.0]], jnp.float32)
+        dirs = jnp.asarray([[1.0, 0, 0], [1.0, 0, 0]], jnp.float32)
+        corr, sig = fn(maps, pos, dirs)
+        assert float(corr[0]) > 0.5  # on the 2-D ridge, aligned
+        assert float(corr[0]) > float(corr[1]) + 0.2  # background lower
+        assert np.isfinite(np.asarray(corr)).all()
