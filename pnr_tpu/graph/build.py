@@ -104,15 +104,25 @@ class TraceCommitter:
             self.npervol[qz, qy, qx] += 1
             self.nidx[qz, qy, qx] = nid
 
-    def commit_trace(self, pos, dirs, sig, corr, valid) -> int:
-        """Replay one trace's estimates; returns the number of nodes added."""
+    # -- incremental commit API ------------------------------------------
+    # A trace's estimates may arrive in stages (pnr_tpu.smc staged waves);
+    # the cursor replays them with identical semantics to a monolithic
+    # replay. Correctness note: the caller MUST fully finish a trace
+    # before starting the next one (the chain-linking below assumes this
+    # trace's nodes are the most recently appended).
+
+    def begin_trace(self) -> dict:
+        return {"i": 0, "count": 0, "finished": False, "ti_limit": None}
+
+    def commit_steps(self, cur: dict, pos, dirs, sig, corr, valid, upto: int) -> dict:
+        """Replay estimates cur['i']..upto-1 (stopping early on any stop
+        condition); mutates and returns the cursor."""
         nodes = self.nodes
-        ni = len(valid)
-        count = 0
-        ti_limit = ni
-        for i in range(ni):
+        while cur["i"] < upto and not cur["finished"]:
+            i = cur["i"]
             if not valid[i]:
-                ti_limit = i
+                cur["finished"] = True
+                cur["ti_limit"] = i
                 break
             x, y, z = pos[i]
             zi = _round_half_away(float(z))
@@ -122,12 +132,14 @@ class TraceCommitter:
             if self.smap is not None and self.smap[zi, yi, xi] > 0:
                 if i > 0:
                     nodes.link(int(self.smap[zi, yi, xi]), len(nodes) - 1)
-                ti_limit = i
+                cur["finished"] = True
+                cur["ti_limit"] = i
                 break
             if self.npervol[zi, yi, xi] >= self.nodepervol:
                 if i > 0:
                     nodes.link(int(self.nidx[zi, yi, xi]), len(nodes) - 1)
-                ti_limit = i
+                cur["finished"] = True
+                cur["ti_limit"] = i
                 break
 
             nid = nodes.add(
@@ -138,8 +150,20 @@ class TraceCommitter:
             self._stamp(zi, yi, xi, nid)
             if i > 0:
                 nodes.link(nid, nid - 1)
-            count += 1
+            cur["count"] += 1
+            cur["i"] = i + 1
+        return cur
 
-        if ti_limit > 1 and count > 0:
-            nodes.type[len(nodes) - 1] = END
-        return count
+    def finish_trace(self, cur: dict) -> int:
+        """Apply the END tag (tracker.cpp:930-931); returns nodes added."""
+        ti_limit = cur["ti_limit"] if cur["ti_limit"] is not None else cur["i"]
+        if ti_limit > 1 and cur["count"] > 0:
+            self.nodes.type[len(self.nodes) - 1] = END
+        cur["finished"] = True
+        return cur["count"]
+
+    def commit_trace(self, pos, dirs, sig, corr, valid) -> int:
+        """Replay one complete trace; returns the number of nodes added."""
+        cur = self.begin_trace()
+        self.commit_steps(cur, pos, dirs, sig, corr, valid, len(valid))
+        return self.finish_trace(cur)

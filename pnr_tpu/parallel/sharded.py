@@ -107,7 +107,18 @@ def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     tracker = BatchedTracker(cfg, is2d=False)
-    trace_fn = tracker._trace_wave  # jittable (img, seed_pos, seed_dir, keys)
+
+    def trace_fn(img, sp, sd, keys):
+        # monolithic full-ni trace (init + one stage), jit-inlined
+        carry, est0 = tracker._trace_init(img, sp, sd, keys)
+        _, ests = tracker._trace_stage(
+            img, keys, carry, jnp.arange(1, cfg.ni),
+            jnp.zeros(sp.shape[0], jnp.bool_),
+        )
+        return tuple(
+            jnp.concatenate([e0[:, None] if e0.ndim == 1 else e0[:, None, :], es], axis=1)
+            for e0, es in zip(est0, ests)
+        )
     per_shard = max(1, wave // n_dev)
 
     def local_candidates(j8_local):

@@ -122,6 +122,132 @@ def _score_seeds(
     return corrs
 
 
+def _trace_and_commit_wave(
+    tracker, committer, field, seed_pos, seed_dirs, seed_global_idx, base_key, cfg, trace_count
+):
+    """Trace one wave of seeds with staged device execution and an
+    in-order incremental commit wavefront.
+
+    The reference traces sequentially and stops each trace the moment it
+    hits the density/soma maps (tracker.cpp:843-919) — it never computes
+    past a stop. The lockstep wave must reproduce that economy: estimates
+    are committed in seed order between stages, and a trace whose commit
+    stopped feeds a kill mask back into the next stage so it costs no
+    further device compute. PRNG streams key on (seed id, direction,
+    absolute iteration), so results are independent of staging.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ni = cfg.ni
+    nb = len(seed_pos)
+    t_real = 2 * nb
+    # interleave [pos_0, neg_0, pos_1, neg_1, ...] = the reference's
+    # commit order (trackPos then trackNeg per seed, Advantra_plugin.cpp:2683-2693)
+    sp = np.repeat(np.asarray(seed_pos, np.float32), 2, axis=0)
+    sd = np.empty_like(sp)
+    sd[0::2] = seed_dirs
+    sd[1::2] = -np.asarray(seed_dirs)
+    ids = np.empty(t_real, np.int64)
+    ids[0::2] = 2 * np.asarray(seed_global_idx)
+    ids[1::2] = 2 * np.asarray(seed_global_idx) + 1
+
+    chunk = tracker.TRACE_CHUNK
+    tpad = chunk if t_real <= chunk else -(-t_real // chunk) * chunk
+    if t_real < tpad:
+        padn = tpad - t_real
+        sp = np.concatenate([sp, np.tile(sp[:1], (padn, 1))])
+        sd = np.concatenate([sd, np.tile(sd[:1], (padn, 1))])
+        ids = np.concatenate([ids, np.zeros(padn, np.int64)])
+
+    stage = tracker.STAGE_ITERS
+    cursors = [committer.begin_trace() for _ in range(t_real)]
+    killed = np.zeros(tpad, bool)
+    seed_started = [False] * nb
+    seed_suppressed = [False] * nb
+    commit_ptr = 0
+
+    # per-chunk device state
+    nchunks = tpad // chunk
+    keys_all = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+        jnp.asarray(ids, jnp.uint32)
+    )
+    carries = []
+    est_pos = np.zeros((tpad, ni, 3), np.float32)
+    est_dir = np.zeros((tpad, ni, 3), np.float32)
+    est_sig = np.zeros((tpad, ni), np.float32)
+    est_corr = np.zeros((tpad, ni), np.float32)
+    est_valid = np.zeros((tpad, ni), bool)
+    for c in range(nchunks):
+        slc = slice(c * chunk, (c + 1) * chunk)
+        carry, est0 = tracker._trace_init(
+            field, jnp.asarray(sp[slc]), jnp.asarray(sd[slc]), keys_all[slc]
+        )
+        carries.append(carry)
+        est_pos[slc, 0] = np.asarray(est0[0])
+        est_dir[slc, 0] = np.asarray(est0[1])
+        est_sig[slc, 0] = np.asarray(est0[2])
+        est_corr[slc, 0] = np.asarray(est0[3])
+        est_valid[slc, 0] = np.asarray(est0[4])
+    it_done = 1
+
+    def advance_commits(avail: int) -> int:
+        nonlocal commit_ptr, trace_count
+        while commit_ptr < t_real:
+            k = commit_ptr
+            si = k // 2
+            if k % 2 == 0 and not seed_started[si]:
+                # the trace cap stops STARTING seeds; a started seed still
+                # finishes both directions (Advantra_plugin.cpp:2702 breaks
+                # after trackPos+trackNeg complete)
+                if trace_count > cfg.max_trace_count:
+                    break
+                seed_started[si] = True
+                if not committer.seed_allowed(seed_pos[si]):
+                    seed_suppressed[si] = True
+                    killed[k] = killed[k + 1] = True
+                    cursors[k]["finished"] = cursors[k + 1]["finished"] = True
+                    commit_ptr += 2
+                    continue
+                trace_count += 1
+            if seed_suppressed[si]:
+                commit_ptr += 1
+                continue
+            cur = cursors[k]
+            committer.commit_steps(
+                cur, est_pos[k], est_dir[k], est_sig[k], est_corr[k], est_valid[k], avail
+            )
+            if cur["finished"] or cur["i"] >= ni:
+                committer.finish_trace(cur)
+                killed[k] = True
+                commit_ptr += 1
+            else:
+                break  # needs more stages
+        return commit_ptr
+
+    while True:
+        advance_commits(it_done)
+        if commit_ptr >= t_real or it_done >= ni or trace_count > cfg.max_trace_count:
+            break
+        n_it = min(stage, ni - it_done)
+        iter_idx = jnp.arange(it_done, it_done + stage)
+        for c in range(nchunks):
+            slc = slice(c * chunk, (c + 1) * chunk)
+            carry, ests = tracker._trace_stage(
+                field, keys_all[slc], carries[c], iter_idx, jnp.asarray(killed[slc])
+            )
+            carries[c] = carry
+            est_pos[slc, it_done : it_done + n_it] = np.asarray(ests[0])[:, :n_it]
+            est_dir[slc, it_done : it_done + n_it] = np.asarray(ests[1])[:, :n_it]
+            est_sig[slc, it_done : it_done + n_it] = np.asarray(ests[2])[:, :n_it]
+            est_corr[slc, it_done : it_done + n_it] = np.asarray(ests[3])[:, :n_it]
+            est_valid[slc, it_done : it_done + n_it] = np.asarray(ests[4])[:, :n_it]
+        it_done += n_it
+
+    advance_commits(it_done)
+    return trace_count
+
+
 def reconstruction_func(
     vol: np.ndarray,
     cfg: PNRConfig,
@@ -247,32 +373,10 @@ def reconstruction_func(
             idx += 1
         if not batch:
             break
-        bsz = len(batch)
         sel = np.asarray(batch)
-        # each seed traces both directions: 2*wave traces in lockstep
-        sp = np.concatenate([pos[sel], pos[sel]], axis=0)
-        sd = np.concatenate([dirs[sel], -dirs[sel]], axis=0)
-        if bsz < wave:  # pad for compile-cache stability
-            padn = wave - bsz
-            sp = np.concatenate([sp, np.tile(sp[:1], (2 * padn, 1))], axis=0)
-            sd = np.concatenate([sd, np.tile(sd[:1], (2 * padn, 1))], axis=0)
-        trace_ids = np.concatenate([2 * sel, 2 * sel + 1, np.zeros(2 * (wave - bsz), np.int64)])
-        res = tracker.trace_wave(field, sp, sd, key, trace_ids)
-
-        # sequential commit in seed order: exact reference semantics
-        for bi, si in enumerate(batch):
-            if not committer.seed_allowed(pos[si]):
-                continue
-            trace_count += 1
-            committer.commit_trace(
-                res.pos[bi], res.dir[bi], res.sig[bi], res.corr[bi], res.valid[bi]
-            )
-            nb = bsz + bi  # negative-direction twin
-            committer.commit_trace(
-                res.pos[nb], res.dir[nb], res.sig[nb], res.corr[nb], res.valid[nb]
-            )
-            if trace_count > cfg.max_trace_count:
-                break
+        trace_count = _trace_and_commit_wave(
+            tracker, committer, field, pos[sel], dirs[sel], sel, key, cfg, trace_count
+        )
         waves_done += 1
         if checkpoint_path and waves_done % max(1, checkpoint_every_waves) == 0:
             from pnr_tpu.pipeline.checkpoint import save_checkpoint

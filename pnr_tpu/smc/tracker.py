@@ -102,7 +102,9 @@ class BatchedTracker:
         self._w = jnp.asarray(t.w)
         self._w_cws = jnp.asarray(t.w_cws)
 
-        self._trace_wave = jax.jit(self._build_trace_wave())
+        init_fn, stage_fn = self._build_trace_wave()
+        self._trace_init = jax.jit(init_fn)
+        self._trace_stage = jax.jit(stage_fn)
 
     def prepare_field(self, img):
         """Build the likelihood field for a volume: the volume itself in
@@ -156,20 +158,24 @@ class BatchedTracker:
             corr, sig = zncc(img, pos.reshape(t * p, 3), dirs.reshape(t * p, 3))
             return corr.reshape(t, p), sig.reshape(t, p)
 
-        def trace_wave(img, seed_pos, seed_dir, keys):
-            # seed_pos/seed_dir (T, 3); keys (T,) PRNG keys
-            # `img` is the likelihood field: the raw volume (exact mode)
-            # or the precomputed map stack (tube mode)
-            shape_zyx = (
+        def _shape_of(img):
+            return (
                 (img.shape[1], img.shape[2], img.shape[3] // 3)
                 if field_is_maps
                 else img.shape
             )
-            t = seed_pos.shape[0]
 
-            def uniforms(step, shape):
-                ks = jax.vmap(lambda k: jax.random.fold_in(k, step))(keys)
-                return jax.vmap(lambda k: jax.random.uniform(k, shape[1:]))(ks)
+        def _uniforms(keys, step, shape):
+            ks = jax.vmap(lambda k: jax.random.fold_in(k, step))(keys)
+            return jax.vmap(lambda k: jax.random.uniform(k, shape[1:]))(ks)
+
+        def trace_init(img, seed_pos, seed_dir, keys):
+            # seed_pos/seed_dir (T, 3); keys (T,) PRNG keys
+            # `img` is the likelihood field: the raw volume (exact mode)
+            # or the precomputed map stack (tube mode)
+            shape_zyx = _shape_of(img)
+            t = seed_pos.shape[0]
+            uniforms = lambda step, shape: _uniforms(keys, step, shape)
 
             # ---- iteration 0 (iter0New, tracker.cpp:1001-1094) ----
             u0 = uniforms(0, (t,))  # (T,)
@@ -209,12 +215,23 @@ class BatchedTracker:
             res_idx = jnp.clip(ridx, 0, npart - 1)
 
             est0 = (cpos, cdir, csig, ccorr, ok0)
+            carry0 = (pos, dirs, wgt, resampled, res_idx, ok0)
+            return carry0, est0
 
-            # ---- iterations 1..ni-1 (iterINew, tracker.cpp:1096-1198) ----
+        def trace_stage(img, keys, carry, iter_idx, kill):
+            # ---- iterations iter_idx[0]..iter_idx[-1] (iterINew,
+            # tracker.cpp:1096-1198); PRNG streams key on the ABSOLUTE
+            # iteration, so staging never changes results. `kill` (T,)
+            # retires traces whose committed prefix already stopped
+            # (soma/density) so they cost no further compute ----
+            shape_zyx = _shape_of(img)
+            t = carry[0].shape[0]
+            carry = carry[:5] + (carry[5] & ~kill,)
+
             def body(carry, i):
                 pos, dirs, wgt, resampled, res_idx, alive = carry
-                u1 = uniforms(2 * i, (t, npart))
-                res_u = uniforms(2 * i + 1, (t,))
+                u1 = _uniforms(keys, 2 * i, (t, npart))
+                res_u = _uniforms(keys, 2 * i + 1, (t,))
 
                 k1 = jnp.where(resampled[:, None], res_idx, jnp.arange(npart)[None, :])
                 gather_idx = (jnp.arange(t)[:, None] * npart + k1).reshape(-1)
@@ -266,24 +283,21 @@ class BatchedTracker:
                 carry_new = (new_pos, new_dir, wnew, resampled_new, res_idx_new, alive_new)
                 return carry_new, (cpos, cdir, csig, ccorr, alive_new)
 
-            carry0 = (pos, dirs, wgt, resampled, res_idx, ok0)
-            _, ests = jax.lax.scan(body, carry0, jnp.arange(1, ni))
+            carry, ests = jax.lax.scan(body, carry, iter_idx)
+            # scan stacks along axis 0 (iterations); move to (T, STAGE, ...)
+            ests = tuple(jnp.moveaxis(e, 0, 1) for e in ests)
+            return carry, ests
 
-            # scan stacks along axis 0 (iterations); move to (T, ni, ...)
-            all_pos = jnp.concatenate([est0[0][:, None], jnp.moveaxis(ests[0], 0, 1)], axis=1)
-            all_dir = jnp.concatenate([est0[1][:, None], jnp.moveaxis(ests[1], 0, 1)], axis=1)
-            all_sig = jnp.concatenate([est0[2][:, None], jnp.moveaxis(ests[2], 0, 1)], axis=1)
-            all_corr = jnp.concatenate([est0[3][:, None], jnp.moveaxis(ests[3], 0, 1)], axis=1)
-            all_valid = jnp.concatenate([est0[4][:, None], jnp.moveaxis(ests[4], 0, 1)], axis=1)
-            return all_pos, all_dir, all_sig, all_corr, all_valid
-
-        return trace_wave
+        return trace_init, trace_stage
 
     #: Fixed device batch: every trace_wave launch runs at this T so only
     #: one shape ever compiles. XLA:TPU compile time/stability for the
     #: tracer graph is erratically shape-dependent (T=256 on large
     #: volumes crashed the remote worker; T=128 is validated).
     TRACE_CHUNK = 128
+    #: Iterations per staged device call; between stages the (tiny) alive
+    #: mask is fetched and an all-dead chunk stops early.
+    STAGE_ITERS = 16
 
     # ------------------------------------------------------------------
     def trace_wave(
@@ -301,11 +315,13 @@ class BatchedTracker:
         chunking to TRACE_CHUNK never changes a trace's PRNG key).
         """
         t = len(seed_pos)
+        ni = self.cfg.ni
         # pad small batches to the next power of two (bounded shape set),
         # large ones chunk at TRACE_CHUNK
         chunk = self.TRACE_CHUNK
         if t < chunk:
             chunk = 1 << max(0, (t - 1).bit_length())
+        stage = self.STAGE_ITERS
         outs = []
         for beg in range(0, t, chunk):
             end = min(beg + chunk, t)
@@ -320,19 +336,36 @@ class BatchedTracker:
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
                 jnp.asarray(ids, jnp.uint32)
             )
-            pos, dirs, sig, corr, valid = self._trace_wave(
-                img, jnp.asarray(sp), jnp.asarray(sd), keys
-            )
-            n = end - beg
-            outs.append(
-                (
-                    np.asarray(pos)[:n],
-                    np.asarray(dirs)[:n],
-                    np.asarray(sig)[:n],
-                    np.asarray(corr)[:n],
-                    np.asarray(valid)[:n],
+            # Staged execution with early exit: most traces die long
+            # before ni iterations (corr < znccth / out of bounds), so
+            # run STAGE_ITERS at a time and stop the chunk when every
+            # trace is dead. PRNG keys on absolute iteration indices, so
+            # results are identical to a monolithic run.
+            carry, est0 = self._trace_init(img, jnp.asarray(sp), jnp.asarray(sd), keys)
+            blocks = [tuple(np.asarray(e)[:, None] if e.ndim == 1 else np.asarray(e)[:, None, :] for e in est0)]
+            it = 1
+            while it < ni:
+                n_it = min(stage, ni - it)
+                carry, ests = self._trace_stage(
+                    img, keys, carry, jnp.arange(it, it + stage),
+                    jnp.zeros(chunk, jnp.bool_),
                 )
-            )
+                blocks.append(tuple(np.asarray(e)[:, :n_it] for e in ests))
+                it += n_it
+                if not np.asarray(carry[5]).any():
+                    break
+
+            n = end - beg
+            done = sum(b[0].shape[1] for b in blocks)
+            cat = [np.concatenate([b[k] for b in blocks], axis=1)[:n] for k in range(5)]
+            if done < ni:  # keep the (T, ni) contract; the tail is invalid
+                padw = ni - done
+                cat[0] = np.pad(cat[0], ((0, 0), (0, padw), (0, 0)))
+                cat[1] = np.pad(cat[1], ((0, 0), (0, padw), (0, 0)))
+                cat[2] = np.pad(cat[2], ((0, 0), (0, padw)))
+                cat[3] = np.pad(cat[3], ((0, 0), (0, padw)))
+                cat[4] = np.pad(cat[4], ((0, 0), (0, padw)))
+            outs.append(tuple(cat))
         return TraceResult(
             pos=np.concatenate([o[0] for o in outs]),
             dir=np.concatenate([o[1] for o in outs]),
