@@ -136,9 +136,6 @@ def _trace_and_commit_wave(
     further device compute. PRNG streams key on (seed id, direction,
     absolute iteration), so results are independent of staging.
     """
-    import jax
-    import jax.numpy as jnp
-
     ni = cfg.ni
     nb = len(seed_pos)
     t_real = 2 * nb
@@ -163,6 +160,7 @@ def _trace_and_commit_wave(
     stage = tracker.STAGE_ITERS
     cursors = [committer.begin_trace() for _ in range(t_real)]
     killed = np.zeros(tpad, bool)
+    killed[t_real:] = True  # pad lanes never commit; let their chunk retire
     seed_started = [False] * nb
     seed_suppressed = [False] * nb
     commit_ptr = 0
@@ -191,7 +189,9 @@ def _trace_and_commit_wave(
         est_valid[slc, 0] = np.asarray(est0[4])
     it_done = 1
 
-    def advance_commits(avail: int) -> int:
+    def advance_commits(avail: int) -> bool:
+        """Advance the in-order commit wavefront; True when the trace cap
+        blocks starting the next seed (everything before it is finished)."""
         nonlocal commit_ptr, trace_count
         while commit_ptr < t_real:
             k = commit_ptr
@@ -201,7 +201,7 @@ def _trace_and_commit_wave(
                 # finishes both directions (Advantra_plugin.cpp:2702 breaks
                 # after trackPos+trackNeg complete)
                 if trace_count > cfg.max_trace_count:
-                    break
+                    return True
                 seed_started[si] = True
                 if not committer.seed_allowed(seed_pos[si]):
                     seed_suppressed[si] = True
@@ -210,9 +210,6 @@ def _trace_and_commit_wave(
                     commit_ptr += 2
                     continue
                 trace_count += 1
-            if seed_suppressed[si]:
-                commit_ptr += 1
-                continue
             cur = cursors[k]
             committer.commit_steps(
                 cur, est_pos[k], est_dir[k], est_sig[k], est_corr[k], est_valid[k], avail
@@ -226,13 +223,15 @@ def _trace_and_commit_wave(
         return commit_ptr
 
     while True:
-        advance_commits(it_done)
-        if commit_ptr >= t_real or it_done >= ni or trace_count > cfg.max_trace_count:
+        capped = advance_commits(it_done)
+        if commit_ptr >= t_real or it_done >= ni or capped:
             break
         n_it = min(stage, ni - it_done)
         iter_idx = jnp.arange(it_done, it_done + stage)
         for c in range(nchunks):
             slc = slice(c * chunk, (c + 1) * chunk)
+            if killed[slc].all():
+                continue  # whole chunk retired: no device work left
             carry, ests = tracker._trace_stage(
                 field, keys_all[slc], carries[c], iter_idx, jnp.asarray(killed[slc])
             )

@@ -352,8 +352,8 @@ class BatchedTracker:
                 )
                 blocks.append(tuple(np.asarray(e)[:, :n_it] for e in ests))
                 it += n_it
-                if not np.asarray(carry[5]).any():
-                    break
+                if not np.asarray(carry[5])[: end - beg].any():
+                    break  # real lanes only: pad lanes must not keep the loop alive
 
             n = end - beg
             done = sum(b[0].shape[1] for b in blocks)
