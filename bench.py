@@ -140,9 +140,9 @@ def bench_tracer(vol):
     ).astype(np.float32)
     sd = np.tile(np.array([[1.0, 0, 0]], np.float32), (t_traces, 1))
     ids = np.arange(t_traces)
-    tracker.trace_wave(field, sp, sd, jax.random.key(0), ids)  # compile
+    tracker.trace_wave(field, sp, sd, jax.random.key(0), ids, staged=False)  # compile
     t0 = time.perf_counter()
-    res = tracker.trace_wave(field, sp, sd, jax.random.key(1), ids)
+    res = tracker.trace_wave(field, sp, sd, jax.random.key(1), ids, staged=False)
     dt = time.perf_counter() - t0  # TraceResult fetches -> real barrier
     updates = t_traces * cfg.np * cfg.ni
     return updates / dt
@@ -172,20 +172,31 @@ def bench_quality():
 
 
 def main():
+    t_start = time.perf_counter()
     vol = make_volume(SHAPE)
     tpu_mvox = bench_tpu(vol)
     base_mvox = bench_numpy_oracle(make_volume(BASE_SHAPE))
     extras = {}
-    try:
-        extras["particle_updates_per_s"] = round(bench_tracer(make_volume((64, 256, 256))))
-    except Exception as e:  # never fail the headline metric
-        extras["particle_updates_per_s_error"] = str(e)[:120]
-    try:
-        q = bench_quality()
-        if q:
-            extras["phantom_swc"] = q
-    except Exception as e:
-        extras["phantom_swc_error"] = str(e)[:120]
+
+    # Extras run only while there is budget left: the one-time D2H init of
+    # this runtime varies 45-370 s, and the headline metric must always land.
+    def budget_left():
+        return time.perf_counter() - t_start < 330.0
+
+    if budget_left():
+        try:
+            extras["particle_updates_per_s"] = round(
+                bench_tracer(make_volume((64, 256, 256)))
+            )
+        except Exception as e:  # never fail the headline metric
+            extras["particle_updates_per_s_error"] = str(e)[:120]
+    if budget_left():
+        try:
+            q = bench_quality()
+            if q:
+                extras["phantom_swc"] = q
+        except Exception as e:
+            extras["phantom_swc_error"] = str(e)[:120]
     print(
         json.dumps(
             {

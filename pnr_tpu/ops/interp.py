@@ -80,65 +80,6 @@ def trilinear(vol: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.A
     return out.reshape(out_shape)
 
 
-def trilinear_multi(vol_xc: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array, c: int) -> jax.Array:
-    """Trilinear sampling of an X-interleaved (Z, Y, X*C) multi-map volume.
-
-    Channels interleave along X ([x0c0, x0c1, ..., x1c0, ...]) so one
-    gather of a contiguous (1, 2*C) slice fetches both x-corners of all
-    C channels (used by the tube ZNCC for its three maps per sigma).
-    A trailing channel axis would instead be lane-tiled to 128 and
-    blow up memory 42x. Returns (..., C) float32 with the same
-    clamping as `trilinear`.
-    """
-    l, h, wc = vol_xc.shape
-    w = wc // c
-    v2 = vol_xc.reshape(l * h, wc).astype(jnp.float32)
-
-    x, y, z = jnp.broadcast_arrays(x, y, z)
-    out_shape = x.shape
-    x = x.reshape(-1)
-    y = y.reshape(-1)
-    z = z.reshape(-1)
-
-    xc = jnp.clip(x, 0.0, w - 1.001)
-    x1 = jnp.floor(xc).astype(jnp.int32)
-    xf = (xc - x1)[:, None]
-    yc = jnp.clip(y, 0.0, h - 1.001)
-    y1 = jnp.floor(yc).astype(jnp.int32)
-    yf = (yc - y1)[:, None]
-
-    dn = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
-    )
-
-    def pair(row, col):
-        idx = jnp.stack([row, col * c], axis=-1)
-        g = lax.gather(v2, idx, dn, slice_sizes=(1, 2 * c), mode="clip")
-        g = g[:, 0, :].reshape(-1, 2, c)
-        return g[:, 0, :], g[:, 1, :]  # (N, C) x 2 corners
-
-    if l == 1:  # bilinear: z ignored (reference interp semantics)
-        a00, a01 = pair(y1, x1)
-        a10, a11 = pair(y1 + 1, x1)
-        out = (1 - yf) * ((1 - xf) * a00 + xf * a01) + yf * ((1 - xf) * a10 + xf * a11)
-        return out.reshape(out_shape + (c,))
-
-    zc = jnp.clip(z, 0.0, l - 1.001)
-    z1 = jnp.floor(zc).astype(jnp.int32)
-    zf = (zc - z1)[:, None]
-
-    row11 = z1 * h + y1
-    a000, a001 = pair(row11, x1)
-    a010, a011 = pair(row11 + 1, x1)
-    a100, a101 = pair(row11 + h, x1)
-    a110, a111 = pair(row11 + h + 1, x1)
-
-    p1 = (1 - yf) * ((1 - xf) * a000 + xf * a001) + yf * ((1 - xf) * a010 + xf * a011)
-    p2 = (1 - yf) * ((1 - xf) * a100 + xf * a101) + yf * ((1 - xf) * a110 + xf * a111)
-    out = (1 - zf) * p1 + zf * p2
-    return out.reshape(out_shape + (c,))
-
-
 def interpz(vol: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
     """Interpolate along z only at integer (x, y) (Frangi::interpz,
     pnr-vaa3d/frangi.cpp:1201-1228)."""

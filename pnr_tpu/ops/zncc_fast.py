@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pnr_tpu.ops.gaussian import conv1d_along_axis
-from pnr_tpu.ops.interp import trilinear_multi
+from pnr_tpu.ops.interp import trilinear
 from pnr_tpu.ops.zncc import _frac_range
 
 _FLT_MIN = 1.175494e-38
@@ -108,13 +108,13 @@ def _box_filter(vol: jax.Array, half: int, is2d: bool) -> jax.Array:
 
 
 def build_tube_maps(img: jax.Array, model: TubeZnccModel) -> jax.Array:
-    """Precompute the (S, Z, Y, X*3) X-interleaved map stack for a uint8 volume.
+    """Precompute the (3*S, Z, Y, X) planar map stack for a uint8 volume.
 
     Dense separable convolutions — the once-per-volume cost that buys
-    ~100x fewer gathers per tracker query. The three maps of each sigma
-    interleave along X so one contiguous gather per trilinear corner
-    fetches all of them (see ops.interp.trilinear_multi; a trailing
-    channel axis would be lane-tiled to 128 and waste 42x memory).
+    ~100x fewer gathers per tracker query. Maps are PLANAR: measured on
+    TPU, three (1,2)-pair gathers beat one interleaved (1,6)-slice
+    gather 7x, and a trailing channel axis would be lane-tiled to 128
+    and waste 42x memory.
     """
     f = img.astype(jnp.float32)
     f2 = f * f
@@ -128,17 +128,8 @@ def build_tube_maps(img: jax.Array, model: TubeZnccModel) -> jax.Array:
         bh = model.box_half[i]
         m2 = _box_filter(f, bh, model.is2d)
         m3 = _box_filter(f2, bh, model.is2d)
-        zz, yy, xx = m1.shape
-        # strided writes, NOT stack(axis=-1).reshape: a (Z, Y, X, 3)
-        # intermediate lane-tiles the size-3 axis to 128 (42x memory)
-        interleaved = (
-            jnp.zeros((zz, yy, xx * 3), jnp.float32)
-            .at[:, :, 0::3].set(m1)
-            .at[:, :, 1::3].set(m2)
-            .at[:, :, 2::3].set(m3)
-        )
-        per_sig.append(interleaved)  # (Z, Y, X*3), X-interleaved
-    return jnp.stack(per_sig)  # (S, Z, Y, X*3)
+        per_sig += [m1, m2, m3]
+    return jnp.stack(per_sig)  # (3S, Z, Y, X)
 
 
 def make_tube_zncc_fn(model: TubeZnccModel):
@@ -162,10 +153,9 @@ def make_tube_zncc_fn(model: TubeZnccModel):
             x = pts[..., 0]
             y = pts[..., 1]
             z = pts[..., 2]
-            m = trilinear_multi(maps[si], x, y, z, 3).sum(axis=1)  # (B, 3)
-            s1 = m[:, 0] * a1[si]
-            s2 = m[:, 1] * a2[si]
-            s3 = m[:, 2] * a2[si]
+            s1 = trilinear(maps[3 * si], x, y, z).sum(axis=1) * a1[si]
+            s2 = trilinear(maps[3 * si + 1], x, y, z).sum(axis=1) * a2[si]
+            s3 = trilinear(maps[3 * si + 2], x, y, z).sum(axis=1) * a2[si]
 
             corra = s1 - gbar[si] * s2
             corrb = jnp.maximum(s3 - (s2 * s2) / ntot[si], 0.0)

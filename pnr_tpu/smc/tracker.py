@@ -159,11 +159,8 @@ class BatchedTracker:
             return corr.reshape(t, p), sig.reshape(t, p)
 
         def _shape_of(img):
-            return (
-                (img.shape[1], img.shape[2], img.shape[3] // 3)
-                if field_is_maps
-                else img.shape
-            )
+            # tube-mode field is the planar (3S, Z, Y, X) map stack
+            return tuple(img.shape[1:4]) if field_is_maps else img.shape
 
         def _uniforms(keys, step, shape):
             ks = jax.vmap(lambda k: jax.random.fold_in(k, step))(keys)
@@ -307,6 +304,7 @@ class BatchedTracker:
         seed_dir: np.ndarray,
         base_key: jax.Array,
         trace_ids: np.ndarray,
+        staged: bool = True,
     ) -> TraceResult:
         """Trace a wave of seeds in lockstep; returns host-side estimates.
 
@@ -340,19 +338,22 @@ class BatchedTracker:
             # before ni iterations (corr < znccth / out of bounds), so
             # run STAGE_ITERS at a time and stop the chunk when every
             # trace is dead. PRNG keys on absolute iteration indices, so
-            # results are identical to a monolithic run.
+            # results are identical to a monolithic run. On runtimes with
+            # high per-launch latency, staged=False runs each chunk in
+            # two launches instead (no early exit).
             carry, est0 = self._trace_init(img, jnp.asarray(sp), jnp.asarray(sd), keys)
             blocks = [tuple(np.asarray(e)[:, None] if e.ndim == 1 else np.asarray(e)[:, None, :] for e in est0)]
             it = 1
+            step = stage if staged else max(1, ni - 1)
             while it < ni:
-                n_it = min(stage, ni - it)
+                n_it = min(step, ni - it)
                 carry, ests = self._trace_stage(
-                    img, keys, carry, jnp.arange(it, it + stage),
+                    img, keys, carry, jnp.arange(it, it + step),
                     jnp.zeros(chunk, jnp.bool_),
                 )
                 blocks.append(tuple(np.asarray(e)[:, :n_it] for e in ests))
                 it += n_it
-                if not np.asarray(carry[5])[: end - beg].any():
+                if staged and not np.asarray(carry[5])[: end - beg].any():
                     break  # real lanes only: pad lanes must not keep the loop alive
 
             n = end - beg
