@@ -109,15 +109,20 @@ def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
     tracker = BatchedTracker(cfg, is2d=False)
 
     def trace_fn(img, sp, sd, keys):
-        # monolithic full-ni trace (init + one stage), jit-inlined
+        # monolithic full-ni trace (init + one stage), jit-inlined;
+        # unpack the (T, ni, 9) estimate buffer into the 5-tuple contract
         carry, est0 = tracker._trace_init(img, sp, sd, keys)
-        _, ests = tracker._trace_stage(
+        _, packed = tracker._trace_stage(
             img, keys, carry, jnp.arange(1, cfg.ni),
             jnp.zeros(sp.shape[0], jnp.bool_),
         )
-        return tuple(
-            jnp.concatenate([e0[:, None] if e0.ndim == 1 else e0[:, None, :], es], axis=1)
-            for e0, es in zip(est0, ests)
+        all_est = jnp.concatenate([est0[:, None, :], packed], axis=1)
+        return (
+            all_est[:, :, 0:3],
+            all_est[:, :, 3:6],
+            all_est[:, :, 6],
+            all_est[:, :, 7],
+            all_est[:, :, 8] > 0.5,
         )
     per_shard = max(1, wave // n_dev)
 

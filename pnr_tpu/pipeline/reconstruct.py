@@ -171,22 +171,20 @@ def _trace_and_commit_wave(
         jnp.asarray(ids, jnp.uint32)
     )
     carries = []
-    est_pos = np.zeros((tpad, ni, 3), np.float32)
-    est_dir = np.zeros((tpad, ni, 3), np.float32)
-    est_sig = np.zeros((tpad, ni), np.float32)
-    est_corr = np.zeros((tpad, ni), np.float32)
-    est_valid = np.zeros((tpad, ni), bool)
+    # packed estimate buffer: [..., 0:3]=pos, 3:6=dir, 6=sig, 7=corr, 8=valid
+    est = np.zeros((tpad, ni, 9), np.float32)
     for c in range(nchunks):
         slc = slice(c * chunk, (c + 1) * chunk)
         carry, est0 = tracker._trace_init(
             field, jnp.asarray(sp[slc]), jnp.asarray(sd[slc]), keys_all[slc]
         )
         carries.append(carry)
-        est_pos[slc, 0] = np.asarray(est0[0])
-        est_dir[slc, 0] = np.asarray(est0[1])
-        est_sig[slc, 0] = np.asarray(est0[2])
-        est_corr[slc, 0] = np.asarray(est0[3])
-        est_valid[slc, 0] = np.asarray(est0[4])
+        est[slc, 0] = np.asarray(est0)
+    est_pos = est[:, :, 0:3]
+    est_dir = est[:, :, 3:6]
+    est_sig = est[:, :, 6]
+    est_corr = est[:, :, 7]
+    est_valid = est[:, :, 8]  # float 0/1; truthiness works in commit_steps
     it_done = 1
 
     def advance_commits(avail: int) -> bool:
@@ -232,15 +230,11 @@ def _trace_and_commit_wave(
             slc = slice(c * chunk, (c + 1) * chunk)
             if killed[slc].all():
                 continue  # whole chunk retired: no device work left
-            carry, ests = tracker._trace_stage(
+            carry, packed = tracker._trace_stage(
                 field, keys_all[slc], carries[c], iter_idx, jnp.asarray(killed[slc])
             )
             carries[c] = carry
-            est_pos[slc, it_done : it_done + n_it] = np.asarray(ests[0])[:, :n_it]
-            est_dir[slc, it_done : it_done + n_it] = np.asarray(ests[1])[:, :n_it]
-            est_sig[slc, it_done : it_done + n_it] = np.asarray(ests[2])[:, :n_it]
-            est_corr[slc, it_done : it_done + n_it] = np.asarray(ests[3])[:, :n_it]
-            est_valid[slc, it_done : it_done + n_it] = np.asarray(ests[4])[:, :n_it]
+            est[slc, it_done : it_done + n_it] = np.asarray(packed)[:, :n_it]
         it_done += n_it
 
     advance_commits(it_done)

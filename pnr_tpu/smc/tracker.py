@@ -211,7 +211,12 @@ class BatchedTracker:
             )
             res_idx = jnp.clip(ridx, 0, npart - 1)
 
-            est0 = (cpos, cdir, csig, ccorr, ok0)
+            # pack the estimate into one array: each device->host fetch is
+            # a full RPC round-trip on remote runtimes, so ship one buffer
+            est0 = jnp.concatenate(
+                [cpos, cdir, csig[:, None], ccorr[:, None], ok0[:, None].astype(jnp.float32)],
+                axis=1,
+            )  # (T, 9)
             carry0 = (pos, dirs, wgt, resampled, res_idx, ok0)
             return carry0, est0
 
@@ -282,8 +287,13 @@ class BatchedTracker:
 
             carry, ests = jax.lax.scan(body, carry, iter_idx)
             # scan stacks along axis 0 (iterations); move to (T, STAGE, ...)
-            ests = tuple(jnp.moveaxis(e, 0, 1) for e in ests)
-            return carry, ests
+            # and pack into one (T, STAGE, 9) buffer (single host fetch)
+            cpos, cdir, csig, ccorr, ok = (jnp.moveaxis(e, 0, 1) for e in ests)
+            packed = jnp.concatenate(
+                [cpos, cdir, csig[..., None], ccorr[..., None], ok[..., None].astype(jnp.float32)],
+                axis=2,
+            )
+            return carry, packed
 
         return trace_init, trace_stage
 
@@ -342,31 +352,35 @@ class BatchedTracker:
             # high per-launch latency, staged=False runs each chunk in
             # two launches instead (no early exit).
             carry, est0 = self._trace_init(img, jnp.asarray(sp), jnp.asarray(sd), keys)
-            blocks = [tuple(np.asarray(e)[:, None] if e.ndim == 1 else np.asarray(e)[:, None, :] for e in est0)]
+            blocks = [np.asarray(est0)[:, None, :]]  # (T, 1, 9)
             it = 1
             step = stage if staged else max(1, ni - 1)
             while it < ni:
                 n_it = min(step, ni - it)
-                carry, ests = self._trace_stage(
+                carry, packed = self._trace_stage(
                     img, keys, carry, jnp.arange(it, it + step),
                     jnp.zeros(chunk, jnp.bool_),
                 )
-                blocks.append(tuple(np.asarray(e)[:, :n_it] for e in ests))
+                blk = np.asarray(packed)[:, :n_it]
+                blocks.append(blk)
                 it += n_it
-                if staged and not np.asarray(carry[5])[: end - beg].any():
+                if staged and not blk[: end - beg, -1, 8].any():
                     break  # real lanes only: pad lanes must not keep the loop alive
 
             n = end - beg
-            done = sum(b[0].shape[1] for b in blocks)
-            cat = [np.concatenate([b[k] for b in blocks], axis=1)[:n] for k in range(5)]
+            packed_all = np.concatenate(blocks, axis=1)[:n]  # (n, done, 9)
+            done = packed_all.shape[1]
             if done < ni:  # keep the (T, ni) contract; the tail is invalid
-                padw = ni - done
-                cat[0] = np.pad(cat[0], ((0, 0), (0, padw), (0, 0)))
-                cat[1] = np.pad(cat[1], ((0, 0), (0, padw), (0, 0)))
-                cat[2] = np.pad(cat[2], ((0, 0), (0, padw)))
-                cat[3] = np.pad(cat[3], ((0, 0), (0, padw)))
-                cat[4] = np.pad(cat[4], ((0, 0), (0, padw)))
-            outs.append(tuple(cat))
+                packed_all = np.pad(packed_all, ((0, 0), (0, ni - done), (0, 0)))
+            outs.append(
+                (
+                    packed_all[:, :, 0:3],
+                    packed_all[:, :, 3:6],
+                    packed_all[:, :, 6],
+                    packed_all[:, :, 7],
+                    packed_all[:, :, 8] > 0.5,
+                )
+            )
         return TraceResult(
             pos=np.concatenate([o[0] for o in outs]),
             dir=np.concatenate([o[1] for o in outs]),
