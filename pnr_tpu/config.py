@@ -61,6 +61,10 @@ class PNRConfig:
     enforce_single_tree: bool = False
     tree_size_min: int = 10
     tail_size_min: int = 2
+    #: Apply tail pruning (remove_tails) in post-processing. The reference
+    #: implements it but never calls it on the live path
+    #: (Advantra_plugin.cpp:2179, commented out) — off by default.
+    prune_tails: bool = False
 
     # --- TPU-native additions (no reference equivalent) ---
     #: Number of seeds advanced in lockstep per wave (each seed traces two

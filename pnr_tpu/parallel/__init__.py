@@ -2,6 +2,8 @@
 
 from pnr_tpu.parallel.halo import halo_exchange_z
 from pnr_tpu.parallel.sharded import (
+    assign_seeds_to_shards,
+    build_local_trace_step,
     build_sharded_step,
     frangi3d_sharded,
     frangi_halo,
@@ -18,4 +20,6 @@ __all__ = [
     "normalize_to_u8_sharded",
     "shard_volume",
     "build_sharded_step",
+    "build_local_trace_step",
+    "assign_seeds_to_shards",
 ]

@@ -183,3 +183,83 @@ def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
         }
 
     return jax.jit(step)
+
+
+def build_local_trace_step(cfg: PNRConfig, mesh: Mesh, seeds_per_shard: int, trace_halo: int | None = None):
+    """Shard-local tracing: the volume NEVER replicates.
+
+    Each shard traces the seeds that fall in its Z-slab against its
+    halo-extended local volume (ghost slices over ICI via ppermute);
+    the tube-ZNCC maps are built per shard on the padded slab, so map
+    convolutions see real neighbour data. Traces that wander past the
+    halo terminate there (the estimate leaves the local bounds) —
+    boundary handoff to the neighbouring shard is a documented future
+    extension; choose trace_halo generously for the expected wander.
+
+    Seeds arrive Z-sharded as (n_shards * seeds_per_shard, 3) global
+    (x, y, z) positions (use `assign_seeds_to_shards`); estimates come
+    back in GLOBAL coordinates as the packed (T, ni, 9) buffer.
+    """
+    from pnr_tpu.smc.tracker import BatchedTracker
+
+    axis = mesh.axis_names[0]
+    tracker = BatchedTracker(cfg, is2d=False)
+    if trace_halo is None:
+        # template reach (~4.4 sigma, see ops/zncc.py) + transition steps
+        trace_halo = int(math.ceil(4.5 * max(cfg.sigmas))) + 4 * cfg.step
+
+    def local_fn(vol_local, sp, sd, keys):
+        idx = lax.axis_index(axis)
+        zl = vol_local.shape[0]
+        padded = halo_exchange_z(vol_local, trace_halo, axis)
+        field = tracker.prepare_field(padded)
+        z_off = (idx * zl - trace_halo).astype(jnp.float32)
+        sp_local = sp - jnp.stack(
+            [jnp.zeros_like(z_off), jnp.zeros_like(z_off), z_off]
+        )[None, :]
+        carry, est0 = tracker._trace_init(field, sp_local, sd, keys)
+        _, packed = tracker._trace_stage(
+            field, keys, carry, jnp.arange(1, cfg.ni),
+            jnp.zeros(sp.shape[0], jnp.bool_),
+        )
+        all_est = jnp.concatenate([est0[:, None, :], packed], axis=1)
+        # back to global z
+        all_est = all_est.at[:, :, 2].add(z_off)
+        return all_est
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+
+    def step(vol_sharded, seed_pos, seed_dir, base_key):
+        n = seed_pos.shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+            jnp.arange(n, dtype=jnp.uint32)
+        )
+        return fn(vol_sharded, jnp.asarray(seed_pos), jnp.asarray(seed_dir), keys)
+
+    return jax.jit(step)
+
+
+def assign_seeds_to_shards(
+    pos: np.ndarray, dirs: np.ndarray, z_total: int, n_shards: int, seeds_per_shard: int
+):
+    """Bucket seeds by the Z-slab containing them, padded/truncated to a
+    fixed count per shard. Returns (pos (n_shards*k, 3), dirs, valid mask)."""
+    zl = z_total // n_shards
+    out_p = np.zeros((n_shards * seeds_per_shard, 3), np.float32)
+    out_d = np.zeros((n_shards * seeds_per_shard, 3), np.float32)
+    out_d[:, 0] = 1.0
+    valid = np.zeros(n_shards * seeds_per_shard, bool)
+    for s in range(n_shards):
+        lo, hi = s * zl, (s + 1) * zl if s < n_shards - 1 else z_total
+        m = (pos[:, 2] >= lo) & (pos[:, 2] < hi)
+        sel = np.nonzero(m)[0][:seeds_per_shard]
+        k = len(sel)
+        out_p[s * seeds_per_shard : s * seeds_per_shard + k] = pos[sel]
+        out_d[s * seeds_per_shard : s * seeds_per_shard + k] = dirs[sel]
+        valid[s * seeds_per_shard : s * seeds_per_shard + k] = True
+    return out_p, out_d, valid

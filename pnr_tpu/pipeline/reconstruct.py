@@ -419,5 +419,9 @@ def reconstruct_graph(n0: NodeList, cfg: PNRConfig) -> NodeList:
         n3 = extract_largest_tree(n2tree)
     else:
         n3 = extract_trees(n2tree, cfg.tree_size_min)
+    if cfg.prune_tails:
+        from pnr_tpu.graph.trees import remove_tails
+
+        n3 = remove_tails(n3, cfg.tail_size_min)
     interpolate_treelist(n3, 1.0, AXON)
     return n3

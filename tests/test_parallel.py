@@ -103,3 +103,49 @@ class TestShardedStep:
         sp = np.asarray(out["seed_pos"])
         on_tube = np.abs(sp[:, 1] - 12) < 4
         assert on_tube.sum() >= 2
+
+
+class TestShardLocalTracing:
+    def test_local_traces_follow_tube_in_global_coords(self, mesh):
+        from pnr_tpu.parallel.sharded import assign_seeds_to_shards, build_local_trace_step
+
+        rng = np.random.default_rng(9)
+        shape = (32, 24, 64)  # 8 shards x 4 slices
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        # vertical tube along Z so traces cross shard boundaries
+        d2 = (y - 12) ** 2 + (x - 32) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / (2 * 2.5**2)) * (0.75 + 0.25 * np.sin(z / 3.0))
+            + rng.normal(0, 4, shape),
+            0, 255,
+        ).astype(np.uint8)
+
+        cfg = PNRConfig(
+            sigmas=(2.0,), znccth=0.3, kappa=2.0, step=2, ni=12, np=8,
+            zdist=1.0, nodepervol=4, vol=9, zncc_mode="tube",
+        )
+        step = build_local_trace_step(cfg, mesh, seeds_per_shard=2, trace_halo=6)
+
+        # seeds on the tube axis in several shards, pointing +z
+        seeds = np.array(
+            [[32.0, 12.0, zz] for zz in (2, 6, 10, 14, 18, 22, 26, 29)], np.float32
+        )
+        dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (len(seeds), 1))
+        sp, sd, valid = assign_seeds_to_shards(seeds, dirs, shape[0], 8, 2)
+
+        out = np.asarray(step(shard_volume(vol, mesh), sp, sd, jax.random.key(0)))
+        assert out.shape == (16, 12, 9)
+        # for real seeds: iteration-0 estimates valid and ON the tube, in
+        # GLOBAL coordinates (x~32, y~12, z near the seed)
+        got_valid = out[:, 0, 8] > 0.5
+        assert got_valid[valid].mean() > 0.8
+        for k in np.nonzero(valid)[0]:
+            if got_valid[k]:
+                assert abs(out[k, 0, 0] - 32) < 3
+                assert abs(out[k, 0, 1] - 12) < 3
+                assert abs(out[k, 0, 2] - sp[k, 2]) < 4
+        # traces advance along +z (global), until the halo cuts them
+        k = np.nonzero(valid)[0][0]
+        zs = out[k, :, 2][out[k, :, 8] > 0.5]
+        if len(zs) > 3:
+            assert zs[-1] > zs[0]
