@@ -118,3 +118,23 @@ class Test2DPath:
         assert res.trace_count >= 1
         if len(res.tree) > 1:
             assert np.median(np.abs(np.asarray(res.tree.y[1:]) - 24.0)) < 3.0
+
+
+class Test2DPathTube:
+    def test_single_slice_tube_mode(self):
+        import dataclasses
+
+        rng = np.random.default_rng(5)
+        y, x = np.meshgrid(np.arange(48), np.arange(96), indexing="ij")
+        along = (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 6) * (x < 89)
+        img = 200.0 * np.exp(-((y - 24) ** 2) / (2 * 2.5**2)) * along + rng.normal(0, 5, (48, 96))
+        vol = np.clip(img, 0, 255).astype(np.uint8)[None]
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.4, kappa=2.0, step=2,
+            ni=30, np=16, zdist=2.0, nodepervol=4, vol=9, wave_size=16,
+            zncc_mode="tube",
+        )
+        res = reconstruction_func(vol, cfg, verbose=False)
+        assert res.trace_count >= 1
+        if len(res.tree) > 1:
+            assert np.median(np.abs(np.asarray(res.tree.y[1:]) - 24.0)) < 3.0
