@@ -218,7 +218,7 @@ def _trace_and_commit_wave(
                 commit_ptr += 1
             else:
                 break  # needs more stages
-        return commit_ptr
+        return False
 
     while True:
         capped = advance_commits(it_done)

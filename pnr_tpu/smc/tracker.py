@@ -304,7 +304,7 @@ class BatchedTracker:
     TRACE_CHUNK = 128
     #: Iterations per staged device call; between stages the (tiny) alive
     #: mask is fetched and an all-dead chunk stops early.
-    STAGE_ITERS = 16
+    STAGE_ITERS = 8
 
     # ------------------------------------------------------------------
     def trace_wave(

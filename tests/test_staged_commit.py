@@ -90,3 +90,33 @@ class TestTraceCap:
         assert n <= len(r_full.n0)
         assert r_cap.n0.x == r_full.n0.x[:n]
         assert r_cap.n0.y == r_full.n0.y[:n]
+
+
+class TestStageSizeInvariance:
+    def test_output_independent_of_stage_iters(self):
+        """Committed graphs must be identical for any STAGE_ITERS (the
+        PRNG keys on absolute iterations; the commit wavefront replays
+        the same estimates). Regression: a leftover `return commit_ptr`
+        in advance_commits aborted waves whenever the wavefront was
+        mid-wave at a stage boundary."""
+        import pnr_tpu.smc.tracker as T
+
+        baseline = None
+        orig = T.BatchedTracker.STAGE_ITERS
+        try:
+            for stage in (4, 16, 64):
+                T.BatchedTracker.STAGE_ITERS = stage
+                res = reconstruction_func(tube_phantom(), CFG_INV, verbose=False)
+                state = (len(res.n0), res.trace_count, tuple(res.n0.x), tuple(res.n0.type))
+                if baseline is None:
+                    baseline = state
+                else:
+                    assert state == baseline, f"STAGE_ITERS={stage} diverged"
+        finally:
+            T.BatchedTracker.STAGE_ITERS = orig
+
+
+CFG_INV = PNRConfig(
+    sigmas=(2.0, 3.0), tolerance=10.0, znccth=0.5, kappa=2.0, step=2, ni=25,
+    np=12, zdist=2.0, nodepervol=4, vol=9, wave_size=8, zncc_mode="tube",
+)
