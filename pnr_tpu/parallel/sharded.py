@@ -29,8 +29,19 @@ _FLT_MIN = 1.175494e-38
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "z") -> Mesh:
+    """1-D mesh over the first n_devices. Fails loudly (never silently
+    truncates) when the backend exposes fewer devices than requested —
+    a silently smaller mesh would void every multi-chip correctness
+    signal downstream."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}): only {len(devs)} "
+                f"{jax.default_backend()} device(s) available; for a virtual "
+                "mesh set XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} with JAX_PLATFORMS=cpu before importing jax"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

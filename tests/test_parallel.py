@@ -149,3 +149,29 @@ class TestShardLocalTracing:
         zs = out[k, :, 2][out[k, :, 8] > 0.5]
         if len(zs) > 3:
             assert zs[-1] > zs[0]
+
+
+class TestDriverDryrun:
+    """The driver's multi-chip gate: `dryrun_multichip` must succeed even
+    when called from a process already bound to a different (or broken)
+    jax backend — it re-execs itself on a forced virtual CPU mesh."""
+
+    def test_dryrun_multichip_is_self_contained(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        try:
+            import __graft_entry__ as g
+
+            g.dryrun_multichip(8)  # raises on failure
+        finally:
+            sys.path.remove("/root/repo")
+
+    def test_make_mesh_rejects_oversubscription(self):
+        import jax
+        import pytest
+
+        from pnr_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError, match="make_mesh"):
+            make_mesh(len(jax.devices()) + 1)
