@@ -7,10 +7,11 @@ Metric: Frangi Mvoxels/s (BASELINE.md filter-bench config: sigmas
 per-voxel 3x3 eigensolve, vesselness, max-over-scales, direction
 quantization, J8 normalization) over a uint8 volume.
 
-vs_baseline: ratio against a single-core NumPy/SciPy oracle of the
-same computation measured in-process on a smaller volume (the
-reference C++ plugin publishes no numbers — BASELINE.md — and is a
-sequential single-thread implementation of the same per-voxel work).
+vs_baseline: ratio against the ACTUAL reference C++ (frangi.cpp:152-289
+compiled -O2 via pnr_tpu.parity.oracle, single-thread like the plugin),
+measured in-process on a smaller volume. Falls back to a single-core
+NumPy/SciPy oracle when the reference tree is unavailable; extras
+record which baseline was used and its Mvox/s.
 """
 
 from __future__ import annotations
@@ -111,6 +112,29 @@ def bench_numpy_oracle(vol):
     return vol.size / dt / 1e6
 
 
+def bench_cpp_reference(vol):
+    """Single-thread compiled reference C++ Frangi (the true baseline)."""
+    import os
+
+    from pnr_tpu.parity import get_oracle
+
+    o = get_oracle()
+    if o is None:
+        return None
+    devnull = os.open(os.devnull, os.O_WRONLY)
+    old = os.dup(1)
+    os.dup2(devnull, 1)  # the reference prints per-scale progress
+    try:
+        t0 = time.perf_counter()
+        o.frangi3d(vol, SIGMAS, ZDIST)
+        dt = time.perf_counter() - t0
+    finally:
+        os.dup2(old, 1)
+        os.close(devnull)
+        os.close(old)
+    return vol.size / dt / 1e6
+
+
 def bench_tracer(vol):
     """Particle-updates/s of the lockstep SMC tracer (tube likelihood)."""
     import jax
@@ -175,8 +199,19 @@ def main():
     t_start = time.perf_counter()
     vol = make_volume(SHAPE)
     tpu_mvox = bench_tpu(vol)
-    base_mvox = bench_numpy_oracle(make_volume(BASE_SHAPE))
     extras = {}
+    base_vol = make_volume(BASE_SHAPE)
+    base_mvox = None
+    try:
+        base_mvox = bench_cpp_reference(base_vol)
+    except Exception as e:
+        extras["cpp_baseline_error"] = str(e)[:120]
+    if base_mvox is not None:
+        extras["baseline"] = "reference_cpp_single_thread"
+    else:
+        base_mvox = bench_numpy_oracle(base_vol)
+        extras["baseline"] = "numpy_oracle"
+    extras["baseline_mvox_s"] = round(base_mvox, 3)
 
     # Extras run only while there is budget left: the one-time D2H init of
     # this runtime varies 45-370 s, and the headline metric must always land.
