@@ -14,6 +14,7 @@ import struct
 import numpy as np
 
 _V3D_MAGIC = b"raw_image_stack_by_hpeng"
+_PBD_MAGIC = b"v3d_volume_pkbitdf_encod"
 
 
 def load_volume(path: str) -> np.ndarray:
@@ -23,6 +24,8 @@ def load_volume(path: str) -> np.ndarray:
         return _load_tif(path)
     if ext in (".v3draw", ".raw"):
         return _load_v3draw(path)
+    if ext == ".v3dpbd":
+        return _load_v3dpbd(path)
     if ext == ".npy":
         vol = np.load(path)
         if vol.ndim == 2:
@@ -42,6 +45,8 @@ def save_volume(path: str, vol: np.ndarray) -> None:
         frames[0].save(path, save_all=True, append_images=frames[1:])
     elif ext in (".v3draw", ".raw"):
         _save_v3draw(path, vol)
+    elif ext == ".v3dpbd":
+        _save_v3dpbd(path, vol)
     elif ext == ".npy":
         np.save(path, vol)
     else:
@@ -110,3 +115,41 @@ def _save_v3draw(path: str, vol: np.ndarray) -> None:
         f.write(struct.pack("<h", 1))
         f.write(struct.pack("<4i", w, h, l, 1))
         f.write(vol.tobytes())
+
+
+def _load_v3dpbd(path: str) -> np.ndarray:
+    """Vaa3D PBD-compressed raw (the format many gold166 stacks ship in).
+
+    Header layout matches .v3draw (ImageLoaderBasic::loadRaw2StackPBD);
+    the remainder of the file is the PBD8 stream (see pnr_tpu.io.pbd).
+    """
+    from pnr_tpu.io.pbd import decompress_pbd8
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_PBD_MAGIC))
+        if magic != _PBD_MAGIC:
+            raise ValueError(f"not a v3dpbd file: {path}")
+        endian = f.read(1)
+        fmt = "<" if endian == b"L" else ">"
+        (dcode,) = struct.unpack(fmt + "h", f.read(2))
+        w, h, l, c = struct.unpack(fmt + "4i", f.read(16))
+        if dcode != 1:
+            raise ValueError(
+                f"v3dpbd datatype {dcode} unsupported (only 8-bit PBD is "
+                "implemented; convert 16-bit stacks to .v3draw)"
+            )
+        payload = np.frombuffer(f.read(), np.uint8)
+    data = decompress_pbd8(payload, w * h * l * c)
+    return _to_u8(data.reshape(c, l, h, w)[0])
+
+
+def _save_v3dpbd(path: str, vol: np.ndarray) -> None:
+    from pnr_tpu.io.pbd import compress_pbd8
+
+    l, h, w = vol.shape
+    with open(path, "wb") as f:
+        f.write(_PBD_MAGIC)
+        f.write(b"L")
+        f.write(struct.pack("<h", 1))
+        f.write(struct.pack("<4i", w, h, l, 1))
+        f.write(compress_pbd8(vol).tobytes())

@@ -31,10 +31,39 @@ def hessian3d(
     """Scaled Hessian components of a (Z, Y, X) volume.
 
     Returns (Dzz, Dyy, Dyz, Dxx, Dxy, Dxz), each * sigma^2.
-    """
-    f = imgaussian3d(vol, sigma, zdist)
-    s2 = jnp.float32(float(sigma) * float(sigma))
 
+    On TPU every difference pass runs as a Pallas 3-tap conv with
+    `jnp.gradient` border semantics (read-once/write-once HBM traffic;
+    see ops/pallas_conv.py); the sigma^2 gamma-normalization folds into
+    the second pass' taps so no extra elementwise pass is needed.
+    """
+    from pnr_tpu.ops.pallas_conv import mosaic_available, pallas_conv1d_along_axis
+
+    f = imgaussian3d(vol, sigma, zdist)
+    s2 = float(sigma) * float(sigma)
+
+    if f.ndim == 3 and mosaic_available():
+        g1 = (-0.5, 0.0, 0.5)
+        g2 = (-0.5 * s2, 0.0, 0.5 * s2)
+
+        def d1(a, axis):
+            return pallas_conv1d_along_axis(a, g1, axis, grad_border=True)
+
+        def d2(a, axis):
+            return pallas_conv1d_along_axis(a, g2, axis, grad_border=True)
+
+        dz = d1(f, 0)
+        dzz = d2(dz, 0)
+        dy = d1(f, 1)
+        dyy = d2(dy, 1)
+        dyz = d2(dy, 0)
+        dx = d1(f, 2)
+        dxx = d2(dx, 2)
+        dxy = d2(dx, 1)
+        dxz = d2(dx, 0)
+        return dzz, dyy, dyz, dxx, dxy, dxz
+
+    s2 = jnp.float32(s2)
     dz = _d(f, 0)
     dzz = _d(dz, 0) * s2
 

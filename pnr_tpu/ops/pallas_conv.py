@@ -1,19 +1,29 @@
-"""Pallas TPU kernel: 1-D convolution along any axis of a 3-D volume.
+"""Pallas TPU kernels: 1-D convolution passes for the dense filter path.
 
 The XLA shift-and-add formulation (ops/gaussian.py) fuses the k taps
-into one pass but every output element re-reads its k inputs from HBM —
-k-fold read amplification (k is up to 37 for sigma=6). This kernel
-blocks the volume so the convolution axis lives wholly in VMEM: each
-element is read from HBM once and written once, independent of k.
+into one pass but re-reads overlapping input windows from HBM — k-fold
+read amplification (k is up to 37 for sigma=6). These kernels block the
+volume so the convolution axis lives wholly in VMEM: each element is
+read from HBM once and written once, independent of k. That turns every
+pass of the Frangi pipeline (Gaussian taps and first-difference taps
+alike, frangi.cpp:563-784 / :291-390) into a pure ~8 B/voxel HBM
+round-trip, which is the roofline for an unfused pass.
 
 Blocking: the conv axis is kept complete inside each block (the input
 is edge-padded along that axis beforehand), so BlockSpecs never need
-overlapping halos; the grid tiles the other two axes.
+overlapping halos; the grid tiles the other two axes, with uneven
+tails handled by Pallas' implicit block clamping (out-of-range lanes
+compute garbage that is never written back).
+
+`grad_border=True` reproduces `jnp.gradient` border semantics for the
+central-difference kernel: with edge-replicated padding the first/last
+plane along the axis computes (f[1]-f[0])/2 — exactly half the
+one-sided difference — so the kernel doubles those planes in VMEM.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,44 +31,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # soft cap per block (in + out), bytes
 
-def _conv_kernel_factory(kernel: np.ndarray, axis3: int):
-    taps = np.asarray(kernel, np.float32)
-    k = len(taps)
 
+def _conv_kernel_factory(taps: tuple, axis3: int, grad_border: bool):
     def kern(x_ref, o_ref):
-        # fori_loop + dynamic ref slice keeps ONE accumulator buffer live
-        # (a fully unrolled tap sum makes Mosaic stack-allocate one
-        # block-sized temp per tap and blow the VMEM budget)
+        # Static (unrolled) tap slices: Mosaic forbids dynamic lane-dim
+        # slices ("index must be a multiple of 128"), and static offsets
+        # lower to cheap lane rotations. Accumulating in-place into
+        # o_ref keeps ONE buffer live instead of a k-temporary sum chain.
         out_len = o_ref.shape[axis3]
-        tap_arr = jnp.asarray(taps)
 
-        def body(j, acc):
+        def sl(j):
             if axis3 == 2:
-                sl = x_ref[:, :, pl.ds(j, out_len)]
-            elif axis3 == 1:
-                sl = x_ref[:, pl.ds(j, out_len), :]
-            else:
-                sl = x_ref[pl.ds(j, out_len), :, :]
-            return acc + tap_arr[j] * sl
+                return x_ref[:, :, j : j + out_len]
+            if axis3 == 1:
+                return x_ref[:, j : j + out_len, :]
+            return x_ref[j : j + out_len, :, :]
 
-        o_ref[:] = jax.lax.fori_loop(
-            0, k, body, jnp.zeros(o_ref.shape, jnp.float32)
-        )
+        o_ref[:] = jnp.float32(taps[0]) * sl(0)
+        for j in range(1, len(taps)):
+            o_ref[:] = o_ref[:] + jnp.float32(taps[j]) * sl(j)
+        if grad_border:
+            # one-sided borders are exactly 2x the edge-padded central diff
+            pos = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, axis3)
+            o_ref[:] = jnp.where(
+                (pos == 0) | (pos == out_len - 1), 2.0 * o_ref[:], o_ref[:]
+            )
 
-    return kern, k
+    return kern
 
 
-def _roundup(v: int, m: int) -> int:
-    return -(-v // m) * m
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
-def pallas_conv1d_along_axis(vol: jax.Array, kernel, axis: int) -> jax.Array:
-    """Correlate (Z, Y, X) `vol` with 1-D `kernel` along `axis`,
-    edge-replicated borders. float32 output. Falls back to the XLA
-    shift-and-add for shapes the blocking does not cover."""
-    from pnr_tpu.ops.gaussian import conv1d_along_axis
-
+@functools.partial(jax.jit, static_argnames=("kernel", "axis", "grad_border"))
+def _pallas_conv(vol, kernel, axis, grad_border):
     kernel = np.asarray(kernel, np.float32)
     k = kernel.shape[0]
     half = k // 2
@@ -69,52 +78,104 @@ def pallas_conv1d_along_axis(vol: jax.Array, kernel, axis: int) -> jax.Array:
     pad[axis] = (half, half)
     vp = jnp.pad(v, pad, mode="edge")
 
-    kern, _ = _conv_kernel_factory(kernel, axis)
+    kern = _conv_kernel_factory(tuple(float(t) for t in kernel), axis, grad_border)
 
     if axis == 2:
-        # grid over (z, y-blocks); block = (1, BY, Xpad)
-        by = max(8, min(256, _roundup(y, 8)))
-        if y % by != 0 and y > by:
-            return conv1d_along_axis(vol, kernel, axis)
-        by = min(by, y)
-        grid = (z, -(-y // by))
+        by = min(256, y)
+        grid = (z, _cdiv(y, by))
         in_spec = pl.BlockSpec(
             (1, by, x + 2 * half), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         )
         out_spec = pl.BlockSpec(
             (1, by, x), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         )
+        blk_bytes = by * (2 * x + 2 * half) * 4
     elif axis == 1:
-        bx = 128 if x % 128 == 0 else x
-        if bx * (y + 2 * half) * 4 > 8 * 1024 * 1024:
-            return conv1d_along_axis(vol, kernel, axis)
-        grid = (z, -(-x // bx))
+        bx = min(512, x)
+        grid = (z, _cdiv(x, bx))
         in_spec = pl.BlockSpec(
             (1, y + 2 * half, bx), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         )
         out_spec = pl.BlockSpec(
             (1, y, bx), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         )
+        blk_bytes = bx * (2 * y + 2 * half) * 4
     else:  # axis == 0
-        bx = 128 if x % 128 == 0 else x
-        by = 8 if y % 8 == 0 else y
-        if bx * by * (z + 2 * half) * 4 > 8 * 1024 * 1024:
-            return conv1d_along_axis(vol, kernel, axis)
-        grid = (-(-y // by), -(-x // bx))
+        bx = min(256, x)
+        by = 8
+        grid = (_cdiv(y, by), _cdiv(x, bx))
         in_spec = pl.BlockSpec(
             (z + 2 * half, by, bx), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         )
         out_spec = pl.BlockSpec(
             (z, by, bx), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         )
+        blk_bytes = by * bx * (2 * z + 2 * half) * 4
 
+    if blk_bytes > _VMEM_BUDGET:
+        raise ValueError("block exceeds VMEM budget")
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
+    )(vp)
+
+
+@functools.lru_cache(maxsize=1)
+def mosaic_available() -> bool:
+    """One-time probe: can this backend compile+run a Mosaic kernel?
+
+    Checked OUTSIDE any trace (a try/except around pallas_call inside an
+    outer jit would not catch the compile-time failure). CPU backends
+    have no Mosaic; the probe result is cached for the process.
+    """
     try:
-        return pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=[in_spec],
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
-        )(vp)
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+
+        def k(x_ref, o_ref):
+            o_ref[:] = x_ref[:] * 2.0
+
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+        )(jnp.ones((8, 128), jnp.float32))
+        return bool(out[0, 0] == 2.0)
     except Exception:
-        return conv1d_along_axis(vol, kernel, axis)
+        return False
+
+
+def _blocking_fits(shape, kernel_len: int, axis: int) -> bool:
+    k = int(kernel_len)
+    half = k // 2
+    z, y, x = shape
+    if axis == 2:
+        blk = min(256, y) * (2 * x + 2 * half) * 4
+    elif axis == 1:
+        blk = min(512, x) * (2 * y + 2 * half) * 4
+    else:
+        blk = 8 * min(256, x) * (2 * z + 2 * half) * 4
+    return blk <= _VMEM_BUDGET
+
+
+def pallas_conv1d_along_axis(
+    vol: jax.Array, kernel, axis: int, grad_border: bool = False
+) -> jax.Array:
+    """Correlate (Z, Y, X) `vol` with 1-D `kernel` along `axis`,
+    edge-replicated borders (one-sided at borders when grad_border, i.e.
+    `jnp.gradient` semantics). float32 output. Falls back to the XLA
+    shift-and-add formulation when Mosaic is unavailable or the blocking
+    does not fit VMEM."""
+    from pnr_tpu.ops.gaussian import conv1d_along_axis
+
+    kernel = np.asarray(kernel, np.float32)
+    if mosaic_available() and _blocking_fits(vol.shape, len(kernel), axis):
+        return _pallas_conv(vol, tuple(float(t) for t in kernel), axis, grad_border)
+    out = conv1d_along_axis(vol, kernel, axis)
+    if grad_border:
+        w = vol.shape[axis]
+        pos = jax.lax.broadcasted_iota(jnp.int32, out.shape, axis)
+        out = jnp.where((pos == 0) | (pos == w - 1), 2.0 * out, out)
+    return out

@@ -9,7 +9,7 @@ from pnr_tpu.graph.nodes import NodeList
 
 
 class TestVolumeIO:
-    @pytest.mark.parametrize("ext", ["tif", "v3draw", "npy"])
+    @pytest.mark.parametrize("ext", ["tif", "v3draw", "npy", "v3dpbd"])
     def test_roundtrip(self, tmp_path, rng, ext):
         vol = (rng.random((6, 24, 32)) * 255).astype(np.uint8)
         p = str(tmp_path / f"v.{ext}")
@@ -28,6 +28,44 @@ class TestVolumeIO:
     def test_unsupported_format(self, tmp_path):
         with pytest.raises(ValueError):
             load_volume(str(tmp_path / "x.bmp"))
+
+    def test_pbd8_codec_exhaustive(self, rng):
+        """PBD8 round-trips across run/diff/literal-heavy payloads and the
+        decoder handles hand-built streams of each op (pnr_tpu.io.pbd)."""
+        from pnr_tpu.io.pbd import compress_pbd8, decompress_pbd8
+
+        cases = [
+            np.zeros(1000, np.uint8),                                   # pure repeat
+            np.arange(1000, dtype=np.uint8),                            # pure +1 diff
+            (rng.random(1000) * 255).astype(np.uint8),                  # literal-heavy
+            np.clip(np.cumsum(rng.integers(-1, 3, 1000)), 0, 255).astype(np.uint8),
+            np.array([7], np.uint8),
+            np.repeat(np.arange(50, dtype=np.uint8), 7),                # mixed
+        ]
+        for data in cases:
+            enc = compress_pbd8(data)
+            np.testing.assert_array_equal(decompress_pbd8(enc, len(data)), data)
+        # smooth data should actually compress
+        smooth = np.clip(np.cumsum(rng.integers(-1, 2, 4096)), 0, 255).astype(np.uint8)
+        assert len(compress_pbd8(smooth)) < len(smooth) // 2
+
+        # hand-built stream: literal(3 bytes) + repeat(5x9) + diffs(+1,+2,-1,0)
+        stream = bytes([2, 10, 20, 30]) + bytes([127 + 5, 9]) + bytes([32 + 4, 0b00_11_10_01])
+        out = decompress_pbd8(np.frombuffer(stream, np.uint8), 12)
+        np.testing.assert_array_equal(
+            out, [10, 20, 30, 9, 9, 9, 9, 9, 10, 12, 11, 11]
+        )
+
+    def test_v3dpbd_16bit_rejected(self, tmp_path):
+        import struct
+
+        p = tmp_path / "v.v3dpbd"
+        p.write_bytes(
+            b"v3d_volume_pkbitdf_encod" + b"L" + struct.pack("<h", 2)
+            + struct.pack("<4i", 2, 2, 1, 1)
+        )
+        with pytest.raises(ValueError, match="datatype 2"):
+            load_volume(str(p))
 
     def test_2d_npy_promoted_to_3d(self, tmp_path, rng):
         img = (rng.random((16, 16)) * 255).astype(np.uint8)
