@@ -139,10 +139,15 @@ def mosaic_available() -> bool:
         def k(x_ref, o_ref):
             o_ref[:] = x_ref[:] * 2.0
 
-        out = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
-        )(jnp.ones((8, 128), jnp.float32))
-        return bool(out[0, 0] == 2.0)
+        # ensure_compile_time_eval: the first call may come from inside
+        # a jit trace (the hot paths probe lazily); without it the probe
+        # output is a tracer, bool() raises, and False gets cached for
+        # the whole process
+        with jax.ensure_compile_time_eval():
+            out = pl.pallas_call(
+                k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+            )(jnp.ones((8, 128), jnp.float32))
+            return bool(out[0, 0] == 2.0)
     except Exception:
         return False
 

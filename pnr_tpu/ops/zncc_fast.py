@@ -132,6 +132,175 @@ def build_tube_maps(img: jax.Array, model: TubeZnccModel) -> jax.Array:
     return jnp.stack(per_sig)  # (3S, Z, Y, X)
 
 
+def _corr_from_sums(model_arrays, s1, s2, s3):
+    """ZNCC from the three tube sums, per sigma; max over sigmas.
+
+    `s1/s2/s3` are (..., S); returns (corr, sig) with the same tie
+    semantics as `make_tube_zncc_fn` (earliest sigma wins ties)."""
+    a1, a2, gbar, ntot, corrc, sig_vals = model_arrays
+    s1 = s1 * a1
+    s2 = s2 * a2
+    s3 = s3 * a2
+    corra = s1 - gbar * s2
+    corrb = jnp.maximum(s3 - (s2 * s2) / ntot, 0.0)
+    denom = corrb * corrc
+    corrs = jnp.where(
+        denom > _FLT_MIN, corra / jnp.sqrt(jnp.maximum(denom, _FLT_MIN)), 0.0
+    )
+    best = jnp.argmax(corrs, axis=-1)
+    return jnp.max(corrs, axis=-1), sig_vals[best]
+
+
+def make_tube_patch_engine(model: TubeZnccModel, step: float):
+    """Per-trace-patch tube ZNCC: hat-weight matmuls instead of gathers.
+
+    XLA:TPU lowers element gathers to a serial loop (~0.2M tube queries/s
+    measured on v5e) — the tracker's hot path was gather-bound. This
+    engine exploits the SMC structure: all particles of a trace plus
+    their template line samples lie inside a small axis-aligned window.
+    Per trace it extracts one local patch of the map stack
+    (`lax.dynamic_slice`) and evaluates every trilinear sample as a
+    separable 2-tap "hat" weight contraction against the patch —
+    `max(0, 1-|q-k|)` along each axis — i.e. three small dense matmuls
+    that run on the MXU. No gathers anywhere.
+
+    Semantics match the global `make_tube_zncc_fn` exactly for samples
+    that fall inside the patch (trilinear == hat contraction, modulo
+    f32 reassociation). Samples from outlier particles that stray
+    beyond the patch are clamped to the patch edge — an approximation
+    that only affects particles >(3*step + margin) from the cloud
+    mean, which carry negligible weight by construction.
+
+    Returns (extract, corr):
+      extract(maps, center_xyz (T,3)) -> (patches, corner_zyx (T,3))
+      corr(vol_shape, patches, corner, pos (T,N,3), dirs (T,N,3))
+          -> (corr (T,N), sig (T,N))
+    """
+    sigmas = model.sigmas
+    s_count = len(sigmas)
+    nv = max(len(v) for v in model.v_grids)
+    vgrid = np.zeros((s_count, nv), np.float32)
+    vmask = np.zeros((s_count, nv), np.float32)
+    for i, vv in enumerate(model.v_grids):
+        vgrid[i, : len(vv)] = vv
+        vmask[i, : len(vv)] = 1.0
+    vgrid_j = jnp.asarray(vgrid)
+    vmask_j = jnp.asarray(vmask)
+    model_arrays = (
+        jnp.asarray(model.alpha1),
+        jnp.asarray(model.alpha2),
+        jnp.asarray(model.gbar),
+        jnp.asarray(model.n),
+        jnp.asarray(model.corrc),
+        jnp.asarray(np.asarray(sigmas, np.float32)),
+    )
+    v2max = int(math.ceil(max(float(v.max()) for v in model.v_grids)))
+    # cloud allowance 3*step around the per-iteration mean + line extent
+    half = int(math.ceil(3.0 * float(step))) + v2max + 1
+
+    def _dims(maps_shape):
+        c, l, h, w = maps_shape
+        ext = -(-(2 * half + 2) // 8) * 8
+
+        def fit(d):
+            return int(min(ext, d))
+
+        pz = 1 if l == 1 else fit(l)
+        return pz, fit(h), fit(w)
+
+    def extract(maps, center):
+        c, l, h, w = maps.shape
+        pz, py, px = _dims(maps.shape)
+        cx = jnp.clip(jnp.round(center[:, 0]).astype(jnp.int32) - px // 2, 0, w - px)
+        cy = jnp.clip(jnp.round(center[:, 1]).astype(jnp.int32) - py // 2, 0, h - py)
+        cz = jnp.clip(jnp.round(center[:, 2]).astype(jnp.int32) - pz // 2, 0, l - pz)
+        corner = jnp.stack([cz, cy, cx], axis=-1)  # (T, 3) zyx
+
+        def slice_one(czyx):
+            return jax.lax.dynamic_slice(
+                maps, (0, czyx[0], czyx[1], czyx[2]), (c, pz, py, px)
+            )
+
+        patches = jax.vmap(slice_one)(corner)  # (T, 3S, pz, py, px)
+        return patches, corner
+
+    def _hat(rel, pdim):
+        # rel (..., M) in [0, pdim-1] -> weights (..., M, pdim), 2 taps/row
+        i = jnp.arange(pdim, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - i))
+
+    def corr(vol_shape, patches, corner, pos, dirs):
+        l, h, w = vol_shape
+        t, c3s, pz, py, px = patches.shape
+        n = pos.shape[1]
+        pat = patches.reshape(t, s_count, 3, pz, py, px)
+
+        # sample points p + v*dir, (T, N, S, NV, 3) -> (T, S, M, 3)
+        pts = (
+            pos[:, :, None, None, :]
+            + vgrid_j[None, None, :, :, None] * dirs[:, :, None, None, :]
+        )
+        pts = jnp.moveaxis(pts, 2, 1).reshape(t, s_count, n * nv, 3)
+        m = n * nv
+
+        czf = corner[:, 0].astype(jnp.float32)[:, None, None]
+        cyf = corner[:, 1].astype(jnp.float32)[:, None, None]
+        cxf = corner[:, 2].astype(jnp.float32)[:, None, None]
+        # reference clamp to volume bounds first (tracker.cpp:2142-2150),
+        # then clamp into the patch window
+        rx = jnp.clip(jnp.clip(pts[..., 0], 0.0, w - 1.001) - cxf, 0.0, px - 1.001)
+        ry = jnp.clip(jnp.clip(pts[..., 1], 0.0, h - 1.001) - cyf, 0.0, py - 1.001)
+        if l == 1:
+            rz = jnp.zeros_like(rx)
+        else:
+            rz = jnp.clip(jnp.clip(pts[..., 2], 0.0, l - 1.001) - czf, 0.0, pz - 1.001)
+
+        from pnr_tpu.ops.pallas_conv import mosaic_available
+        from pnr_tpu.ops.pallas_sample import fits, hat_sample_pallas, _roundup
+
+        pat_shape = (t, s_count, 3, pz, py, px)
+        if mosaic_available() and fits(pat_shape, m):
+            # fused Pallas kernel: hat weights built in VMEM, one MXU
+            # dot per map channel — no HBM weight matrix, no transpose
+            mpad = _roundup(max(m, 8), 8)
+            rel = jnp.stack([rz, ry, rx, jnp.zeros_like(rx)], axis=-1)
+            rel = jnp.pad(rel, ((0, 0), (0, 0), (0, mpad - m), (0, 0)))
+            out = hat_sample_pallas(pat.reshape(pat_shape), rel)
+            v = out[:, :, :m, :3]
+        else:
+            # XLA path: combine the z and y hats into one (M, pz*py)
+            # weight matrix so the contraction is ONE well-shaped MXU
+            # matmul per (trace, sigma) — (M, pz*py) @ (pz*py, 3*px).
+            # Separate per-axis contractions make K<=32 matmuls that
+            # waste the systolic array (measured 1.7x SLOWER than the
+            # gather path on v5e). HIGH precision = bf16x3 passes: the
+            # sums are all-positive hat-weighted map values, no
+            # cancellation inside the matmul (the delicate s3 - s2^2/N
+            # happens later in f32).
+            wz = _hat(rz, pz)  # (T, S, M, pz)
+            wy = _hat(ry, py)
+            wx = _hat(rx, px)
+            hp = jax.lax.Precision.HIGH
+            wzy = (wz[..., :, None] * wy[..., None, :]).reshape(
+                t, s_count, m, pz * py
+            )
+            a = jnp.einsum(
+                "tsmq,tscqx->tsmcx",
+                wzy,
+                pat.reshape(t, s_count, 3, pz * py, px),
+                precision=hp,
+            )
+            v = jnp.einsum("tsmx,tsmcx->tsmc", wx, a, precision=hp)
+        v = v.reshape(t, s_count, n, nv, 3)
+        sums = jnp.sum(v * vmask_j[None, :, None, :, None], axis=3)  # (T,S,N,3)
+        s1 = jnp.moveaxis(sums[..., 0], 1, -1)  # (T, N, S)
+        s2 = jnp.moveaxis(sums[..., 1], 1, -1)
+        s3 = jnp.moveaxis(sums[..., 2], 1, -1)
+        return _corr_from_sums(model_arrays, s1, s2, s3)
+
+    return extract, corr
+
+
 def make_tube_zncc_fn(model: TubeZnccModel):
     """(maps, pos, dirs) -> (corr, sig); same contract as the exact zncc."""
     sigmas = model.sigmas

@@ -81,15 +81,21 @@ class BatchedTracker:
             from pnr_tpu.ops.zncc_fast import (
                 TubeZnccModel,
                 build_tube_maps,
+                make_tube_patch_engine,
                 make_tube_zncc_fn,
             )
 
             model = TubeZnccModel(cfg.sigmas, is2d)
             self._zncc = make_tube_zncc_fn(model)
+            # gather-free per-trace-patch engine for the wave hot loop;
+            # the global gather fn above stays for scattered queries
+            # (seed scoring) where there is no cluster structure
+            self._patch_engine = make_tube_patch_engine(model, cfg.step)
             self._prepare_field = jax.jit(lambda im: build_tube_maps(im, model))
             self._field_is_maps = True
         else:
             self._zncc = make_zncc_fn(self.templates)
+            self._patch_engine = None
             self._prepare_field = lambda im: im
             self._field_is_maps = False
 
@@ -145,18 +151,49 @@ class BatchedTracker:
                 (x1 >= 0) & (x1 < w) & (y1 >= 0) & (y1 < h) & (z1 >= 0) & (z1 < l)
             )
 
-        def estimate(img, pos, dirs, wgt):
-            # pos/dirs (T, P, 3), wgt (T, P) -> per-trace centroid (T, 3)
-            cpos = jnp.sum(wgt[..., None] * pos, axis=1)
-            cdir = jnp.sum(wgt[..., None] * dirs, axis=1)
-            cdir = cdir / jnp.linalg.norm(cdir, axis=-1, keepdims=True)
-            ccorr, csig = zncc(img, cpos, cdir)
-            return cpos, cdir, ccorr, csig
-
         def flat_zncc(img, pos, dirs):
             t, p, _ = pos.shape
             corr, sig = zncc(img, pos.reshape(t * p, 3), dirs.reshape(t * p, 3))
             return corr.reshape(t, p), sig.reshape(t, p)
+
+        if self._patch_engine is not None:
+            extract_p, corr_p = self._patch_engine
+
+            def eval_particles(img, pos, dirs):
+                # one patch per trace, centred on the particle cloud;
+                # every zncc of this iteration is evaluated inside it
+                center = jnp.mean(pos, axis=1)
+                patches, corner = extract_p(img, center)
+                corr, sig = corr_p(
+                    tuple(img.shape[1:4]), patches, corner, pos, dirs
+                )
+                return corr, sig, (patches, corner)
+
+            def zncc_center(img, ctx, cpos, cdir):
+                # the centroid lies in the particle hull — same patch
+                patches, corner = ctx
+                c, s = corr_p(
+                    tuple(img.shape[1:4]), patches, corner,
+                    cpos[:, None, :], cdir[:, None, :],
+                )
+                return c[:, 0], s[:, 0]
+
+        else:
+
+            def eval_particles(img, pos, dirs):
+                corr, sig = flat_zncc(img, pos, dirs)
+                return corr, sig, None
+
+            def zncc_center(img, ctx, cpos, cdir):
+                return zncc(img, cpos, cdir)
+
+        def estimate(img, ctx, pos, dirs, wgt):
+            # pos/dirs (T, P, 3), wgt (T, P) -> per-trace centroid (T, 3)
+            cpos = jnp.sum(wgt[..., None] * pos, axis=1)
+            cdir = jnp.sum(wgt[..., None] * dirs, axis=1)
+            cdir = cdir / jnp.linalg.norm(cdir, axis=-1, keepdims=True)
+            ccorr, csig = zncc_center(img, ctx, cpos, cdir)
+            return cpos, cdir, ccorr, csig
 
         def _shape_of(img):
             # tube-mode field is the planar (3S, Z, Y, X) map stack
@@ -190,13 +227,13 @@ class BatchedTracker:
             )
             prior = w0_tab[s_flat].reshape(t, npart)
 
-            corr, _ = flat_zncc(img, pos, dirs)
+            corr, _, ctx = eval_particles(img, pos, dirs)
             lhood = jnp.exp(kc * corr)
             wgt = (1.0 / npart) * (prior / jnp.sum(prior, axis=1, keepdims=True)) * lhood
             wgt = wgt / jnp.sum(wgt, axis=1, keepdims=True)
             neff = 1.0 / jnp.sum(wgt * wgt, axis=1)  # (T,)
 
-            cpos, cdir, ccorr, csig = estimate(img, pos, dirs, wgt)
+            cpos, cdir, ccorr, csig = estimate(img, ctx, pos, dirs, wgt)
             ok0 = in_bounds(cpos, shape_zyx) & (ccorr >= znccth)
 
             resampled = neff / npart < neff_ratio
@@ -259,14 +296,14 @@ class BatchedTracker:
                 new_dir = u_tab[s].reshape(t, npart, 3)
                 prior = w_flat[vi * sz + s].reshape(t, npart)
 
-                corr, _ = flat_zncc(img, new_pos, new_dir)
+                corr, _, ctx = eval_particles(img, new_pos, new_dir)
                 lhood = jnp.exp(kc * corr)
                 prev_w = jnp.where(resampled[:, None], 1.0 / npart, wgt)
                 wnew = prev_w * (prior / jnp.sum(prior, axis=1, keepdims=True)) * lhood
                 wnew = wnew / jnp.sum(wnew, axis=1, keepdims=True)
                 neff = 1.0 / jnp.sum(wnew * wnew, axis=1)
 
-                cpos, cdir, ccorr, csig = estimate(img, new_pos, new_dir, wnew)
+                cpos, cdir, ccorr, csig = estimate(img, ctx, new_pos, new_dir, wnew)
                 ok = in_bounds(cpos, shape_zyx) & (ccorr >= znccth)
                 alive_new = alive & ok
 

@@ -196,3 +196,86 @@ class TestTubeZncc2D:
         assert float(corr[0]) > 0.5  # on the 2-D ridge, aligned
         assert float(corr[0]) > float(corr[1]) + 0.2  # background lower
         assert np.isfinite(np.asarray(corr)).all()
+
+
+class TestTubePatchEngine:
+    """Per-trace-patch engine (make_tube_patch_engine) vs the global
+    gather formulation: identical math, different evaluation."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        img = make_noisy_tube(shape=(24, 64, 96))
+        sigmas = (2.0, 3.0)
+        model = TubeZnccModel(sigmas, is2d=False)
+        maps = build_tube_maps(jnp.asarray(img), model)
+        gfn = make_tube_zncc_fn(model)
+        from pnr_tpu.ops.zncc_fast import make_tube_patch_engine
+
+        extract, corr = make_tube_patch_engine(model, step=2.0)
+        return img, maps, gfn, extract, corr
+
+    def test_matches_global_tube_zncc(self, setup, rng):
+        img, maps, gfn, extract, corr = setup
+        t, n = 6, 15
+        centers = np.stack(
+            [rng.uniform(15, 80, t), rng.uniform(15, 48, t), rng.uniform(6, 18, t)],
+            -1,
+        ).astype(np.float32)
+        pos = centers[:, None, :] + rng.uniform(-4, 4, (t, n, 3)).astype(np.float32)
+        d = rng.normal(size=(t, n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        c_ref, s_ref = gfn(maps, jnp.asarray(pos.reshape(-1, 3)), jnp.asarray(d.reshape(-1, 3)))
+        patches, corner = extract(maps, jnp.asarray(centers))
+        c_new, s_new = corr(
+            tuple(maps.shape[1:4]), patches, corner, jnp.asarray(pos), jnp.asarray(d)
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_new), np.asarray(c_ref).reshape(t, n), atol=2e-5
+        )
+        assert (np.asarray(s_new) == np.asarray(s_ref).reshape(t, n)).mean() > 0.99
+
+    def test_edge_clamping_matches(self, setup, rng):
+        """Points near the volume edge: both paths clamp to the bounds."""
+        img, maps, gfn, extract, corr = setup
+        centers = np.asarray([[2.0, 2.0, 1.0], [94.0, 62.0, 22.0]], np.float32)
+        pos = centers[:, None, :] + rng.uniform(-2, 2, (2, 8, 3)).astype(np.float32)
+        d = rng.normal(size=(2, 8, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        c_ref, _ = gfn(maps, jnp.asarray(pos.reshape(-1, 3)), jnp.asarray(d.reshape(-1, 3)))
+        patches, corner = extract(maps, jnp.asarray(centers))
+        c_new, _ = corr(
+            tuple(maps.shape[1:4]), patches, corner, jnp.asarray(pos), jnp.asarray(d)
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_new), np.asarray(c_ref).reshape(2, 8), atol=2e-5
+        )
+
+
+class TestHatSamplePallas:
+    def test_interpret_matches_trilinear(self, rng):
+        """The Pallas sampling kernel (interpret mode) == clamped trilinear."""
+        from pnr_tpu.ops.pallas_sample import hat_sample_pallas, _roundup
+        from pnr_tpu.ops.interp import trilinear
+
+        t, s, pz, py, px, m = 2, 2, 8, 16, 24, 11
+        pat = rng.normal(size=(t, s, 3, pz, py, px)).astype(np.float32)
+        mpad = _roundup(m, 8)
+        rel = np.zeros((t, s, mpad, 4), np.float32)
+        rel[:, :, :m, 0] = rng.uniform(0, pz - 1.001, (t, s, m))
+        rel[:, :, :m, 1] = rng.uniform(0, py - 1.001, (t, s, m))
+        rel[:, :, :m, 2] = rng.uniform(0, px - 1.001, (t, s, m))
+        out = np.asarray(
+            hat_sample_pallas(jnp.asarray(pat), jnp.asarray(rel), interpret=True)
+        )
+        for ti in range(t):
+            for si in range(s):
+                for c in range(3):
+                    ref = trilinear(
+                        jnp.asarray(pat[ti, si, c]),
+                        jnp.asarray(rel[ti, si, :m, 2]),
+                        jnp.asarray(rel[ti, si, :m, 1]),
+                        jnp.asarray(rel[ti, si, :m, 0]),
+                    )
+                    np.testing.assert_allclose(
+                        out[ti, si, :m, c], np.asarray(ref), atol=1e-5
+                    )
