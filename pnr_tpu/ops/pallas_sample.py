@@ -11,14 +11,19 @@ contracts them against the resident patch block on the MXU — the only
 HBM traffic left is reading each patch once and writing the (M, 3)
 results.
 
-Grid: one program per (trace, sigma). Per program:
-  W[m, q]  = hat(rz[m] - q//py) * hat(ry[m] - q%py)     (VPU build)
-  A_c      = W @ patch[c]                                (MXU, (M,q)@(q,px))
-  out[m,c] = sum_x A_c[m,x] * hat(rx[m] - x)             (VPU reduce)
+Grid: one program per (trace, sigma). The patch arrives channel-packed
+as (q = pz*py, 3*px) — all three maps of the sigma side by side in the
+lane dimension, so the contraction is ONE (M, q) @ (q, 3*px) MXU dot
+(a per-channel (q, px) dot leaves the systolic array 25% utilized).
+Per program:
+  W[m, q]    = hat(rz[m] - q//py) * hat(ry[m] - q%py)    (VPU build)
+  A          = W @ patch                                  (MXU)
+  out[m, c]  = sum_d A[m, d] * hat(rx[m] - d%px) * [d//px == c]
 
-Constraints: py % 8 == 0 (so the (pz,py) merge is a no-op relayout)
-and the W block must fit VMEM; callers gate on `fits()` and fall back
-to the XLA path otherwise (also on CPU — no Mosaic).
+Constraints: py % 8 == 0 when pz > 1 (so the caller's (pz, py) merge
+is layout-free) and the W block must fit VMEM; callers gate on
+`fits()` and fall back to the XLA path otherwise (also on CPU — no
+Mosaic).
 """
 
 from __future__ import annotations
@@ -44,7 +49,8 @@ def fits(patch_shape, m: int) -> bool:
         return False
     q = pz * py
     mpad = _roundup(max(m, 8), 8)
-    vmem = 4 * (mpad * q * 2 + 3 * q * px + mpad * px * 2 + mpad * 4 * 2)
+    lanes = _roundup(3 * px, 128)
+    vmem = 4 * (mpad * q * 2 + q * lanes + 3 * mpad * lanes)
     return vmem <= _VMEM_SOFT_CAP
 
 
@@ -63,21 +69,173 @@ def _kernel(rel_ref, pat_ref, out_ref, *, pz: int, py: int, px: int):
         0.0, 1.0 - jnp.abs(ry - yi)
     )  # (Mpad, q)
 
-    xi = jax.lax.broadcasted_iota(jnp.int32, (mpad, px), 1).astype(jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - xi))  # (Mpad, px)
+    # HIGHEST (f32): default MXU precision is one bf16 pass (Mosaic
+    # supports only DEFAULT/HIGHEST), which leaves ~1e-3 relative error
+    # on the map sums and wrecks the cancellation-sensitive
+    # s3 - s2^2/N downstream
+    a = jax.lax.dot_general(
+        w, pat_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Mpad, 3*px)
 
-    pat = pat_ref[0, 0].reshape(3, q, px)
+    di = jax.lax.broadcasted_iota(jnp.int32, (mpad, 3 * px), 1)
+    wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rx - (di % px).astype(jnp.float32)))
+    aw = a * wx3
     for c in range(3):
-        # HIGHEST (f32): default MXU precision is one bf16 pass (Mosaic
-        # supports only DEFAULT/HIGHEST), which leaves
-        # ~1e-3 relative error on the map sums and wrecks the
-        # cancellation-sensitive s3 - s2^2/N downstream
+        out_ref[0, 0, :, c : c + 1] = jnp.sum(
+            jnp.where(di // px == c, aw, 0.0), axis=1, keepdims=True
+        )
+
+
+#: The fused-DMA kernel is DISABLED: Mosaic tiles HBM memrefs (1, 128)
+#: and rejects DMA windows whose lane extent is not a multiple of 128
+#: ("Slice shape along dimension 3 must be aligned to tiling"), so the
+#: arbitrary ~32-lane patch windows this kernel slices cannot be
+#: expressed on the current toolchain. Kept (with its interpret-mode
+#: test) as the target design if Mosaic grows unaligned DMA windows.
+_FUSED_ENABLED = False
+
+
+def fits_fused(maps_shape, pdims, m_per_sigma: int, n_sigma: int) -> bool:
+    """Can the fused-DMA kernel run this config?"""
+    if not _FUSED_ENABLED:
+        return False
+    c, l, h, w = maps_shape
+    pz, py, px = pdims
+    if c != 3 * n_sigma or (pz > 1 and py % 8 != 0):
+        return False
+    q = pz * py
+    mpad = _roundup(max(m_per_sigma, 8), 8)
+    lanes = _roundup(3 * px, 128)
+    vmem = 4 * (
+        2 * n_sigma * pz * py * lanes  # double-buffered patch scratch
+        + mpad * q * 2                 # W + iota temporaries
+        + 3 * mpad * lanes             # A, wx3, aw
+    )
+    return vmem <= _VMEM_SOFT_CAP
+
+
+def _fused_kernel(
+    corner_ref, maps_ref, rel_ref, out_ref, patch_sc, sems,
+    *, pz: int, py: int, px: int, n_sigma: int, mpad: int,
+):
+    q = pz * py
+    ti = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    def dma(slot, t_idx, s, c):
+        cz = corner_ref[t_idx, 0]
+        cy = corner_ref[t_idx, 1]
+        cx = corner_ref[t_idx, 2]
+        return pltpu.make_async_copy(
+            maps_ref.at[3 * s + c, pl.ds(cz, pz), pl.ds(cy, py), pl.ds(cx, px)],
+            patch_sc.at[slot, s, :, :, pl.ds(c * px, px)],
+            sems.at[slot, s, c],
+        )
+
+    def start_all(slot, t_idx):
+        for s in range(n_sigma):
+            for c in range(3):
+                dma(slot, t_idx, s, c).start()
+
+    # double buffering: program t computes on the patch its predecessor
+    # prefetched and starts the DMA for t+1
+    @pl.when(ti == 0)
+    def _():
+        start_all(0, 0)
+
+    @pl.when(ti + 1 < nt)
+    def _():
+        start_all((ti + 1) % 2, ti + 1)
+
+    slot = ti % 2
+    for s in range(n_sigma):
+        for c in range(3):
+            dma(slot, ti, s, c).wait()
+
+    rel = rel_ref[0]  # (n_sigma * Mpad, 4)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (mpad, q), 1)
+    zi = (qi // py).astype(jnp.float32)
+    yi = (qi % py).astype(jnp.float32)
+    di = jax.lax.broadcasted_iota(jnp.int32, (mpad, 3 * px), 1)
+    xi3 = (di % px).astype(jnp.float32)
+
+    for s in range(n_sigma):
+        rels = rel[s * mpad : (s + 1) * mpad]
+        rz = rels[:, 0:1]
+        ry = rels[:, 1:2]
+        rx = rels[:, 2:3]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(rz - zi)) * jnp.maximum(
+            0.0, 1.0 - jnp.abs(ry - yi)
+        )
+        pat2 = patch_sc[slot, s].reshape(q, 3 * px)
         a = jax.lax.dot_general(
-            w, pat[c], (((1,), (0,)), ((), ())),
+            w, pat2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (Mpad, px)
-        out_ref[0, 0, :, c : c + 1] = jnp.sum(a * wx, axis=1, keepdims=True)
+        )
+        aw = a * jnp.maximum(0.0, 1.0 - jnp.abs(rx - xi3))
+        for c in range(3):
+            out_ref[0, s * mpad : (s + 1) * mpad, c : c + 1] = jnp.sum(
+                jnp.where(di // px == c, aw, 0.0), axis=1, keepdims=True
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("pdims", "interpret"))
+def hat_sample_fused(
+    maps: jax.Array,
+    corners: jax.Array,
+    rel: jax.Array,
+    pdims,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused-DMA variant: slices each trace's patch straight out of the
+    planar map stack inside the kernel (double-buffered across the
+    trace grid) — no XLA-side patch materialization or transpose.
+
+    maps (3S, l, h, w) f32, corners (T, 3) int32 (z, y, x window
+    origins, pre-clamped to [0, dim - pdim]), rel (T, S*Mpad, 4) f32
+    -> (T, S*Mpad, 4) f32 with columns [v_m1, v_m2, v_m3, garbage].
+    """
+    c3s, l, h, w = maps.shape
+    pz, py, px = pdims
+    t = corners.shape[0]
+    n_sigma = c3s // 3
+    smpad = rel.shape[1]
+    mpad = smpad // n_sigma
+    assert mpad % 8 == 0 and mpad * n_sigma == smpad
+
+    kern = functools.partial(
+        _fused_kernel, pz=pz, py=py, px=px, n_sigma=n_sigma, mpad=mpad
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            # explicitly HBM: with ANY the compiler may park small map
+            # stacks in VMEM, where .at[] windows must be 128-aligned
+            # on the lane dim; HBM is untiled so arbitrary DMA windows
+            # are legal
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, smpad, 4), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, smpad, 4), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_sigma, pz, py, 3 * px), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_sigma, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, smpad, 4), jnp.float32),
+        interpret=interpret,
+    )(corners, maps, rel)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -91,6 +249,12 @@ def hat_sample_pallas(
     mpad = rel.shape[2]
     assert mpad % 8 == 0
 
+    # channel-pack: (..., 3, pz, py, px) -> (..., q, 3*px); the reshape
+    # after the transpose is a pure view (C-order), so this is one copy
+    pat2 = jnp.transpose(patches, (0, 1, 3, 4, 2, 5)).reshape(
+        t, s, pz * py, 3 * px
+    )
+
     kern = functools.partial(_kernel, pz=pz, py=py, px=px)
     return pl.pallas_call(
         kern,
@@ -100,8 +264,8 @@ def hat_sample_pallas(
                 (1, 1, mpad, 4), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, 3, pz, py, px),
-                lambda i, j: (i, j, 0, 0, 0, 0),
+                (1, 1, pz * py, 3 * px),
+                lambda i, j: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -110,4 +274,4 @@ def hat_sample_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((t, s, mpad, 4), jnp.float32),
         interpret=interpret,
-    )(rel, patches)
+    )(rel, pat2)

@@ -30,7 +30,7 @@ contract as the exact `zncc` (select with PNRConfig.zncc_mode).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Callable, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -151,7 +151,21 @@ def _corr_from_sums(model_arrays, s1, s2, s3):
     return jnp.max(corrs, axis=-1), sig_vals[best]
 
 
-def make_tube_patch_engine(model: TubeZnccModel, step: float):
+class PatchEngine(NamedTuple):
+    """Per-trace-patch tube ZNCC evaluators (see make_tube_patch_engine).
+
+    extract(maps, center_xyz (T,3)) -> (patches, corner_zyx (T,3))
+    corr(vol_shape, patches, corner, pos (T,N,3), dirs) -> (corr, sig)
+    eval_fused(maps, pos (T,N,3), dirs) -> (corr, sig) — corner derived
+        from the cloud mean; on TPU the patch never touches HBM.
+    """
+
+    extract: Callable
+    corr: Callable
+    eval_fused: Callable
+
+
+def make_tube_patch_engine(model: TubeZnccModel, step: float) -> PatchEngine:
     """Per-trace-patch tube ZNCC: hat-weight matmuls instead of gathers.
 
     XLA:TPU lowers element gathers to a serial loop (~0.2M tube queries/s
@@ -208,13 +222,18 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float):
         pz = 1 if l == 1 else fit(l)
         return pz, fit(h), fit(w)
 
-    def extract(maps, center):
-        c, l, h, w = maps.shape
-        pz, py, px = _dims(maps.shape)
+    def _corners(maps_shape, center):
+        c, l, h, w = maps_shape
+        pz, py, px = _dims(maps_shape)
         cx = jnp.clip(jnp.round(center[:, 0]).astype(jnp.int32) - px // 2, 0, w - px)
         cy = jnp.clip(jnp.round(center[:, 1]).astype(jnp.int32) - py // 2, 0, h - py)
         cz = jnp.clip(jnp.round(center[:, 2]).astype(jnp.int32) - pz // 2, 0, l - pz)
-        corner = jnp.stack([cz, cy, cx], axis=-1)  # (T, 3) zyx
+        return jnp.stack([cz, cy, cx], axis=-1)  # (T, 3) zyx
+
+    def extract(maps, center):
+        c = maps.shape[0]
+        pz, py, px = _dims(maps.shape)
+        corner = _corners(maps.shape, center)
 
         def slice_one(czyx):
             return jax.lax.dynamic_slice(
@@ -229,20 +248,18 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float):
         i = jnp.arange(pdim, dtype=jnp.float32)
         return jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - i))
 
-    def corr(vol_shape, patches, corner, pos, dirs):
-        l, h, w = vol_shape
-        t, c3s, pz, py, px = patches.shape
-        n = pos.shape[1]
-        pat = patches.reshape(t, s_count, 3, pz, py, px)
+    def _rel_coords(vol_shape, pdims, corner, pos, dirs):
+        """Sample points p + v*dir in patch-relative clamped coords.
 
-        # sample points p + v*dir, (T, N, S, NV, 3) -> (T, S, M, 3)
+        Returns (rz, ry, rx), each (T, S, M) with M = N*NV."""
+        l, h, w = vol_shape
+        pz, py, px = pdims
+        t, n = pos.shape[:2]
         pts = (
             pos[:, :, None, None, :]
             + vgrid_j[None, None, :, :, None] * dirs[:, :, None, None, :]
         )
         pts = jnp.moveaxis(pts, 2, 1).reshape(t, s_count, n * nv, 3)
-        m = n * nv
-
         czf = corner[:, 0].astype(jnp.float32)[:, None, None]
         cyf = corner[:, 1].astype(jnp.float32)[:, None, None]
         cxf = corner[:, 2].astype(jnp.float32)[:, None, None]
@@ -254,6 +271,53 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float):
             rz = jnp.zeros_like(rx)
         else:
             rz = jnp.clip(jnp.clip(pts[..., 2], 0.0, l - 1.001) - czf, 0.0, pz - 1.001)
+        return rz, ry, rx
+
+    def _finish(v, t, n):
+        """(T, S, M, 3) sample values -> (corr, sig), both (T, N)."""
+        v = v.reshape(t, s_count, n, nv, 3)
+        sums = jnp.sum(v * vmask_j[None, :, None, :, None], axis=3)  # (T,S,N,3)
+        s1 = jnp.moveaxis(sums[..., 0], 1, -1)  # (T, N, S)
+        s2 = jnp.moveaxis(sums[..., 1], 1, -1)
+        s3 = jnp.moveaxis(sums[..., 2], 1, -1)
+        return _corr_from_sums(model_arrays, s1, s2, s3)
+
+    def eval_fused(maps, pos, dirs):
+        """Particle evaluation straight from the planar map stack: the
+        Pallas fused-DMA kernel slices each trace's patch in-kernel
+        (double-buffered) — nothing is materialized in HBM. Falls back
+        to extract + corr where Mosaic is unavailable."""
+        from pnr_tpu.ops.pallas_conv import mosaic_available
+        from pnr_tpu.ops.pallas_sample import (
+            _roundup,
+            fits_fused,
+            hat_sample_fused,
+        )
+
+        t, n = pos.shape[:2]
+        center = jnp.mean(pos, axis=1)
+        pdims = _dims(maps.shape)
+        m = n * nv
+        if not (mosaic_available() and fits_fused(maps.shape, pdims, m, s_count)):
+            patches, corner = extract(maps, center)
+            return corr(tuple(maps.shape[1:4]), patches, corner, pos, dirs)
+        corner = _corners(maps.shape, center)
+        rz, ry, rx = _rel_coords(tuple(maps.shape[1:4]), pdims, corner, pos, dirs)
+        mpad = _roundup(max(m, 8), 8)
+        rel = jnp.stack([rz, ry, rx, jnp.zeros_like(rx)], axis=-1)
+        rel = jnp.pad(rel, ((0, 0), (0, 0), (0, mpad - m), (0, 0)))
+        out = hat_sample_fused(
+            maps, corner, rel.reshape(t, s_count * mpad, 4), pdims
+        )
+        v = out.reshape(t, s_count, mpad, 4)[:, :, :m, :3]
+        return _finish(v, t, n)
+
+    def corr(vol_shape, patches, corner, pos, dirs):
+        t, c3s, pz, py, px = patches.shape
+        n = pos.shape[1]
+        m = n * nv
+        pat = patches.reshape(t, s_count, 3, pz, py, px)
+        rz, ry, rx = _rel_coords(vol_shape, (pz, py, px), corner, pos, dirs)
 
         from pnr_tpu.ops.pallas_conv import mosaic_available
         from pnr_tpu.ops.pallas_sample import fits, hat_sample_pallas, _roundup
@@ -261,11 +325,11 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float):
         pat_shape = (t, s_count, 3, pz, py, px)
         if mosaic_available() and fits(pat_shape, m):
             # fused Pallas kernel: hat weights built in VMEM, one MXU
-            # dot per map channel — no HBM weight matrix, no transpose
+            # dot per map channel — no HBM weight matrix
             mpad = _roundup(max(m, 8), 8)
             rel = jnp.stack([rz, ry, rx, jnp.zeros_like(rx)], axis=-1)
             rel = jnp.pad(rel, ((0, 0), (0, 0), (0, mpad - m), (0, 0)))
-            out = hat_sample_pallas(pat.reshape(pat_shape), rel)
+            out = hat_sample_pallas(pat, rel)
             v = out[:, :, :m, :3]
         else:
             # XLA path: combine the z and y hats into one (M, pz*py)
@@ -291,14 +355,9 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float):
                 precision=hp,
             )
             v = jnp.einsum("tsmx,tsmcx->tsmc", wx, a, precision=hp)
-        v = v.reshape(t, s_count, n, nv, 3)
-        sums = jnp.sum(v * vmask_j[None, :, None, :, None], axis=3)  # (T,S,N,3)
-        s1 = jnp.moveaxis(sums[..., 0], 1, -1)  # (T, N, S)
-        s2 = jnp.moveaxis(sums[..., 1], 1, -1)
-        s3 = jnp.moveaxis(sums[..., 2], 1, -1)
-        return _corr_from_sums(model_arrays, s1, s2, s3)
+        return _finish(v, t, n)
 
-    return extract, corr
+    return PatchEngine(extract=extract, corr=corr, eval_fused=eval_fused)
 
 
 def make_tube_zncc_fn(model: TubeZnccModel):

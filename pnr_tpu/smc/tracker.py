@@ -157,22 +157,25 @@ class BatchedTracker:
             return corr.reshape(t, p), sig.reshape(t, p)
 
         if self._patch_engine is not None:
-            extract_p, corr_p = self._patch_engine
+            engine = self._patch_engine
 
             def eval_particles(img, pos, dirs):
                 # one patch per trace, centred on the particle cloud;
                 # every zncc of this iteration is evaluated inside it
                 center = jnp.mean(pos, axis=1)
-                patches, corner = extract_p(img, center)
-                corr, sig = corr_p(
+                patches, corner = engine.extract(img, center)
+                corr, sig = engine.corr(
                     tuple(img.shape[1:4]), patches, corner, pos, dirs
                 )
                 return corr, sig, (patches, corner)
 
             def zncc_center(img, ctx, cpos, cdir):
                 # the centroid lies in the particle hull — same patch
+                # (a separate tight per-centroid extract measured SLOWER:
+                # the second vmapped dynamic_slice costs more than the
+                # CSE-shared patch transpose)
                 patches, corner = ctx
-                c, s = corr_p(
+                c, s = engine.corr(
                     tuple(img.shape[1:4]), patches, corner,
                     cpos[:, None, :], cdir[:, None, :],
                 )

@@ -211,7 +211,8 @@ class TestTubePatchEngine:
         gfn = make_tube_zncc_fn(model)
         from pnr_tpu.ops.zncc_fast import make_tube_patch_engine
 
-        extract, corr = make_tube_patch_engine(model, step=2.0)
+        engine = make_tube_patch_engine(model, step=2.0)
+        extract, corr = engine.extract, engine.corr
         return img, maps, gfn, extract, corr
 
     def test_matches_global_tube_zncc(self, setup, rng):
@@ -279,3 +280,53 @@ class TestHatSamplePallas:
                     np.testing.assert_allclose(
                         out[ti, si, :m, c], np.asarray(ref), atol=1e-5
                     )
+
+    def test_fused_dma_variant_matches(self, rng):
+        """hat_sample_fused (in-kernel DMA slicing) == hat_sample_pallas
+        on the equivalent pre-extracted patches (interpret mode)."""
+        from pnr_tpu.ops.pallas_sample import (
+            hat_sample_fused,
+            hat_sample_pallas,
+            _roundup,
+        )
+        import jax
+
+        t, s, pz, py, px, m = 3, 2, 8, 16, 24, 11
+        l, h, w = 20, 40, 64
+        maps = rng.normal(size=(3 * s, l, h, w)).astype(np.float32)
+        corners = np.stack(
+            [
+                rng.integers(0, l - pz, t),
+                rng.integers(0, h - py, t),
+                rng.integers(0, w - px, t),
+            ],
+            -1,
+        ).astype(np.int32)
+        mpad = _roundup(m, 8)
+        rel = np.zeros((t, s, mpad, 4), np.float32)
+        rel[:, :, :m, 0] = rng.uniform(0, pz - 1.001, (t, s, m))
+        rel[:, :, :m, 1] = rng.uniform(0, py - 1.001, (t, s, m))
+        rel[:, :, :m, 2] = rng.uniform(0, px - 1.001, (t, s, m))
+
+        out_f = np.asarray(
+            hat_sample_fused(
+                jnp.asarray(maps),
+                jnp.asarray(corners),
+                jnp.asarray(rel.reshape(t, s * mpad, 4)),
+                (pz, py, px),
+                interpret=True,
+            )
+        ).reshape(t, s, mpad, 4)
+
+        patches = np.stack(
+            [
+                maps[:, cz : cz + pz, cy : cy + py, cx : cx + px]
+                for cz, cy, cx in corners
+            ]
+        ).reshape(t, s, 3, pz, py, px)
+        out_p = np.asarray(
+            hat_sample_pallas(jnp.asarray(patches), jnp.asarray(rel), interpret=True)
+        )
+        np.testing.assert_allclose(
+            out_f[:, :, :m, :3], out_p[:, :, :m, :3], atol=1e-5
+        )
