@@ -125,19 +125,33 @@ def main(argv=None) -> int:
         print(f"wrote {out} ({len(result.tree) - 1} nodes)")
 
     if cfg.save_midres and result.j8 is not None:
-        from pnr_tpu.graph.trees import bfs_forest
-        from pnr_tpu.utils.exporters import export_directionality_swc, export_seeds_swc
+        from pnr_tpu.utils.exporters import (
+            export_directionality_swc,
+            export_seeds_swc,
+            save_vector,
+        )
 
         save_volume(args.image + "_J8.tif", result.j8)
-        save_nodelist(result.n0, args.image + "_n0.swc")
-        save_nodelist(bfs_forest(result.n0), args.image + "_n0tree.swc")
-        if result.midres is not None:
+        export_seeds_swc(args.image + "_Seeds.swc", result.seeds_pos)
+        mid = result.midres or {}
+        if "vx" in mid:
             export_directionality_swc(
                 args.image + "_VxVyVz.swc", result.j8,
-                result.midres["vx"], result.midres["vy"], result.midres["vz"],
+                mid["vx"], mid["vy"], mid["vz"],
             )
-            save_volume(args.image + "_TraceDensity.tif", result.midres["trace_density"])
-        export_seeds_swc(args.image + "_Seeds.swc", result.seeds_pos)
+        if "trace_density" in mid:
+            save_volume(args.image + "_TraceDensity.tif", mid["trace_density"])
+        if "smap8" in mid:
+            save_volume(args.image + "_Smap.v3dpbd", mid["smap8"])
+        # per-stage reconstruct dumps, artifact-for-artifact with the
+        # reference's saveMidres list (Advantra_plugin.cpp:2098-2141);
+        # the empty trailing suffix matches reconstruct(n0, prefix, "")
+        for name in ("n0", "n0tree", "n0res", "n1", "n2", "n2tree"):
+            if name in mid:
+                save_nodelist(mid[name], f"{args.image}_{name}_.swc")
+        for name in ("n0len", "n0corr", "n1len"):
+            if name in mid:
+                save_vector(mid[name], f"{args.image}_{name}_.log")
     return 0
 
 

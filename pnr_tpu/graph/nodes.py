@@ -100,3 +100,38 @@ class NodeList:
             for j in self.nbr[i]:
                 if i not in self.nbr[j]:
                     self.nbr[j].append(i)
+
+
+def get_link_lengths(nodes: NodeList) -> List[float]:
+    """Euclidean length of every bidirectional link, counted once
+    (get_link_lengths, Advantra_plugin.cpp:1812-1843)."""
+    out: List[float] = []
+    chk = [[False] * len(nodes.nbr[i]) for i in range(len(nodes))]
+    for i in range(1, len(nodes)):
+        for j, nidx in enumerate(nodes.nbr[i]):
+            if chk[i][j]:
+                continue
+            try:
+                pos = nodes.nbr[nidx].index(i)
+            except ValueError:
+                continue
+            chk[i][j] = True
+            chk[nidx][pos] = True
+            out.append(
+                float(
+                    np.sqrt(
+                        (nodes.x[i] - nodes.x[nidx]) ** 2
+                        + (nodes.y[i] - nodes.y[nidx]) ** 2
+                        + (nodes.z[i] - nodes.z[nidx]) ** 2
+                    )
+                )
+            )
+    return out
+
+
+def get_node_corr(nodes: NodeList) -> List[float]:
+    """Correlations of all non-soma nodes (get_node_corr,
+    Advantra_plugin.cpp:1849-1856)."""
+    return [
+        float(nodes.corr[i]) for i in range(1, len(nodes)) if nodes.type[i] != SOMA
+    ]

@@ -381,10 +381,6 @@ def reconstruction_func(
         print(f"{used:.1f}% seeds used, |n0|={len(nodes)}")
 
     n0 = nodes
-    tm.start("reconstruct")
-    tree = reconstruct_graph(n0.copy(), cfg)
-    tm.stop()
-
     midres = None
     if cfg.save_midres:
         midres = {
@@ -393,6 +389,19 @@ def reconstruction_func(
             "vz": np.asarray(vz),
             "trace_density": np.clip(committer.npervol, 0, 255).astype(np.uint8),
         }
+        if smap is not None:
+            # min-max normalized soma label map (Advantra_plugin.cpp:2450-2470)
+            smin, smax = int(smap.min()), int(smap.max())
+            if smax == smin:
+                midres["smap8"] = np.full(smap.shape, smin & 0xFF, np.uint8)
+            else:
+                midres["smap8"] = np.clip(
+                    np.round((smap - smin) / float(smax - smin) * 255), 0, 255
+                ).astype(np.uint8)
+
+    tm.start("reconstruct")
+    tree = reconstruct_graph(n0.copy(), cfg, midres=midres)
+    tm.stop()
 
     if profile_dir:
         jax.profiler.stop_trace()
@@ -409,12 +418,36 @@ def reconstruction_func(
     )
 
 
-def reconstruct_graph(n0: NodeList, cfg: PNRConfig) -> NodeList:
-    """Post-processing sub-pipeline (`reconstruct`, Advantra_plugin.cpp:2096)."""
+def reconstruct_graph(
+    n0: NodeList, cfg: PNRConfig, midres: Optional[Dict] = None
+) -> NodeList:
+    """Post-processing sub-pipeline (`reconstruct`, Advantra_plugin.cpp:2096).
+
+    With `midres` (a dict, filled in place), captures the per-stage
+    snapshots the reference dumps under saveMidres
+    (Advantra_plugin.cpp:2098-2141): n0/n0tree/n0res/n1/n2/n2tree node
+    lists plus the n0len/n0corr/n1len statistics logs.
+    """
+    from pnr_tpu.graph.nodes import get_link_lengths, get_node_corr
+
+    if midres is not None:
+        midres["n0"] = n0.copy()
+        midres["n0tree"] = bfs_forest(n0)
+        midres["n0len"] = get_link_lengths(n0)
+        midres["n0corr"] = get_node_corr(n0)
     interpolate_nodelist(n0, cfg.trace_rsmpl)
+    if midres is not None:
+        midres["n0res"] = n0.copy()
     n1 = non_blurring(n0, cfg.sig2radius, cfg.refine_iter, cfg.epsilon2)
+    if midres is not None:
+        midres["n1"] = n1.copy()
+        midres["n1len"] = get_link_lengths(n1)
     n2 = group1(n1, cfg.group_radius)
+    if midres is not None:
+        midres["n2"] = n2.copy()
     n2tree = bfs_forest(n2)
+    if midres is not None:
+        midres["n2tree"] = n2tree.copy()
     if cfg.enforce_single_tree:
         n3 = extract_largest_tree(n2tree)
     else:

@@ -138,3 +138,60 @@ class Test2DPathTube:
         assert res.trace_count >= 1
         if len(res.tree) > 1:
             assert np.median(np.abs(np.asarray(res.tree.y[1:]) - 24.0)) < 3.0
+
+
+class TestMidresParity:
+    def test_cli_writes_reference_artifact_list(self, tmp_path):
+        """--save-midres produces the reference's saveMidres artifact
+        set, artifact for artifact (Advantra_plugin.cpp:2098-2141 per-
+        stage reconstruct dumps + seeds/J8/directionality/density/soma)."""
+        import subprocess
+        import sys
+        import os
+
+        from pnr_tpu.io.volume import save_volume
+
+        vol = tube_phantom(shape=(10, 32, 64))
+        img = str(tmp_path / "t.tif")
+        save_volume(img, vol)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PYTHONPATH", None)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "pnr_tpu.cli", "-i", img,
+                "-p", "2,3", "0", "10", "0.5", "2", "2", "40", "16", "2", "4", "1",
+                "--save-midres", "--quiet",
+            ],
+            cwd="/root/repo", env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        expected = (
+            ["_Advantra.swc", "_J8.tif", "_Seeds.swc", "_VxVyVz.swc",
+             "_TraceDensity.tif"]
+            + [f"_{n}_.swc" for n in ("n0", "n0tree", "n0res", "n1", "n2", "n2tree")]
+            + [f"_{n}_.log" for n in ("n0len", "n0corr", "n1len")]
+        )
+        for suffix in expected:
+            assert os.path.exists(img + suffix), f"missing {suffix}"
+        # the stats logs are comma-separated scalars
+        vals = open(img + "_n0len_.log").read().strip().split(",")
+        assert len(vals) >= 1 and all(float(v) >= 0 for v in vals)
+
+    def test_midres_stage_snapshots_consistent(self):
+        """n1 has refine applied (same count as n0res), n2 grouped (fewer
+        or equal), n2tree a forest."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, save_midres=True)
+        res = reconstruction_func(tube_phantom(), cfg, verbose=False)
+        mid = res.midres
+        for k in ("n0", "n0tree", "n0len", "n0corr", "n0res", "n1", "n1len",
+                  "n2", "n2tree", "vx", "trace_density"):
+            assert k in mid, f"missing midres key {k}"
+        assert len(mid["n0res"]) >= len(mid["n0"])  # resampling inserts
+        assert len(mid["n1"]) == len(mid["n0res"])  # refine moves, keeps count
+        assert len(mid["n2"]) <= len(mid["n1"])  # grouping merges
+        assert len(mid["n0len"]) >= 1
+        for i in range(1, len(mid["n2tree"])):
+            assert len(mid["n2tree"].nbr[i]) <= 1  # forest: one parent max
