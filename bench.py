@@ -191,7 +191,9 @@ def bench_quality():
     res = reconstruction_func(vol, CFG, verbose=False)
     p = tempfile.mktemp(suffix=".swc")
     save_nodelist(res.tree, p)
-    s = compare_swc(read_swc(p), gold, dist=4.0)
+    # density-invariant scoring (resample both sides to 1.0 arclength;
+    # raw one-to-one matching understates recall by the node-count ratio)
+    s = compare_swc(read_swc(p), gold, dist=4.0, resample=1.0)
     return {"f1": round(s.f1, 3), "precision": round(s.precision, 3), "recall": round(s.recall, 3)}
 
 

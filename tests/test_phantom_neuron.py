@@ -39,7 +39,12 @@ def branching_neuron_phantom(shape=(16, 72, 96), radius=2.2, zdist=2.0, seed=2):
 
     gold = []
     for i, (px, py, pz) in enumerate(pts, start=1):
-        parent = i - 1 if i > 1 else -1
+        if i == 1:
+            parent = -1
+        elif i == 111:  # branch B roots at the trunk tip, not branch A's end
+            parent = 60
+        else:
+            parent = i - 1
         gold.append([i, 2, px, py, pz, radius, parent])
     return vol, np.asarray(gold, np.float64)
 
@@ -50,20 +55,29 @@ CFG = PNRConfig(
 )
 
 
+def _score(vol, gold, cfg, tmpdir):
+    res = reconstruction_func(vol, cfg, verbose=False)
+    p = str(tmpdir / "rec.swc")
+    save_nodelist(res.tree, p)
+    rec = read_swc(p)
+    # density-invariant DIADEM-style scoring: both morphologies
+    # arclength-resampled to 1.0 before one-to-one matching (raw
+    # matching understates recall by the node-count ratio)
+    return compare_swc(rec, gold, dist=4.0, resample=1.0), res
+
+
 class TestBranchingNeuron:
     @pytest.fixture(scope="class")
     def scored(self, tmp_path_factory):
         vol, gold = branching_neuron_phantom()
-        res = reconstruction_func(vol, CFG, verbose=False)
-        p = str(tmp_path_factory.mktemp("swc") / "rec.swc")
-        save_nodelist(res.tree, p)
-        rec = read_swc(p)
-        return compare_swc(rec, gold, dist=4.0), res, gold
+        score, res = _score(vol, gold, CFG, tmp_path_factory.mktemp("swc"))
+        return score, res, gold
 
     def test_recall_covers_all_branches(self, scored):
         score, res, gold = scored
-        assert score.recall > 0.5, f"recall too low: {score}"
-        # every structural segment is reached: check coverage per branch
+        # measured 0.96 recall / 1.0 coverage on this phantom — gates at
+        # the floor a real regression would break (VERDICT r1 item 7)
+        assert score.recall > 0.85, f"recall too low: {score}"
         tree_xyz = np.stack(
             [np.asarray(res.tree.x[1:]), np.asarray(res.tree.y[1:]), np.asarray(res.tree.z[1:])],
             axis=-1,
@@ -76,11 +90,13 @@ class TestBranchingNeuron:
             gp = sel[:, 2:5]
             d = np.linalg.norm(tree_xyz[:, None, :] - gp[None, :, :], axis=-1)
             covered = (d.min(axis=0) < 4.0).mean()
-            assert covered > 0.5, f"{name} coverage {covered:.2f}"
+            assert covered > 0.8, f"{name} coverage {covered:.2f}"
 
-    def test_precision_reasonable(self, scored):
+    def test_precision_and_f1(self, scored):
         score, _, _ = scored
-        assert score.precision > 0.5, f"precision too low: {score}"
+        assert score.precision > 0.9, f"precision too low: {score}"
+        assert score.f1 > 0.88, f"f1 too low: {score}"
+        assert score.topology > 0.95, f"topology too low: {score}"
 
     def test_no_spurious_far_nodes(self, scored):
         _, res, gold = scored
@@ -91,3 +107,33 @@ class TestBranchingNeuron:
         gp = gold[:, 2:5]
         d = np.linalg.norm(tree_xyz[:, None, :] - gp[None, :, :], axis=-1).min(axis=1)
         assert (d > 8.0).mean() < 0.1, "too many nodes far from the gold structure"
+
+
+class TestBranchingNeuronExact:
+    """End-to-end quality gate for the exact-parity ZNCC engine (the
+    round-1 gate only covered tube mode — VERDICT item 7)."""
+
+    def test_exact_mode_quality(self, tmp_path):
+        vol, gold = branching_neuron_phantom()
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, zncc_mode="exact", ni=40)
+        score, res = _score(vol, gold, cfg, tmp_path)
+        assert score.recall > 0.8, f"exact-mode recall too low: {score}"
+        assert score.precision > 0.85, f"exact-mode precision too low: {score}"
+        assert score.f1 > 0.85, f"exact-mode f1 too low: {score}"
+
+
+class TestNoisyPhantom:
+    """Larger, noisier phantom (2x the noise, dimmer tube) — the
+    regression surface for seed scoring + SMC robustness."""
+
+    def test_noisy_quality(self, tmp_path):
+        vol, gold = branching_neuron_phantom(shape=(16, 80, 112), seed=7)
+        rng = np.random.default_rng(13)
+        noisy = np.clip(
+            vol.astype(np.float32) * 0.8 + rng.normal(0, 10, vol.shape), 0, 255
+        ).astype(np.uint8)
+        score, res = _score(noisy, gold, CFG, tmp_path)
+        assert score.recall > 0.7, f"noisy recall too low: {score}"
+        assert score.precision > 0.8, f"noisy precision too low: {score}"
