@@ -103,55 +103,72 @@ def shard_volume(vol: np.ndarray, mesh: Mesh) -> jax.Array:
     return jax.device_put(jnp.asarray(vol), sharding)
 
 
+def seeds_sharded(
+    j8, vx_u8, vy_u8, vz_u8, tolerance: float, mesh: Mesh, cap_per_shard: int
+):
+    """MaximumFinder seed extraction over a Z-sharded J8 volume.
+
+    The tolerance flood is strictly per-z-slice (seed.cpp:574), so
+    running the device label-propagation on each shard's slab is EXACT
+    by construction — no halo needed. Per shard the strongest
+    `cap_per_shard` MAX_POINTs (by J8 value) are emitted with their
+    decoded Frangi directions; `found` reports the true per-shard seed
+    count so callers can detect cap overflow.
+
+    Returns (pos (n*cap, 3) global xyz, dirs (n*cap, 3), valid (n*cap,),
+    found (n_shards,)) — all sharded over the mesh axis.
+    """
+    from pnr_tpu.seeds.extract import _slice_max_points
+
+    axis = mesh.axis_names[0]
+
+    def local_fn(j8_l, vx_l, vy_l, vz_l):
+        zl, h, w = j8_l.shape
+        mask = jax.vmap(lambda s: _slice_max_points(s, tolerance))(j8_l)
+        score = jnp.where(mask, j8_l.astype(jnp.int32) + 1, 0).reshape(-1)
+        vals, idx = lax.top_k(score, cap_per_shard)
+        valid = vals > 0
+        z = idx // (h * w)
+        rem = idx % (h * w)
+        y = rem // w
+        x = rem % w
+        ex = vx_l.reshape(-1)[idx].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        ey = vy_l.reshape(-1)[idx].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        ez = vz_l.reshape(-1)[idx].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        nrm = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+        nrm = jnp.where(nrm > 0, nrm, 1.0)
+        dirs = jnp.stack([ex / nrm, ey / nrm, ez / nrm], axis=-1)
+        z_glob = (z + lax.axis_index(axis) * zl).astype(jnp.float32)
+        pos = jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32), z_glob], -1)
+        found = jnp.sum(mask.astype(jnp.int32)).reshape(1)
+        return pos, dirs, valid, found
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+    return fn(j8, vx_u8, vy_u8, vz_u8)
+
+
 # ---------------------------------------------------------------------------
 # one full sharded pipeline step (filter + seeds + one trace wave)
 
 
 def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
     """A jittable full pipeline step over the mesh: sharded Frangi ->
-    global J8 -> per-shard top-k seed candidates -> one data-parallel
-    SMC wave on the replicated volume. Used by `dryrun_multichip` and as
-    the template for the production multi-chip driver.
+    global J8 -> per-shard MaximumFinder seed extraction (exact, the
+    flood is per-z-slice) -> shard-local SMC tracing with boundary
+    handoff (the volume never replicates). Used by `dryrun_multichip`
+    and as the template for the production multi-chip driver.
     """
-    from pnr_tpu.smc.tracker import BatchedTracker
+    from pnr_tpu.parallel.handoff import build_handoff_trace_step
 
-    axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    tracker = BatchedTracker(cfg, is2d=False)
-
-    def trace_fn(img, sp, sd, keys):
-        # monolithic full-ni trace (init + one stage), jit-inlined;
-        # unpack the (T, ni, 9) estimate buffer into the 5-tuple contract
-        carry, est0 = tracker._trace_init(img, sp, sd, keys)
-        _, packed = tracker._trace_stage(
-            img, keys, carry, jnp.arange(1, cfg.ni),
-            jnp.zeros(sp.shape[0], jnp.bool_),
-        )
-        all_est = jnp.concatenate([est0[:, None, :], packed], axis=1)
-        return (
-            all_est[:, :, 0:3],
-            all_est[:, :, 3:6],
-            all_est[:, :, 6],
-            all_est[:, :, 7],
-            all_est[:, :, 8] > 0.5,
-        )
     per_shard = max(1, wave // n_dev)
-
-    def local_candidates(j8_local):
-        # strongest voxels per shard as seed candidates (top-k by J8)
-        zl, h, w = j8_local.shape
-        flat = j8_local.reshape(-1).astype(jnp.float32)
-        vals, idx = lax.top_k(flat, per_shard)
-        z = idx // (h * w)
-        rem = idx % (h * w)
-        y = rem // w
-        x = rem % w
-        z_off = lax.axis_index(axis) * zl
-        pos = jnp.stack([x, y, z + z_off], axis=-1).astype(jnp.float32)
-        return pos
-
-    candidates_fn = shard_map(
-        local_candidates, mesh=mesh, in_specs=P(axis), out_specs=P(axis)
+    handoff_step, n_stages, stage_iters = build_handoff_trace_step(
+        cfg, mesh, lanes_per_shard=per_shard, stage_iters=4
     )
 
     def step(vol_sharded, key):
@@ -161,36 +178,22 @@ def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
         )
         j8 = normalize_to_u8_sharded(j, jmin, jmax)
 
-        seed_pos = candidates_fn(j8)  # (wave, 3), sharded over traces
-        dirs_u8 = jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32)
-        # decode the Frangi direction at each seed (gather from replicated copy)
-        dcode = (dirs_u8 / 255.0) * 2.0 - 1.0
-        flat_idx = (
-            seed_pos[:, 2].astype(jnp.int32) * j8.shape[1] * j8.shape[2]
-            + seed_pos[:, 1].astype(jnp.int32) * j8.shape[2]
-            + seed_pos[:, 0].astype(jnp.int32)
+        seed_pos, seed_dir, valid, found = seeds_sharded(
+            j8, vx, vy, vz, cfg.tolerance, mesh, per_shard
         )
-        seed_dir = dcode.reshape(-1, 3)[flat_idx]
-        norm = jnp.linalg.norm(seed_dir, axis=-1, keepdims=True)
-        seed_dir = seed_dir / jnp.maximum(norm, 1e-6)
-
-        # data-parallel trace wave on the replicated volume: shard the
-        # trace batch over the mesh, replicate the image
-        n_traces = seed_pos.shape[0]
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_traces, dtype=jnp.uint32))
-        img_rep = lax.with_sharding_constraint(
-            vol_sharded, NamedSharding(mesh, P())
+        ids = jnp.arange(n_dev * per_shard, dtype=jnp.int32)
+        packs, est_ids, live, lost = handoff_step(
+            vol_sharded, seed_pos, seed_dir, ids, valid, key
         )
-        seed_pos_dp = lax.with_sharding_constraint(
-            seed_pos, NamedSharding(mesh, P(axis))
-        )
-        pos, dirs, sig, corr, valid = trace_fn(img_rep, seed_pos_dp, seed_dir, keys)
         return {
             "j8": j8,
             "seed_pos": seed_pos,
-            "trace_pos": pos,
-            "trace_corr": corr,
-            "trace_valid": valid,
+            "seed_valid": valid,
+            "seeds_found": found,
+            "est_packs": packs,       # (S+1, n*T, stage_iters, 9)
+            "est_ids": est_ids,       # (S+1, n*T)
+            "trace_valid": packs[..., 8] > 0.5,
+            "handoff_lost": lost,
         }
 
     return jax.jit(step)

@@ -101,7 +101,11 @@ def _slice_max_points(img: jax.Array, tolerance: float) -> jax.Array:
             new = propagate(new)
         return new, jnp.any(new != claim)
 
-    claim, _ = jax.lax.while_loop(cond, body, (claim0, jnp.bool_(True)))
+    # derive the initial 'changed' flag from the data (trivially True)
+    # so it carries the same varying-manual-axes type as the claims when
+    # this runs inside shard_map (a literal True is cross-shard
+    # invariant and fails the while_loop carry type check there)
+    claim, _ = jax.lax.while_loop(cond, body, (claim0, jnp.any(claim0 >= 0)))
 
     claimed = claim > 0
     v0 = (claim >> _OFF_BITS).astype(jnp.int32)
