@@ -6,10 +6,12 @@ from pnr_tpu.pipeline.reconstruct import (
     reconstruction_func,
     soma_extraction,
 )
+from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
 
 __all__ = [
     "ReconstructionResult",
     "reconstruction_func",
     "reconstruct_graph",
     "soma_extraction",
+    "reconstruction_func_sharded",
 ]

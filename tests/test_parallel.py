@@ -284,3 +284,62 @@ class TestDriverDryrun:
 
         with pytest.raises(ValueError, match="make_mesh"):
             make_mesh(len(jax.devices()) + 1)
+
+
+class TestShardedReconstruction:
+    def test_matches_single_device_swc(self, mesh):
+        """Full multi-device reconstruction (sharded Frangi + sharded
+        seeds + handoff tracing + host graph) vs the single-device
+        pipeline on the same phantom (VERDICT r1 item 5)."""
+        from pnr_tpu.io.swc import save_nodelist, read_swc
+        from pnr_tpu.pipeline import reconstruction_func
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+        from pnr_tpu.utils.swc_compare import compare_swc
+
+        rng = np.random.default_rng(11)
+        shape = (16, 40, 80)  # 8 shards x 2 slices
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (y - 20) ** 2 + ((z - 8) * 2.0) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / (2 * 2.5**2))
+            * (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 6) * (x < 73)
+            + rng.normal(0, 5, shape),
+            0, 255,
+        ).astype(np.uint8)
+
+        cfg = PNRConfig(
+            sigmas=(2.0, 3.0), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=40, np=16, zdist=2.0, nodepervol=4, vol=9, wave_size=16,
+            zncc_mode="tube",
+        )
+        ref = reconstruction_func(vol, cfg, verbose=False)
+        got = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+
+        assert len(got.tree) > 10
+        import tempfile
+
+        pa = tempfile.mktemp(suffix=".swc")
+        pb = tempfile.mktemp(suffix=".swc")
+        save_nodelist(ref.tree, pa)
+        save_nodelist(got.tree, pb)
+        s = compare_swc(read_swc(pb), read_swc(pa), dist=3.0, resample=1.0)
+        assert s.f1 > 0.85, f"sharded vs single-device SWC mismatch: {s}"
+
+    def test_rejects_unsupported_configs(self, mesh):
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+
+        cfg = PNRConfig(
+            sigmas=(2.0,), znccth=0.5, kappa=2.0, step=2, ni=10, np=8,
+            zdist=2.0, nodepervol=4, vol=9,
+        )
+        with pytest.raises(ValueError, match="divide"):
+            reconstruction_func_sharded(
+                np.zeros((17, 16, 16), np.uint8), cfg, mesh, verbose=False
+            )
+        import dataclasses
+
+        cfg2 = dataclasses.replace(cfg, somaradius=4)
+        with pytest.raises(ValueError, match="soma"):
+            reconstruction_func_sharded(
+                np.zeros((16, 16, 16), np.uint8), cfg2, mesh, verbose=False
+            )
