@@ -269,3 +269,95 @@ def refine_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float)
     out.z[1:] = conv[:, 2].tolist()
     out.sig[1:] = conv[:, 3].tolist()
     return out
+
+
+def group0(
+    nodes: NodeList, d_axial: float = 2.0, sig2rad: float = 1.0
+) -> NodeList:
+    """Experimental cylinder grouping (`group0`,
+    Advantra_plugin.cpp:1645-1767; unused in the reference's live path,
+    reproduced for completeness).
+
+    Nodes are processed by descending correlation; each ungrouped node
+    gathers its spherical neighbourhood (the reference compares SQUARED
+    distances against the unsquared radius sig2rad*sig — kept), fits
+    the local orientation as the largest-|lambda| eigenvector of the
+    neighbourhood covariance, and absorbs the ungrouped neighbours
+    whose axial distance along that orientation is <= d_axial
+    (`is_cross_section`, :1054-1076), iteratively averaging position /
+    sig / corr. Divergence from the literal reference: the reference's
+    running average uses `+=` where `=` is clearly intended
+    (:1747-1751, positions would grow without bound); the intended
+    update is implemented.
+    """
+    n = len(nodes)
+    x = np.asarray(nodes.x)
+    y = np.asarray(nodes.y)
+    z = np.asarray(nodes.z)
+    sig = np.asarray(nodes.sig)
+    corr = np.asarray(nodes.corr, np.float64)
+    corr[0] = np.inf
+    order = sorted(range(n), key=lambda i: -corr[i])
+
+    out = NodeList()
+    x2y = np.full(n, -1, np.int64)
+    x2y[0] = 0
+
+    for ci in order:
+        if ci == 0 or x2y[ci] != -1:
+            continue
+        r2 = sig2rad * sig[ci]  # reference quirk: unsquared threshold
+        dx = x - x[ci]
+        dy = y - y[ci]
+        dz = z - z[ci]
+        near = (dx * dx <= r2) & (dx * dx + dy * dy <= r2) & (
+            dx * dx + dy * dy + dz * dz <= r2
+        )
+        near[0] = False
+        nci = [ci] + [j for j in np.nonzero(near)[0] if j != ci]
+        if len(nci) == 1:
+            x2y[ci] = out.add(
+                x[ci], y[ci], z[ci], corr=float(corr[ci]), sig=sig[ci],
+                ntype=nodes.type[ci],
+            )
+            out.nbr[x2y[ci]] = list(nodes.nbr[ci])
+            continue
+        pts = np.stack([x[nci], y[nci], z[nci]], axis=-1)
+        mu = pts.mean(axis=0)
+        cov = (pts - mu).T @ (pts - mu) / len(nci)
+        w, v = np.linalg.eigh(cov)
+        vdir = v[:, np.argmax(np.abs(w))]
+        gi = out.add(
+            x[ci], y[ci], z[ci], corr=float(corr[ci]), sig=sig[ci],
+            ntype=nodes.type[ci],
+        )
+        out.nbr[gi] = list(nodes.nbr[ci])
+        x2y[ci] = gi
+        gx, gy, gz, gs, gc = x[ci], y[ci], z[ci], sig[ci], float(corr[ci])
+        cnt = 1.0
+        for j in nci[1:]:
+            if x2y[j] != -1:
+                continue
+            da = (x[j] - x[ci]) * vdir[0] + (y[j] - y[ci]) * vdir[1] + (
+                z[j] - z[ci]
+            ) * vdir[2]
+            if abs(da) > d_axial:
+                continue
+            x2y[j] = gi
+            cnt += 1.0
+            a = (cnt - 1.0) / cnt
+            b = 1.0 / cnt
+            gx = a * gx + b * x[j]
+            gy = a * gy + b * y[j]
+            gz = a * gz + b * z[j]
+            gs = a * gs + b * sig[j]
+            gc = a * gc + b * corr[j]
+            out.nbr[gi].extend(nodes.nbr[j])
+        out.x[gi], out.y[gi], out.z[gi] = float(gx), float(gy), float(gz)
+        out.sig[gi], out.corr[gi] = float(gs), float(gc)
+
+    # remap neighbour links into group space and repair
+    for i in range(1, len(out)):
+        out.nbr[i] = [int(x2y[j]) for j in out.nbr[i] if x2y[j] > 0]
+    out.check_nbr()
+    return out

@@ -105,6 +105,87 @@ def soma_extraction(vol: np.ndarray, cfg: PNRConfig, nodes: NodeList):
     return smap
 
 
+def sphere_offsets(radius: float, zdist: float) -> np.ndarray:
+    """Integer ellipsoid offsets, z-range shrunk by 1/zdist
+    (Tracker::sphereXYZ, pnr-vaa3d/tracker.cpp:581-620). (K, 3) dx,dy,dz."""
+    radius = max(0.0, float(radius))
+    rxy = int(round(radius))
+    rz = int(round(radius / zdist))
+    out = []
+    for dx in range(-rxy, rxy + 1):
+        for dy in range(-rxy, rxy + 1):
+            for dz in range(-rz, rz + 1):
+                t = (dx * dx) / float(rxy * rxy) + (dy * dy) / float(rxy * rxy)
+                if rz != 0:
+                    t += (dz * dz) / float(rz * rz)
+                if t <= 1.0:
+                    out.append((dx, dy, dz))
+    return np.asarray(out, np.int32)
+
+
+def soma_extraction_alt(
+    e8: np.ndarray, th: int, rgrp: float, zdist: float, nodes: NodeList
+) -> np.ndarray:
+    """Alternate soma extraction (`soma_extraction`,
+    Advantra_plugin.cpp:1917-2094; unused in the reference's live path,
+    reproduced for completeness).
+
+    Greedy spherical clustering of above-threshold voxels by descending
+    value: each unmapped voxel claims its ellipsoid neighbourhood's
+    above-threshold voxels as one SOMA node (position = their running
+    average), then 6-connected adjacent clusters are linked and the
+    neighbour lists deduplicated. Returns the (Z, Y, X) int32 smap of
+    node indices (relative to `nodes`, which receives the SOMA nodes).
+    """
+    e8 = np.asarray(e8)
+    l, h, w = e8.shape
+    smap = np.zeros((l, h, w), np.int32)
+    mask = e8 > th
+    zz, yy, xx = np.nonzero(mask)
+    vals = e8[zz, yy, xx]
+    order = np.argsort(-vals.astype(np.int32), kind="stable")
+    offs = sphere_offsets(rgrp, zdist)
+    base = len(nodes) - 1
+
+    for k in order:
+        z0, y0, x0 = int(zz[k]), int(yy[k]), int(xx[k])
+        if smap[z0, y0, x0] != 0:
+            continue
+        x1 = np.clip(x0 + offs[:, 0], 0, w - 1)
+        y1 = np.clip(y0 + offs[:, 1], 0, h - 1)
+        z1 = np.clip(z0 + offs[:, 2], 0, l - 1)
+        inb = (
+            (x0 + offs[:, 0] >= 0) & (x0 + offs[:, 0] < w)
+            & (y0 + offs[:, 1] >= 0) & (y0 + offs[:, 1] < h)
+            & (z0 + offs[:, 2] >= 0) & (z0 + offs[:, 2] < l)
+        )
+        sel = inb & mask[z1, y1, x1]
+        if not sel.any():
+            continue
+        nid = nodes.add(
+            float(x1[sel].mean()), float(y1[sel].mean()), float(z1[sel].mean()),
+            sig=rgrp, ntype=SOMA,
+        )
+        smap[z1[sel], y1[sel], x1[sel]] = nid - base
+
+    # 6-connected linking of adjacent clusters
+    lab = smap
+    for axis, shift in ((0, 1), (1, 1), (2, 1)):
+        a = lab
+        b = np.roll(lab, -shift, axis=axis)
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, -1)
+        aa = a[tuple(sl)]
+        bb = b[tuple(sl)]
+        both = (aa > 0) & (bb > 0) & (aa != bb)
+        for i, j in set(zip(aa[both].tolist(), bb[both].tolist())):
+            nodes.nbr[base + i].append(base + j)
+            nodes.nbr[base + j].append(base + i)
+    for i in range(base + 1, len(nodes)):
+        nodes.nbr[i] = sorted(set(nodes.nbr[i]))
+    return np.where(smap > 0, smap + base, 0).astype(np.int32)
+
+
 def _score_seeds(
     img: jax.Array, pos: np.ndarray, dirs: np.ndarray, zncc_fn, chunk: int = 4096
 ):

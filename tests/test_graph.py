@@ -244,3 +244,85 @@ class TestSwcIO:
         with open(p) as f:
             head = f.read()
         assert "#name test" in head and "#foo=1" in head
+
+
+class TestGroup0:
+    def test_cylinder_grouping(self, rng):
+        """group0 (Advantra_plugin.cpp:1645-1767): nodes in a cross-
+        section plane merge; axially separated nodes stay apart."""
+        from pnr_tpu.graph.nodes import NodeList
+        from pnr_tpu.graph.refine import group0
+
+        nodes = NodeList()
+        # a tight cross-section cluster at x=10 (the local PCA direction
+        # of the cloud is along x, the cluster spreads in y/z)
+        ids = []
+        for dy, dz in ((0, 0), (0.5, 0.3), (-0.4, 0.2), (0.2, -0.5)):
+            ids.append(nodes.add(10.0, 20 + dy, 8 + dz, corr=0.9, sig=4.0))
+        # a chain continuing along +x, outside d_axial of the cluster
+        far = [nodes.add(10.0 + 3 * k, 20.0, 8.0, corr=0.5, sig=4.0) for k in (1, 2)]
+        for a, b in zip(ids[:-1], ids[1:]):
+            nodes.link(a, b)
+        nodes.link(ids[-1], far[0])
+        nodes.link(far[0], far[1])
+
+        out = group0(nodes, d_axial=2.0, sig2rad=4.0)
+        assert len(out) < len(nodes)  # the cluster merged
+        assert out.is_bidirectional()
+        # merged node sits at the cluster centroid-ish
+        xs = np.asarray(out.x[1:])
+        assert np.any(np.abs(xs - 10.0) < 1.0)
+
+    def test_isolated_nodes_pass_through(self):
+        from pnr_tpu.graph.nodes import NodeList
+        from pnr_tpu.graph.refine import group0
+
+        nodes = NodeList()
+        a = nodes.add(5, 5, 5, corr=0.9, sig=1.0)
+        b = nodes.add(50, 50, 20, corr=0.8, sig=1.0)
+        nodes.link(a, b)
+        out = group0(nodes)
+        assert len(out) == 3  # dummy + 2 singleton groups
+        assert out.is_bidirectional()
+
+
+class TestSomaExtractionAlt:
+    def test_two_blobs_become_two_soma_nodes(self, rng):
+        from pnr_tpu.graph.nodes import NodeList, SOMA
+        from pnr_tpu.pipeline.reconstruct import soma_extraction_alt
+
+        shape = (12, 32, 32)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        b1 = 220 * np.exp(-(((x - 8) ** 2 + (y - 8) ** 2 + ((z - 6) * 2.0) ** 2) / 18))
+        b2 = 200 * np.exp(-(((x - 24) ** 2 + (y - 24) ** 2 + ((z - 6) * 2.0) ** 2) / 18))
+        e8 = np.clip(b1 + b2, 0, 255).astype(np.uint8)
+
+        nodes = NodeList()
+        smap = soma_extraction_alt(e8, 60, rgrp=4.0, zdist=2.0, nodes=nodes)
+        somas = [i for i in range(1, len(nodes)) if nodes.type[i] == SOMA]
+        assert len(somas) >= 2
+        # every above-threshold voxel near a blob centre is mapped
+        assert smap[6, 8, 8] > 0 and smap[6, 24, 24] > 0
+        assert smap[6, 8, 8] != smap[6, 24, 24]
+        # node positions near the blob centres
+        pos = np.stack([np.asarray(nodes.x)[somas], np.asarray(nodes.y)[somas],
+                        np.asarray(nodes.z)[somas]], -1)
+        d1 = np.linalg.norm(pos - np.array([8, 8, 6]), axis=1).min()
+        d2 = np.linalg.norm(pos - np.array([24, 24, 6]), axis=1).min()
+        assert d1 < 3 and d2 < 3
+
+    def test_sphere_offsets_matches_reference_shape(self):
+        from pnr_tpu.pipeline.reconstruct import sphere_offsets
+
+        offs = sphere_offsets(2.0, 2.0)
+        # rxy=2, rz=1: ellipsoid membership per tracker.cpp:609
+        assert (np.abs(offs[:, 0]) <= 2).all()
+        assert (np.abs(offs[:, 2]) <= 1).all()
+        assert (offs == 0).all(axis=1).any()
+        want = []
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                for dz in range(-1, 2):
+                    if dx * dx / 4.0 + dy * dy / 4.0 + dz * dz / 1.0 <= 1.0:
+                        want.append((dx, dy, dz))
+        assert {tuple(o) for o in offs.tolist()} == set(want)
