@@ -11,7 +11,9 @@ contracts them against the resident patch block on the MXU — the only
 HBM traffic left is reading each patch once and writing the (M, 3)
 results.
 
-Grid: one program per (trace, sigma). The patch arrives channel-packed
+Grid: one program per trace (iotas shared across the sigma groups;
+per-sigma patches selected on a leading block dim — no lane-offset
+relayouts). The patch arrives channel-packed
 as (q = pz*py, 3*px) — all three maps of the sigma side by side in the
 lane dimension, so the contraction is ONE (M, q) @ (q, 3*px) MXU dot
 (a per-channel (q, px) dot leaves the systolic array 25% utilized).
@@ -44,48 +46,66 @@ def _roundup(v: int, m: int) -> int:
 
 def fits(patch_shape, m: int) -> bool:
     """Can this (T, S, 3, pz, py, px) patch batch run through the kernel?"""
-    _, _, c, pz, py, px = patch_shape
+    _, s, c, pz, py, px = patch_shape
     if c != 3 or (pz > 1 and py % 8 != 0):
         return False
     q = pz * py
     mpad = _roundup(max(m, 8), 8)
     lanes = _roundup(3 * px, 128)
-    vmem = 4 * (mpad * q * 2 + q * lanes + 3 * mpad * lanes)
+    # per-program: all S sigma patches + one live W (f32 + bf16 hi/lo
+    # + iotas) + the (Mpad, lanes) temporaries
+    vmem = 4 * (s * q * lanes + mpad * q * 3 + 4 * mpad * lanes)
     return vmem <= _VMEM_SOFT_CAP
 
 
-def _kernel(rel_ref, pat_ref, out_ref, *, pz: int, py: int, px: int):
+def _kernel(rel_ref, pat_ref, out_ref, *, pz: int, py: int, px: int, n_sigma: int):
     q = pz * py
-    rel = rel_ref[0, 0]  # (Mpad, 4): rz, ry, rx, pad
-    mpad = rel.shape[0]
-    rz = rel[:, 0:1]
-    ry = rel[:, 1:2]
-    rx = rel[:, 2:3]
+    rel_all = rel_ref[0]  # (S*Mpad, 4): rz, ry, rx, pad
+    mpad = rel_all.shape[0] // n_sigma
 
+    # iotas shared across the sigma groups (one program per trace)
     qi = jax.lax.broadcasted_iota(jnp.int32, (mpad, q), 1)
     zi = (qi // py).astype(jnp.float32)
     yi = (qi % py).astype(jnp.float32)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(rz - zi)) * jnp.maximum(
-        0.0, 1.0 - jnp.abs(ry - yi)
-    )  # (Mpad, q)
-
-    # HIGHEST (f32): default MXU precision is one bf16 pass (Mosaic
-    # supports only DEFAULT/HIGHEST), which leaves ~1e-3 relative error
-    # on the map sums and wrecks the cancellation-sensitive
-    # s3 - s2^2/N downstream
-    a = jax.lax.dot_general(
-        w, pat_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (Mpad, 3*px)
-
     di = jax.lax.broadcasted_iota(jnp.int32, (mpad, 3 * px), 1)
-    wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rx - (di % px).astype(jnp.float32)))
-    aw = a * wx3
-    for c in range(3):
-        out_ref[0, 0, :, c : c + 1] = jnp.sum(
-            jnp.where(di // px == c, aw, 0.0), axis=1, keepdims=True
-        )
+    xi3 = (di % px).astype(jnp.float32)
+
+    for s in range(n_sigma):
+        rel = rel_all[s * mpad : (s + 1) * mpad]
+        rz = rel[:, 0:1]
+        ry = rel[:, 1:2]
+        rx = rel[:, 2:3]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(rz - zi)) * jnp.maximum(
+            0.0, 1.0 - jnp.abs(ry - yi)
+        )  # (Mpad, q)
+
+        # bf16x3 by explicit hi/lo splitting: one bf16 MXU pass leaves
+        # ~1e-3 relative error on the map sums and wrecks the
+        # cancellation-sensitive s3 - s2^2/N downstream; HIGHEST (f32)
+        # costs 6 passes. W = Whi + Wlo and P = Phi + Plo to bf16
+        # residual precision; Whi@Phi + Whi@Plo + Wlo@Phi recovers
+        # ~2^-22 relative accuracy in 3 single-pass dots (the dropped
+        # Wlo@Plo term is O(2^-32)).
+        pat = pat_ref[0, s]  # (q, 3*px) — leading-dim select, no relayout
+        w_hi = w.astype(jnp.bfloat16)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        p_hi = pat.astype(jnp.bfloat16)
+        p_lo = (pat - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def bdot(a_, b_):
+            return jax.lax.dot_general(
+                a_, b_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        a = bdot(w_hi, p_hi) + bdot(w_hi, p_lo) + bdot(w_lo, p_hi)
+
+        wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rx - xi3))
+        aw = a * wx3
+        for c in range(3):
+            out_ref[0, s * mpad : (s + 1) * mpad, c : c + 1] = jnp.sum(
+                jnp.where(di // px == c, aw, 0.0), axis=1, keepdims=True
+            )
 
 
 #: The fused-DMA kernel is DISABLED: Mosaic tiles HBM memrefs (1, 128)
@@ -254,24 +274,26 @@ def hat_sample_pallas(
     pat2 = jnp.transpose(patches, (0, 1, 3, 4, 2, 5)).reshape(
         t, s, pz * py, 3 * px
     )
+    rel2 = rel.reshape(t, s * mpad, 4)
 
-    kern = functools.partial(_kernel, pz=pz, py=py, px=px)
-    return pl.pallas_call(
+    kern = functools.partial(_kernel, pz=pz, py=py, px=px, n_sigma=s)
+    out = pl.pallas_call(
         kern,
-        grid=(t, s),
+        grid=(t,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, mpad, 4), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+                (1, s * mpad, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, pz * py, 3 * px),
-                lambda i, j: (i, j, 0, 0),
+                (1, s, pz * py, 3 * px),
+                lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, mpad, 4), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, s * mpad, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((t, s, mpad, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, s * mpad, 4), jnp.float32),
         interpret=interpret,
-    )(rel, pat2)
+    )(rel2, pat2)
+    return out.reshape(t, s, mpad, 4)

@@ -277,8 +277,9 @@ class TestHatSamplePallas:
                         jnp.asarray(rel[ti, si, :m, 1]),
                         jnp.asarray(rel[ti, si, :m, 0]),
                     )
+                    # bf16x3 hi/lo dots: ~2^-22 relative accuracy
                     np.testing.assert_allclose(
-                        out[ti, si, :m, c], np.asarray(ref), atol=1e-5
+                        out[ti, si, :m, c], np.asarray(ref), atol=5e-5
                     )
 
     def test_fused_dma_variant_matches(self, rng):
@@ -328,5 +329,5 @@ class TestHatSamplePallas:
             hat_sample_pallas(jnp.asarray(patches), jnp.asarray(rel), interpret=True)
         )
         np.testing.assert_allclose(
-            out_f[:, :, :m, :3], out_p[:, :, :m, :3], atol=1e-5
+            out_f[:, :, :m, :3], out_p[:, :, :m, :3], atol=5e-5
         )
