@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from pnr_tpu.config import PNRConfig
@@ -67,7 +67,7 @@ def build_handoff_trace_step(
 ):
     """Returns step(vol_sharded, seed_pos, seed_dir, trace_ids, valid,
     base_key) -> (packed (S, n*T, stage, 9), ids (S, n*T), live (S, n*T),
-    lost (n*T,)) with S = number of stages.
+    lost (n_shards,)) with S = number of stages.
 
     seed_pos are GLOBAL (x, y, z); they must be pre-bucketed per shard
     (`assign_seeds_to_shards`), `valid` masking pad lanes. Estimates
@@ -110,7 +110,7 @@ def build_handoff_trace_step(
             (valid & okg0).astype(jnp.float32)
         )
         live = valid
-        lost = jnp.zeros((t_lanes,), jnp.int32)
+        lost = jnp.zeros((1,), jnp.int32)  # per-shard dropped-arrival count
 
         stage_packs = [jnp.pad(est0[:, None, :], ((0, 0), (0, stage_iters - 1), (0, 0)))]
         stage_ids = [jnp.where(live, ids, -1)]

@@ -111,6 +111,9 @@ def sphere_offsets(radius: float, zdist: float) -> np.ndarray:
     radius = max(0.0, float(radius))
     rxy = int(round(radius))
     rz = int(round(radius / zdist))
+    if rxy == 0:
+        # reference: 0/0 -> NaN -> the <=1 test fails for every offset
+        return np.zeros((0, 3), np.int32)
     out = []
     for dx in range(-rxy, rxy + 1):
         for dy in range(-rxy, rxy + 1):
@@ -159,6 +162,9 @@ def soma_extraction_alt(
             & (y0 + offs[:, 1] >= 0) & (y0 + offs[:, 1] < h)
             & (z0 + offs[:, 2] >= 0) & (z0 + offs[:, 2] < l)
         )
+        # NOTE: like the reference (:1983-2003), neighbours are stamped
+        # without checking for a prior claim — overlapping clusters
+        # overwrite earlier stamps (processing-order dependent)
         sel = inb & mask[z1, y1, x1]
         if not sel.any():
             continue

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from pnr_tpu.config import PNRConfig
@@ -50,7 +50,7 @@ from pnr_tpu.parallel.sharded import (
 from pnr_tpu.pipeline.reconstruct import ReconstructionResult, reconstruct_graph
 
 
-def build_seed_scorer(cfg: PNRConfig, mesh, seeds_per_shard: int):
+def build_seed_scorer(cfg: PNRConfig, mesh):
     """Shard-local znccBBB seed scoring: each shard scores the seeds in
     its slab against its halo-padded likelihood field (exact within the
     halo — identical values to the global field)."""
@@ -160,11 +160,19 @@ def reconstruction_func_sharded(
     tm.start("seed selection & sorting (sharded)")
     corr = np.zeros(0, np.float32)
     if len(pos):
-        lanes = -(-len(pos) // n_dev)
-        scorer = build_seed_scorer(cfg, mesh, lanes)
-        bp, bd, bi, bv, _ = _bucket_by_shard(
+        # size lanes to the fullest Z-slab (neurites confined to a few
+        # slices are common; uniform sizing would silently drop seeds)
+        zl = vol.shape[0] // n_dev
+        counts = np.bincount(
+            np.clip((pos[:, 2] // zl).astype(int), 0, n_dev - 1),
+            minlength=n_dev,
+        )
+        lanes = max(1, int(counts.max()))
+        scorer = build_seed_scorer(cfg, mesh)
+        bp, bd, bi, bv, dropped = _bucket_by_shard(
             pos, dirs, np.arange(len(pos)), vol.shape[0], n_dev, lanes
         )
+        assert dropped == 0
         c = np.asarray(scorer(vs, jnp.asarray(bp), jnp.asarray(bd)))
         corr_all = np.full(len(pos), -np.inf, np.float32)
         corr_all[bi[bv]] = c[bv]
@@ -179,7 +187,8 @@ def reconstruction_func_sharded(
     tm.start("tracing (sharded, handoff)")
     committer = TraceCommitter(vol.shape, cfg.vol, cfg.nodepervol, nodes, None)
     wave = max(1, cfg.wave_size)
-    lanes = wave  # worst case: every wave seed in one shard
+    # 2 traces per seed (pos+neg); worst case all in one Z-slab
+    lanes = 2 * wave
     step, n_stages, stage_iters = build_handoff_trace_step(
         cfg, mesh, lanes_per_shard=lanes, stage_iters=4
     )

@@ -91,9 +91,13 @@ def resample_swc(swc: np.ndarray, spacing: float) -> np.ndarray:
             # walk the unbranched chain c -> k -> ... -> e
             poly = [node_pos[c]]
             cur = k
-            while cur not in critical:
+            for _ in range(len(node_pos) + 1):
+                if cur in critical:
+                    break
                 poly.append(node_pos[cur])
                 cur = children[cur][0]
+            else:
+                raise ValueError("SWC parent links contain a cycle")
             poly.append(node_pos[cur])
             poly = np.asarray(poly)
             seg = np.linalg.norm(np.diff(poly, axis=0), axis=1)
