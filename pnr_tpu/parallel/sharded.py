@@ -167,8 +167,11 @@ def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
 
     n_dev = mesh.devices.size
     per_shard = max(1, wave // n_dev)
+    # lane headroom: migrating traces need free lanes on the receiving
+    # shard beyond its own seeds, or arrivals drop as handoff-lost
+    lanes = 2 * per_shard + 2
     handoff_step, n_stages, stage_iters = build_handoff_trace_step(
-        cfg, mesh, lanes_per_shard=per_shard, stage_iters=4
+        cfg, mesh, lanes_per_shard=lanes, stage_iters=4
     )
 
     def step(vol_sharded, key):
@@ -181,9 +184,21 @@ def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
         seed_pos, seed_dir, valid, found = seeds_sharded(
             j8, vx, vy, vz, cfg.tolerance, mesh, per_shard
         )
-        ids = jnp.arange(n_dev * per_shard, dtype=jnp.int32)
+
+        # pad each shard's seed block from per_shard to `lanes`
+        def pad_lanes(a, fill=0.0):
+            a2 = a.reshape((n_dev, per_shard) + a.shape[1:])
+            widths = ((0, 0), (0, lanes - per_shard)) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a2, widths, constant_values=fill).reshape(
+                (n_dev * lanes,) + a.shape[1:]
+            )
+
+        sp = pad_lanes(seed_pos)
+        sd = pad_lanes(seed_dir)
+        val = pad_lanes(valid, fill=False)
+        ids = jnp.arange(n_dev * lanes, dtype=jnp.int32)
         packs, est_ids, live, lost = handoff_step(
-            vol_sharded, seed_pos, seed_dir, ids, valid, key
+            vol_sharded, sp, sd, ids, val, key
         )
         return {
             "j8": j8,

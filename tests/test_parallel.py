@@ -99,7 +99,7 @@ class TestShardedStep:
         out = step(shard_volume(vol, mesh), jax.random.key(0))
         assert out["j8"].shape == vol.shape
         assert out["seed_pos"].shape == (8, 3)
-        assert out["est_packs"].shape[1] == 8
+        assert out["est_packs"].shape[1] % 8 == 0
         assert np.asarray(out["trace_valid"]).dtype == bool
         # shards containing the tube find REAL MaximumFinder seeds on
         # it; empty shards report valid=False (no arbitrary voxels)
