@@ -69,10 +69,16 @@ def imgaussian3d(vol: jax.Array, sigma: float, zdist: float) -> jax.Array:
 
     x and y use sigma; z uses sigma/zdist. Returns float32.
     """
+    from pnr_tpu.ops.pallas_conv import pallas_conv_yx
+
     v = vol.astype(jnp.float32)
     kxy = gaussian_kernel(sigma)
-    v = conv1d_hbm_optimal(v, kxy, axis=2)  # x
-    v = conv1d_hbm_optimal(v, kxy, axis=1)  # y
+    if v.ndim == 3:
+        # fused y+x pass: one HBM round trip instead of two
+        v = pallas_conv_yx(v, kxy, kxy)
+    else:
+        v = conv1d_hbm_optimal(v, kxy, axis=2)
+        v = conv1d_hbm_optimal(v, kxy, axis=1)
     if v.shape[0] > 1:
         kz = gaussian_kernel(float(sigma) / float(zdist))
         v = conv1d_hbm_optimal(v, kz, axis=0)  # z

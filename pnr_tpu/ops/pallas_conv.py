@@ -184,3 +184,68 @@ def pallas_conv1d_along_axis(
         pos = jax.lax.broadcasted_iota(jnp.int32, out.shape, axis)
         out = jnp.where((pos == 0) | (pos == w - 1), 2.0 * out, out)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_y", "kernel_x"))
+def _pallas_conv_yx(vol, kernel_y, kernel_x):
+    """Fused y+x correlation: one HBM round trip for two passes.
+
+    Grid over z (one slice per program, no z halo needed); the y pass
+    runs as static sublane slices into a VMEM temporary, the x pass as
+    static lane slices — the y-convolved intermediate never touches
+    HBM. Edge-replicated borders on both axes (pre-padded)."""
+    ky = np.asarray(kernel_y, np.float32)
+    kx = np.asarray(kernel_x, np.float32)
+    hy = len(ky) // 2
+    hx = len(kx) // 2
+    z, y, x = vol.shape
+    v = vol.astype(jnp.float32)
+    vp = jnp.pad(v, ((0, 0), (hy, hy), (hx, hx)), mode="edge")
+
+    ky_t = tuple(float(t) for t in ky)
+    kx_t = tuple(float(t) for t in kx)
+
+    def kern(x_ref, o_ref, t_ref):
+        # in-place accumulation into the scratch: a chained local sum
+        # makes Mosaic stack-allocate one block-sized temp PER TAP and
+        # blow the VMEM budget (observed 18 MB for 25 taps)
+        t_ref[:] = jnp.float32(ky_t[0]) * x_ref[0, 0:y, :]
+        for j in range(1, len(ky_t)):
+            t_ref[:] = t_ref[:] + jnp.float32(ky_t[j]) * x_ref[0, j : j + y, :]
+        o_ref[0] = jnp.float32(kx_t[0]) * t_ref[:, 0:x]
+        for j in range(1, len(kx_t)):
+            o_ref[0] = o_ref[0] + jnp.float32(kx_t[j]) * t_ref[:, j : j + x]
+
+    return pl.pallas_call(
+        kern,
+        grid=(z,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, y + 2 * hy, x + 2 * hx),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec((1, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((y, x + 2 * hx), jnp.float32)],
+    )(vp)
+
+
+def pallas_conv_yx(vol: jax.Array, kernel_y, kernel_x) -> jax.Array:
+    """Fused y-then-x correlation of a (Z, Y, X) volume with separable
+    1-D kernels, edge-replicated borders. Falls back to two
+    single-axis passes when Mosaic is unavailable or a slice block
+    exceeds VMEM."""
+    from pnr_tpu.ops.gaussian import conv1d_along_axis
+
+    ky = np.asarray(kernel_y, np.float32)
+    kx = np.asarray(kernel_x, np.float32)
+    z, y, x = vol.shape
+    blk = (y + len(ky)) * (x + len(kx)) * 4 * 2  # in block + temp
+    if mosaic_available() and blk <= _VMEM_BUDGET:
+        return _pallas_conv_yx(
+            vol, tuple(float(t) for t in ky), tuple(float(t) for t in kx)
+        )
+    out = conv1d_along_axis(vol, kx, axis=2)
+    return conv1d_along_axis(out, ky, axis=1)
