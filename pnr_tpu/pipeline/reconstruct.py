@@ -193,12 +193,26 @@ def soma_extraction_alt(
 
 
 def _score_seeds(
-    img: jax.Array, pos: np.ndarray, dirs: np.ndarray, zncc_fn, chunk: int = 4096
+    img: jax.Array, pos: np.ndarray, dirs: np.ndarray, tracker, chunk: int = 4096
 ):
-    """Batched znccBBB over all seeds (Advantra_plugin.cpp:2561-2575)."""
+    """Batched znccBBB over all seeds (Advantra_plugin.cpp:2561-2575).
+
+    In tube mode each seed scores through the gather-free patch engine
+    (one tight patch per seed, N=1) — identical values to the gather
+    formulation but ~10x cheaper to trace/compile and to run on TPU."""
     n = len(pos)
     corrs = np.empty(n, np.float32)
-    scored = jax.jit(zncc_fn)
+    engine = tracker._patch_engine
+    if engine is not None:
+        chunk = min(chunk, 1024)
+
+        def fn(f, p, d):
+            c, _ = engine.eval_fused(f, p[:, None, :], d[:, None, :])
+            return c[:, 0], None
+
+        scored = jax.jit(fn)
+    else:
+        scored = jax.jit(tracker._zncc)
     for beg in range(0, n, chunk):
         end = min(beg + chunk, n)
         pad = chunk - (end - beg)
@@ -399,10 +413,19 @@ def reconstruction_func(
     # finishes it in milliseconds, while the device label propagation
     # pays a per-iteration sync on remote TPU runtimes. The device path
     # remains available (and required) for sharded volumes.
-    pos, dirs = extract_seeds(
-        np.asarray(j8), np.asarray(vx), np.asarray(vy), np.asarray(vz),
-        cfg.tolerance, use_device=not native.have_native(),
-    )
+    # the flood needs J8 on host; directions decode ON DEVICE at the
+    # seed voxels only (fetching Vx/Vy/Vz wholesale costs three volume
+    # transfers over the device link to read a few hundred voxels)
+    from pnr_tpu.seeds.extract import decode_directions_device, max_points_device, max_points_host
+
+    j8_np = np.asarray(j8)
+    if native.have_native():
+        mask = max_points_host(j8_np, float(cfg.tolerance))
+    else:
+        mask = np.asarray(max_points_device(j8, float(cfg.tolerance)))
+    zz, yy, xx = np.nonzero(mask)
+    pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
+    dirs = decode_directions_device(vx, vy, vz, pos)
     tm.stop()
     if verbose:
         print(f"{len(pos) / 1000.0}k seeds")
@@ -419,7 +442,7 @@ def reconstruction_func(
             outside = smap[zi, yi, xi] == 0
             pos, dirs = pos[outside], dirs[outside]
     if len(pos):
-        corr = _score_seeds(field, pos, dirs, tracker._zncc)
+        corr = _score_seeds(field, pos, dirs, tracker)
         keep = corr >= cfg.znccth
         pos, dirs, corr = pos[keep], dirs[keep], corr[keep]
         order = np.argsort(-corr, kind="stable")

@@ -215,3 +215,35 @@ def extract_seeds(
     ux, uy, uz = decode_directions(vxh, vyh, vzh)
     dirs = np.stack([ux, uy, uz], axis=-1).astype(np.float32)
     return pos, dirs
+
+
+def decode_directions_device(vx_u8, vy_u8, vz_u8, pos: np.ndarray) -> np.ndarray:
+    """Decode seed directions by gathering the quantized maps ON DEVICE
+    at the seed voxels and fetching only the (N, 3) result.
+
+    Fetching the three full Vx/Vy/Vz volumes to the host costs ~3
+    volume transfers over a (potentially slow) device link just to read
+    a few hundred voxels; this gathers on device instead."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(pos) == 0:
+        return np.zeros((0, 3), np.float32)
+    l, h, w = vx_u8.shape
+    flat = (
+        pos[:, 2].astype(np.int64) * h * w
+        + pos[:, 1].astype(np.int64) * w
+        + pos[:, 0].astype(np.int64)
+    )
+
+    @jax.jit
+    def gather_dirs(vx, vy, vz, idx):
+        u = jnp.stack(
+            [vx.reshape(-1)[idx], vy.reshape(-1)[idx], vz.reshape(-1)[idx]],
+            axis=-1,
+        ).astype(jnp.float32)
+        u = (u / 255.0) * 2.0 - 1.0
+        n = jnp.linalg.norm(u, axis=-1, keepdims=True)
+        return u / jnp.where(n > 0, n, 1.0)
+
+    return np.asarray(gather_dirs(vx_u8, vy_u8, vz_u8, jnp.asarray(flat)))

@@ -343,3 +343,40 @@ class TestShardedReconstruction:
             reconstruction_func_sharded(
                 np.zeros((16, 16, 16), np.uint8), cfg2, mesh, verbose=False
             )
+
+    def test_lane_overflow_counts_lost_traces(self, mesh):
+        """With zero free lanes on the receiving shard, a migrating
+        trace drops and the per-shard lost counter reports exactly it."""
+        from pnr_tpu.parallel.handoff import build_handoff_trace_step
+
+        rng = np.random.default_rng(9)
+        shape = (32, 24, 64)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (y - 12) ** 2 + (x - 32) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / (2 * 2.5**2)) * (0.75 + 0.25 * np.sin(z / 3.0))
+            + rng.normal(0, 4, shape),
+            0, 255,
+        ).astype(np.uint8)
+        cfg = PNRConfig(
+            sigmas=(2.0,), znccth=0.3, kappa=2.0, step=2, ni=16, np=8,
+            zdist=1.0, nodepervol=4, vol=9, zncc_mode="tube",
+        )
+        step, _, _ = build_handoff_trace_step(
+            cfg, mesh, lanes_per_shard=1, stage_iters=2
+        )
+        # every shard's single lane is occupied by a +z-moving trace:
+        # each migration lands on a full shard and must drop
+        seeds = np.array([[32.0, 12.0, 4.0 * s + 1.0] for s in range(8)], np.float32)
+        dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (8, 1))
+        ids = np.arange(8, dtype=np.int32)
+        valid = np.ones(8, bool)
+        packs, sids, live, lost = step(
+            shard_volume(vol, mesh), seeds, dirs, ids, valid, jax.random.key(0)
+        )
+        lost_total = int(np.asarray(lost).sum())
+        # traces DO cross boundaries on this tube; each crossing into an
+        # occupied shard is dropped and counted ONCE (the counter used to
+        # be inflated by the lane count)
+        assert np.asarray(lost).shape == (8,)
+        assert 0 < lost_total <= 8
