@@ -327,6 +327,10 @@ def _trace_and_commit_wave(
             break
         n_it = min(stage, ni - it_done)
         iter_idx = jnp.arange(it_done, it_done + stage)
+        # dispatch every chunk's stage BEFORE fetching any: the fetch
+        # is the serialization point on remote runtimes, so queueing all
+        # launches first lets them overlap
+        pending = []
         for c in range(nchunks):
             slc = slice(c * chunk, (c + 1) * chunk)
             if killed[slc].all():
@@ -335,6 +339,8 @@ def _trace_and_commit_wave(
                 field, keys_all[slc], carries[c], iter_idx, jnp.asarray(killed[slc])
             )
             carries[c] = carry
+            pending.append((slc, packed))
+        for slc, packed in pending:
             est[slc, it_done : it_done + n_it] = np.asarray(packed)[:, :n_it]
         it_done += n_it
 
