@@ -59,6 +59,14 @@ def main(argv=None) -> int:
         default="exact",
         help="likelihood engine: 'exact' (reference parity) or 'tube' (fast map-based approximation)",
     )
+    ap.add_argument(
+        "--mesh",
+        type=int,
+        default=0,
+        help="run the multi-device pipeline over an N-device Z mesh "
+        "(0 = single device). Requires N jax devices (for CPU testing: "
+        "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N)",
+    )
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("-h", "--help", action="store_true")
     args = ap.parse_args(argv)
@@ -109,12 +117,19 @@ def main(argv=None) -> int:
         print(f"{len(xx)} local maxima -> {out}")
         return 0
 
-    from pnr_tpu.pipeline import reconstruction_func
+    if args.mesh and args.mesh > 1:
+        from pnr_tpu.parallel import make_mesh
+        from pnr_tpu.pipeline import reconstruction_func_sharded
 
-    result = reconstruction_func(
-        vol, cfg, verbose=verbose,
-        checkpoint_path=args.checkpoint, resume=args.resume,
-    )
+        mesh = make_mesh(args.mesh)
+        result = reconstruction_func_sharded(vol, cfg, mesh, verbose=verbose)
+    else:
+        from pnr_tpu.pipeline import reconstruction_func
+
+        result = reconstruction_func(
+            vol, cfg, verbose=verbose,
+            checkpoint_path=args.checkpoint, resume=args.resume,
+        )
 
     out = args.output or (args.image + "_Advantra.swc")
     save_nodelist(

@@ -195,3 +195,54 @@ class TestMidresParity:
         assert len(mid["n0len"]) >= 1
         for i in range(1, len(mid["n2tree"])):
             assert len(mid["n2tree"].nbr[i]) <= 1  # forest: one parent max
+
+
+class TestTubeVsExactPipeline:
+    def test_tube_matches_exact_topology(self, tmp_path):
+        """The tube likelihood is an approximation of the exact znccBBB;
+        end-to-end SWCs from both engines must agree structurally."""
+        import dataclasses
+
+        from pnr_tpu.utils.swc_compare import compare_swc
+
+        vol = tube_phantom()
+        exact = reconstruction_func(
+            vol, dataclasses.replace(CFG, zncc_mode="exact"), verbose=False
+        )
+        tube = reconstruction_func(
+            vol, dataclasses.replace(CFG, zncc_mode="tube"), verbose=False
+        )
+        pa = str(tmp_path / "exact.swc")
+        pb = str(tmp_path / "tube.swc")
+        save_nodelist(exact.tree, pa)
+        save_nodelist(tube.tree, pb)
+        s = compare_swc(read_swc(pb), read_swc(pa), dist=4.0, resample=1.0)
+        assert s.f1 > 0.8, f"tube vs exact diverged: {s}"
+
+
+class TestCliMesh:
+    def test_cli_mesh_flag_runs_sharded(self, tmp_path):
+        """--mesh N routes through the multi-device pipeline."""
+        import os
+        import subprocess
+        import sys
+
+        from pnr_tpu.io.volume import save_volume
+
+        vol = tube_phantom(shape=(16, 32, 64))
+        img = str(tmp_path / "t.tif")
+        save_volume(img, vol)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env.pop("PYTHONPATH", None)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "pnr_tpu.cli", "-i", img,
+                "-p", "2,3", "0", "10", "0.5", "2", "2", "40", "16", "2", "4", "1",
+                "--mesh", "8", "--zncc-mode", "tube", "--quiet",
+            ],
+            cwd="/root/repo", env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(img + "_Advantra.swc")
