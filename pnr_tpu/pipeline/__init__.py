@@ -3,6 +3,7 @@
 from pnr_tpu.pipeline.reconstruct import (
     ReconstructionResult,
     reconstruct_graph,
+    reconstruction_batch,
     reconstruction_func,
     soma_extraction,
 )
@@ -13,5 +14,6 @@ __all__ = [
     "reconstruction_func",
     "reconstruct_graph",
     "soma_extraction",
+    "reconstruction_batch",
     "reconstruction_func_sharded",
 ]

@@ -356,6 +356,7 @@ def reconstruction_func(
     checkpoint_path: Optional[str] = None,
     checkpoint_every_waves: int = 1,
     resume: bool = False,
+    _tracker: Optional[BatchedTracker] = None,
 ) -> ReconstructionResult:
     """Full reconstruction of a (Z, Y, X) uint8 volume.
 
@@ -437,7 +438,7 @@ def reconstruction_func(
         print(f"{len(pos) / 1000.0}k seeds")
 
     tm.start("seed selection & sorting")
-    tracker = BatchedTracker(cfg, is2d)
+    tracker = _tracker if _tracker is not None else BatchedTracker(cfg, is2d)
     field = tracker.prepare_field(img)
     if len(pos):
         # drop seeds inside the soma (smap > 0)
@@ -532,6 +533,36 @@ def reconstruction_func(
         j8=np.asarray(j8),
         midres=midres,
     )
+
+
+def reconstruction_batch(
+    vols,
+    cfg: PNRConfig,
+    verbose: bool = False,
+    key: Optional[jax.Array] = None,
+):
+    """Reconstruct a sequence of stacks, amortizing setup across them.
+
+    The production serving loop (SURVEY.md section 2b data parallelism
+    over stacks): one BatchedTracker — and therefore one set of jitted
+    trace programs and one XLA compile per volume shape — is shared by
+    every stack; each stack gets its own PRNG substream (fold_in by
+    index, so results match individual runs with the same key only for
+    index 0). Yields ReconstructionResult per input, in order.
+    """
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    tracker = None
+    for i, vol in enumerate(vols):
+        vol = np.ascontiguousarray(vol, np.uint8)
+        is2d = vol.shape[0] == 1
+        if tracker is None or tracker.is2d != is2d:
+            tracker = BatchedTracker(cfg, is2d)
+        yield reconstruction_func(
+            vol, cfg, verbose=verbose,
+            key=jax.random.fold_in(key, i),
+            _tracker=tracker,
+        )
 
 
 def reconstruct_graph(

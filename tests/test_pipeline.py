@@ -246,3 +246,27 @@ class TestCliMesh:
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert os.path.exists(img + "_Advantra.swc")
+
+
+class TestBatchDriver:
+    def test_batch_matches_individual_and_reuses_tracker(self):
+        """reconstruction_batch shares one tracker across same-shaped
+        stacks; stack 0 matches an individual run with the same key."""
+        import jax
+
+        from pnr_tpu.pipeline import reconstruction_batch
+
+        vols = [tube_phantom(seed=11), tube_phantom(seed=12)]
+        key = jax.random.key(0)
+        results = list(reconstruction_batch(vols, CFG, key=key))
+        assert len(results) == 2
+        for r in results:
+            assert len(r.tree) > 10
+
+        solo = reconstruction_func(
+            vols[0], CFG, verbose=False, key=jax.random.fold_in(key, 0)
+        )
+        assert len(solo.tree) == len(results[0].tree)
+        np.testing.assert_allclose(
+            np.asarray(solo.tree.x), np.asarray(results[0].tree.x), atol=1e-5
+        )
