@@ -74,9 +74,11 @@ class PNRConfig:
     #: PRNG seed (the reference used srand(time(NULL)); we are reproducible).
     seed: int = 0
     #: ZNCC likelihood engine: "exact" evaluates the reference's template
-    #: sampling verbatim (znccBBB parity); "tube" uses the precomputed-map
-    #: approximation (ops/zncc_fast.py) — ~100x fewer gathers per query,
-    #: validated to track the exact correlation on tubular structures.
+    #: sampling at full sample count (znccBBB parity) through the fused
+    #: Pallas patch kernel (ops/zncc_exact.py; ~2.4x slower than tube on
+    #: v5e); "tube" uses the precomputed-map approximation
+    #: (ops/zncc_fast.py), validated to track the exact correlation on
+    #: tubular structures.
     zncc_mode: str = "exact"
     #: Use bfloat16 for the heavy stencil passes where precision allows.
     use_bf16: bool = False

@@ -95,9 +95,27 @@ class BatchedTracker:
             self._field_is_maps = True
         else:
             self._zncc = make_zncc_fn(self.templates)
-            self._patch_engine = None
-            self._prepare_field = lambda im: im
-            self._field_is_maps = False
+            import os
+
+            if os.environ.get("PNR_TPU_EXACT_ENGINE", "1") != "0":
+                # Pallas per-trace-patch engine: full-sample-count znccBBB
+                # restructured for the MXU (ops/zncc_exact.py). The field
+                # is the raw volume with a leading channel axis so the
+                # map-stack calling conventions apply unchanged.
+                from pnr_tpu.ops.zncc_exact import make_exact_patch_engine
+
+                self._patch_engine = make_exact_patch_engine(
+                    self.templates, cfg.step
+                )
+                self._prepare_field = (
+                    lambda im: jnp.asarray(im)[None] if im.ndim == 3 else im
+                )
+                self._field_is_maps = True
+                self.STAGE_ITERS = 8
+            else:
+                self._patch_engine = None
+                self._prepare_field = lambda im: im
+                self._field_is_maps = False
 
         t = self.tables
         self._p = jnp.asarray(t.p)
@@ -165,7 +183,7 @@ class BatchedTracker:
                 center = jnp.mean(pos, axis=1)
                 patches, corner = engine.extract(img, center)
                 corr, sig = engine.corr(
-                    tuple(img.shape[1:4]), patches, corner, pos, dirs
+                    tuple(img.shape[-3:]), patches, corner, pos, dirs
                 )
                 return corr, sig, (patches, corner)
 
@@ -176,7 +194,7 @@ class BatchedTracker:
                 # CSE-shared patch transpose)
                 patches, corner = ctx
                 c, s = engine.corr(
-                    tuple(img.shape[1:4]), patches, corner,
+                    tuple(img.shape[-3:]), patches, corner,
                     cpos[:, None, :], cdir[:, None, :],
                 )
                 return c[:, 0], s[:, 0]
@@ -199,8 +217,9 @@ class BatchedTracker:
             return cpos, cdir, ccorr, csig
 
         def _shape_of(img):
-            # tube-mode field is the planar (3S, Z, Y, X) map stack
-            return tuple(img.shape[1:4]) if field_is_maps else img.shape
+            # the field is (Z, Y, X) in legacy exact mode, (1, Z, Y, X)
+            # with the exact patch engine, (3S, Z, Y, X) in tube mode
+            return tuple(img.shape[-3:])
 
         def _uniforms(keys, step, shape):
             ks = jax.vmap(lambda k: jax.random.fold_in(k, step))(keys)
