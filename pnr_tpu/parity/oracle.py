@@ -101,6 +101,7 @@ class ReferenceOracle:
         lib.ref_tracker_interp.restype = ctypes.c_float
         lib.ref_bessi0.restype = ctypes.c_double
         lib.ref_bessi0.argtypes = [ctypes.c_double]
+        lib.ref_trace_all.restype = ctypes.c_long
 
     # -- dense ops ---------------------------------------------------------
     def frangi3d(self, vol, sigmas, zdist, alpha=0.5, beta=0.5, c=500.0,
@@ -302,6 +303,34 @@ class _RefTracker:
             self._h, *(ctypes.c_float(a) for a in (x, y, z)),
             _u8(vol.reshape(-1)), w, h, l))
 
+    def trace_all(self, vol, seeds_raw, znccth, nodepervol, nh_vol,
+                  max_trace_count, max_nodes=2_000_000, max_edges=8_000_000):
+        """Run the reference seed loop end to end (seed filter + sort +
+        trackPos/trackNeg with density maps — Advantra_plugin.cpp:
+        2558-2710 via oracle_api.cpp ref_trace_all). `seeds_raw` is the
+        (n, 8) array from extract_seeds. Returns (nodes (N, 9) rows
+        x,y,z,vx,vy,vz,corr,sig,type incl. the dummy node 0, edges
+        (E, 2) int32). Nondeterministic across calls by construction
+        (the reference re-seeds srand(time(NULL)) per SMC iteration)."""
+        vol = np.ascontiguousarray(vol, np.uint8)
+        l, h, w = vol.shape
+        seeds_raw = np.ascontiguousarray(seeds_raw, np.float32)
+        nodes = np.zeros((max_nodes, 9), np.float32)
+        edges = np.zeros((max_edges, 2), np.int32)
+        ne = ctypes.c_long(0)
+        nn = self._lib.ref_trace_all(
+            self._h, _u8(vol.reshape(-1)), w, h, l,
+            _f32(seeds_raw.reshape(-1)), ctypes.c_long(len(seeds_raw)),
+            ctypes.c_float(znccth), int(nodepervol), int(nh_vol),
+            int(max_trace_count), _f32(nodes.reshape(-1)),
+            ctypes.c_long(max_nodes),
+            edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_long(max_edges), ctypes.byref(ne),
+        )
+        if nn < 0:
+            raise RuntimeError("ref_trace_all: node/edge buffer overflow")
+        return nodes[:nn].copy(), edges[: ne.value].copy()
+
 
 def get_oracle() -> Optional[ReferenceOracle]:
     """Build (once) and return the compiled reference oracle, or None if the
@@ -320,3 +349,74 @@ def get_oracle() -> Optional[ReferenceOracle]:
 
 def unavailable_reason() -> Optional[str]:
     return _failed
+
+
+class _SilenceStdoutFd:
+    """Redirect C-level stdout to /dev/null (the reference tracker
+    printf-spams per trace regardless of its verbose flag)."""
+
+    def __enter__(self):
+        import sys
+
+        sys.stdout.flush()
+        self._saved = os.dup(1)
+        self._null = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(self._null, 1)
+        return self
+
+    def __exit__(self, *exc):
+        os.dup2(self._saved, 1)
+        os.close(self._saved)
+        os.close(self._null)
+        return False
+
+
+def reference_reconstruct_n0(vol: np.ndarray, cfg, max_seeds: int = 200_000):
+    """Run the compiled reference end to end on a (Z, Y, X) uint8 volume
+    with a PNRConfig: frangi3d -> J8 min-max normalization
+    (Advantra_plugin.cpp:2499-2514) -> extractSeeds -> the full seed
+    loop (ref_trace_all). Returns (NodeList n0, n_seeds, n_nodes).
+
+    This is the reference-traced node graph the rebuild's tracer is
+    scored against (distributionally — the reference RNG is
+    irreproducible by construction, SURVEY.md §7 hard-part 6)."""
+    from pnr_tpu.graph.nodes import NodeList
+
+    orc = get_oracle()
+    if orc is None:
+        raise RuntimeError(f"oracle unavailable: {unavailable_reason()}")
+    vol = np.ascontiguousarray(vol, np.uint8)
+    j, jmin, jmax, vx, vy, vz = orc.frangi3d(
+        vol, cfg.sigmas, cfg.zdist, cfg.frangi_alpha, cfg.frangi_beta,
+        cfg.frangi_c,
+    )
+    if abs(jmax - jmin) <= 1.175494e-38:
+        j8 = np.zeros(vol.shape, np.uint8)
+    else:
+        j8 = np.clip(
+            np.round((j - jmin) / (jmax - jmin) * 255.0), 0, 255
+        ).astype(np.uint8)
+    seeds = orc.extract_seeds(cfg.tolerance, j8, vx, vy, vz, max_out=max_seeds)
+    tr = orc.tracker(
+        cfg.sigmas, cfg.step, cfg.np, cfg.ni, cfg.kappa, False, cfg.znccth,
+        cfg.kc, cfg.neff_ratio, cfg.zdist, cfg.nodepervol,
+    )
+    with _SilenceStdoutFd():
+        nodes, edges = tr.trace_all(
+            vol, seeds, cfg.znccth, cfg.nodepervol, cfg.vol,
+            cfg.max_trace_count,
+        )
+    n0 = NodeList.__new__(NodeList)
+    n0.x = list(map(float, nodes[:, 0]))
+    n0.y = list(map(float, nodes[:, 1]))
+    n0.z = list(map(float, nodes[:, 2]))
+    n0.vx = list(map(float, nodes[:, 3]))
+    n0.vy = list(map(float, nodes[:, 4]))
+    n0.vz = list(map(float, nodes[:, 5]))
+    n0.corr = list(map(float, nodes[:, 6]))
+    n0.sig = list(map(float, nodes[:, 7]))
+    n0.type = list(map(int, nodes[:, 8]))
+    n0.nbr = [[] for _ in range(len(nodes))]
+    for a, b in edges:
+        n0.nbr[int(a)].append(int(b))
+    return n0, len(seeds), len(nodes)

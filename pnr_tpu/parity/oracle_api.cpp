@@ -17,10 +17,12 @@
 //   maxentropy/otsu/intermodes_th toolbox.cpp:657/596/528
 
 #include "frangi.h"
+#include "node.h"
 #include "seed.h"
 #include "toolbox.h"
 #include "tracker.h"
 
+#include <algorithm>
 #include <cstring>
 #include <vector>
 
@@ -180,5 +182,139 @@ float ref_tracker_interp(void* t, float x, float y, float z,
 }
 
 double ref_bessi0(double x) { return Tracker::bessi0(x); }
+
+static int clampi_(int x, int lo, int hi) {
+    return x < lo ? lo : (x > hi ? hi : x);
+}
+
+// End-to-end reference trace driver replicating the seed-selection and
+// seed-loop logic of reconstruction_func (Advantra_plugin.cpp:2558-2710)
+// over the compiled reference Tracker: znccBBB seed filter + corr-desc
+// sort (:2558-2586), trace-density maps + the ioff neighbour table
+// (:2602-2650, reproduced VERBATIM including the vol==19 block's y
+// clamps against N — the width — which the pnr_tpu rebuild fixes and
+// documents), then trackPos/trackNeg per surviving seed under the
+// MAX_TRACE_COUNT cap (:2658-2710). Returns the traced node list and
+// its adjacency so the rebuild's tracer can be scored against the real
+// reference end to end (RNG differs by construction: the reference
+// re-seeds srand(time(NULL)) per iteration, tracker.cpp:1003,1098).
+//
+// nodes_out rows: x, y, z, vx, vy, vz, corr, sig, type (incl. the
+// dummy node 0). Returns the node count, or -1 on overflow.
+long ref_trace_all(void* th, const unsigned char* img, int w, int h, int l,
+                   const float* seeds_raw, long nseeds, float znccth,
+                   int nodepervol, int nh_vol, int max_trace_count,
+                   float* nodes_out, long max_nodes, int* edges_out,
+                   long max_edges, long* edge_count) {
+    Tracker* t = (Tracker*)th;
+    t->verbose = false;
+    long size = (long)w * h * l;
+
+    // seed filter (soma-free path) + corr sort
+    std::vector<seed> kept;
+    float dummy_sig = 0.f;
+    for (long i = 0; i < nseeds; ++i) {
+        const float* s = seeds_raw + i * 8;
+        seed sd(s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7]);
+        sd.corr = t->znccBBB(sd.x, sd.y, sd.z, sd.vx, sd.vy, sd.vz,
+                             const_cast<unsigned char*>(img), w, h, l,
+                             dummy_sig);
+        if (sd.corr >= znccth) kept.push_back(sd);
+    }
+    std::sort(kept.begin(), kept.end(),
+              [](const seed& a, const seed& b) { return a.corr > b.corr; });
+
+    // neighbourhood index table (Advantra_plugin.cpp:2602-2650 verbatim)
+    int N = w, M = h, P = l;
+    std::vector<long> ioff_flat((nh_vol > 1) ? size * (nh_vol - 1) : 0);
+    std::vector<long*> ioff(size, (long*)0);
+    for (long i = 0; i < size; ++i) {
+        int x = i % N;
+        int z = i / (N * M);
+        int y = i / N - z * M;
+        if (nh_vol == 1) continue;
+        long* o = &ioff_flat[i * (nh_vol - 1)];
+        ioff[i] = o;
+        o[0] = (long)(z * N * M + y * N + clampi_(x - 1, 0, N - 1));
+        o[1] = (long)(z * N * M + y * N + clampi_(x + 1, 0, N - 1));
+        o[2] = (long)(z * N * M + clampi_(y - 1, 0, M - 1) * N + x);
+        o[3] = (long)(z * N * M + clampi_(y + 1, 0, M - 1) * N + x);
+        if (nh_vol >= 9) {
+            o[4] = (long)(z * N * M + clampi_(y - 1, 0, M - 1) * N + clampi_(x - 1, 0, N - 1));
+            o[5] = (long)(z * N * M + clampi_(y - 1, 0, M - 1) * N + clampi_(x + 1, 0, N - 1));
+            o[6] = (long)(z * N * M + clampi_(y + 1, 0, M - 1) * N + clampi_(x - 1, 0, N - 1));
+            o[7] = (long)(z * N * M + clampi_(y + 1, 0, M - 1) * N + clampi_(x + 1, 0, N - 1));
+        }
+        if (nh_vol >= 11) {
+            o[8] = (long)(clampi_(z - 1, 0, P - 1) * N * M + y * N + x);
+            o[9] = (long)(clampi_(z + 1, 0, P - 1) * N * M + y * N + x);
+        }
+        if (nh_vol >= 19) {  // y clamped by N-1 here in the reference
+            o[10] = (long)(clampi_(z - 1, 0, P - 1) * N * M + y * N + clampi_(x - 1, 0, N - 1));
+            o[11] = (long)(clampi_(z - 1, 0, P - 1) * N * M + y * N + clampi_(x + 1, 0, N - 1));
+            o[12] = (long)(clampi_(z - 1, 0, P - 1) * N * M + clampi_(y - 1, 0, N - 1) * N + x);
+            o[13] = (long)(clampi_(z - 1, 0, P - 1) * N * M + clampi_(y + 1, 0, N - 1) * N + x);
+            o[14] = (long)(clampi_(z + 1, 0, P - 1) * N * M + y * N + clampi_(x - 1, 0, N - 1));
+            o[15] = (long)(clampi_(z + 1, 0, P - 1) * N * M + y * N + clampi_(x + 1, 0, N - 1));
+            o[16] = (long)(clampi_(z + 1, 0, P - 1) * N * M + clampi_(y - 1, 0, N - 1) * N + x);
+            o[17] = (long)(clampi_(z + 1, 0, P - 1) * N * M + clampi_(y + 1, 0, N - 1) * N + x);
+        }
+        if (nh_vol == 27) {
+            o[18] = (long)(clampi_(z - 1, 0, P - 1) * N * M + clampi_(y - 1, 0, M - 1) * N + clampi_(x - 1, 0, N - 1));
+            o[19] = (long)(clampi_(z - 1, 0, P - 1) * N * M + clampi_(y - 1, 0, M - 1) * N + clampi_(x + 1, 0, N - 1));
+            o[20] = (long)(clampi_(z - 1, 0, P - 1) * N * M + clampi_(y + 1, 0, M - 1) * N + clampi_(x - 1, 0, N - 1));
+            o[21] = (long)(clampi_(z - 1, 0, P - 1) * N * M + clampi_(y + 1, 0, M - 1) * N + clampi_(x + 1, 0, N - 1));
+            o[22] = (long)(clampi_(z + 1, 0, P - 1) * N * M + clampi_(y - 1, 0, M - 1) * N + clampi_(x - 1, 0, N - 1));
+            o[23] = (long)(clampi_(z + 1, 0, P - 1) * N * M + clampi_(y - 1, 0, M - 1) * N + clampi_(x + 1, 0, N - 1));
+            o[24] = (long)(clampi_(z + 1, 0, P - 1) * N * M + clampi_(y + 1, 0, M - 1) * N + clampi_(x - 1, 0, N - 1));
+            o[25] = (long)(clampi_(z + 1, 0, P - 1) * N * M + clampi_(y + 1, 0, M - 1) * N + clampi_(x + 1, 0, N - 1));
+        }
+    }
+
+    std::vector<int> smap(size, 0);
+    std::vector<unsigned char> npervol(size, 0);
+    std::vector<int> nidx(size, 0);
+    std::vector<Node> n0;
+    n0.push_back(Node());  // dummy node 0 (Advantra_plugin.cpp:2416-2419)
+
+    int trace_count = 0;
+    for (long i = 0; i < (long)kept.size(); ++i) {
+        long si = (long)((int)round(kept[i].z)) * N * M +
+                  (long)((int)round(kept[i].y)) * N + (int)round(kept[i].x);
+        if ((int)npervol[si] < nodepervol) {
+            trace_count++;
+            t->trackPos(kept[i], const_cast<unsigned char*>(img), n0, w, h, l,
+                        smap.data(), npervol.data(), nh_vol, ioff.data(),
+                        nidx.data());
+            t->trackNeg(kept[i], const_cast<unsigned char*>(img), n0, w, h, l,
+                        smap.data(), npervol.data(), nh_vol, ioff.data(),
+                        nidx.data());
+            if (trace_count > max_trace_count) break;
+        }
+    }
+
+    long nn = (long)n0.size();
+    if (nn > max_nodes) return -1;
+    long ne = 0;
+    for (long i = 0; i < nn; ++i) {
+        nodes_out[i * 9 + 0] = n0[i].x;
+        nodes_out[i * 9 + 1] = n0[i].y;
+        nodes_out[i * 9 + 2] = n0[i].z;
+        nodes_out[i * 9 + 3] = n0[i].vx;
+        nodes_out[i * 9 + 4] = n0[i].vy;
+        nodes_out[i * 9 + 5] = n0[i].vz;
+        nodes_out[i * 9 + 6] = n0[i].corr;
+        nodes_out[i * 9 + 7] = n0[i].sig;
+        nodes_out[i * 9 + 8] = (float)n0[i].type;
+        for (size_t j = 0; j < n0[i].nbr.size(); ++j) {
+            if (ne >= max_edges) return -1;
+            edges_out[ne * 2 + 0] = (int)i;
+            edges_out[ne * 2 + 1] = n0[i].nbr[j];
+            ne++;
+        }
+    }
+    *edge_count = ne;
+    return nn;
+}
 
 }  // extern "C"
