@@ -22,15 +22,23 @@ halo-padded slab, exact at >= ceil(3*sigma_max) from the padded edge;
 sample_reach: template line extent + interpolation margin; the last
 term bounds centroid drift between handoff opportunities).
 
-Lane management: each shard owns a fixed batch of T lanes. Departing
-traces free their lane; arrivals fill free lanes in rank order (rank
-of arrival matched to rank of free lane — pure scatter, no host). If
-arrivals exceed free lanes the overflow traces are dropped and counted
-in the returned `lost` array (size the lanes generously).
+Lane management (zero loss): each shard owns a fixed batch of T lanes.
+Before any state moves, the shards run a capacity handshake — per-
+direction mover counts travel to the receiving neighbour, the receiver
+grants up to its free-lane count (up-arrivals first, then down), and
+the grants travel back — so a sender only releases traces the receiver
+can seat. Movers that exceed capacity STAY on their shard and keep
+tracing against the halo-padded slab (counted in `kept_local`): beyond
+the drift budget their samples may read approximate map territory near
+the halo edge, a bounded divergence instead of the trace silently
+vanishing. They retry migration at the next stage.
 
-Reassembly: the step returns per-stage packed estimate blocks plus the
-lane->trace-id map per stage; `stitch_estimates` reassembles each
-trace's (ni, 9) record on the host.
+The staged API (`build_handoff_tracer`) exposes (init, stage) so the
+host can commit estimates between stages and feed a kill mask back —
+the same stop-early compute economy as the single-device staged wave
+(pipeline/reconstruct.py): killed lanes cost no further device work and
+their lanes free up for arrivals. `build_handoff_trace_step` keeps the
+one-shot all-stages API on top of it.
 """
 
 from __future__ import annotations
@@ -58,20 +66,29 @@ def required_trace_halo(cfg: PNRConfig, stage_iters: int) -> int:
     return conv_reach + sample_reach + drift
 
 
-def build_handoff_trace_step(
+def build_handoff_tracer(
     cfg: PNRConfig,
     mesh,
     lanes_per_shard: int,
     stage_iters: int = 4,
     trace_halo: int | None = None,
+    z_total: int | None = None,
 ):
-    """Returns step(vol_sharded, seed_pos, seed_dir, trace_ids, valid,
-    base_key) -> (packed (S, n*T, stage, 9), ids (S, n*T), live (S, n*T),
-    lost (n_shards,)) with S = number of stages.
+    """Staged distributed tracer. Returns (init, stage, n_stages).
 
-    seed_pos are GLOBAL (x, y, z); they must be pre-bucketed per shard
-    (`assign_seeds_to_shards`), `valid` masking pad lanes. Estimates
-    come back in global coordinates.
+    init(vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key)
+        -> (state, est0 (L, 9), ids0 (L,))
+    stage(vol_sharded, state, iter_idx (stage_iters,), kill (L,))
+        -> (state, packed (L, stage_iters, 9), ids (L,), live (L,),
+            kept_local (n_shards,))
+
+    L = n_shards * lanes_per_shard; all lane-indexed arrays are sharded
+    over the mesh axis. seed_pos are GLOBAL (x, y, z), pre-bucketed per
+    shard (`_bucket` in the sharded pipeline); `valid` masks pad lanes.
+    Estimates come back in global coordinates. `kill` retires traces
+    whose committed prefix already stopped. `z_total` bounds the global
+    z stop check (defaults to the sharded volume's Z — pass the
+    original Z when the volume was padded to divide the mesh).
     """
     from pnr_tpu.smc.tracker import BatchedTracker
 
@@ -84,160 +101,142 @@ def build_handoff_trace_step(
     n_stages = -(-(ni - 1) // stage_iters)
     t_lanes = lanes_per_shard
 
-    def local_fn(vol_local, sp, sd, ids, valid, key_data):
+    def _local_field(vol_local):
         idx = lax.axis_index(axis)
         zl = vol_local.shape[0]
-        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-
         padded = halo_exchange_z(vol_local, trace_halo, axis)
         field = tracker.prepare_field(padded)
         z_off = (idx * zl - trace_halo).astype(jnp.float32)
+        return field, z_off, zl
 
+    def _zbound(z, zmax):
+        zr = jnp.where(z >= 0, jnp.floor(z + 0.5), jnp.ceil(z - 0.5))
+        return (zr >= 0) & (zr < zmax)
+
+    def init_local(vol_local, sp, sd, ids, valid, key_data):
+        field, z_off, zl = _local_field(vol_local)
+        zmax = float(z_total if z_total is not None else n_dev * vol_local.shape[0])
         keys = jax.vmap(jax.random.wrap_key_data)(key_data)
         sp_local = sp - jnp.stack(
             [jnp.zeros_like(z_off), jnp.zeros_like(z_off), z_off]
         )[None, :]
         carry, est0 = tracker._trace_init(field, sp_local, sd, keys)
         est0 = est0.at[:, 2].add(z_off)
-        zr0 = jnp.where(
-            est0[:, 2] >= 0,
-            jnp.floor(est0[:, 2] + 0.5),
-            jnp.ceil(est0[:, 2] - 0.5),
-        )
-        okg0 = (zr0 >= 0) & (zr0 < n_dev * zl)
-        est0 = est0.at[:, 8].multiply(
-            (valid & okg0).astype(jnp.float32)
-        )
+        okg0 = _zbound(est0[:, 2], zmax)
+        est0 = est0.at[:, 8].multiply((valid & okg0).astype(jnp.float32))
         live = valid
-        lost = jnp.zeros((1,), jnp.int32)  # per-shard dropped-arrival count
+        state = carry + (key_data, ids, live, est0[:, 2])
+        return state, est0, jnp.where(live, ids, -1)
 
-        stage_packs = [jnp.pad(est0[:, None, :], ((0, 0), (0, stage_iters - 1), (0, 0)))]
-        stage_ids = [jnp.where(live, ids, -1)]
-        stage_live = [live]
+    def stage_local(vol_local, state, iter_idx, kill):
+        field, z_off, zl = _local_field(vol_local)
+        zmax = float(z_total if z_total is not None else n_dev * vol_local.shape[0])
+        idx = lax.axis_index(axis)
+        (pos, dirs, wgt, resampled, res_idx, alive,
+         key_data, ids, live, last_cz) = state
+        live = live & ~kill
 
-        def migrate(carry, key_data, ids, live, cz_global, lost):
-            """Hand traces whose centroid left the owned slab to the
-            Z-neighbour that now owns them."""
-            pos, dirs, wgt, resampled, res_idx, alive = carry
-            owner = jnp.clip(
-                jnp.floor(cz_global / zl).astype(jnp.int32), 0, n_dev - 1
+        # ---- capacity-handshake migration (zero loss) ----
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        owner = jnp.clip(jnp.floor(last_cz / zl).astype(jnp.int32), 0, n_dev - 1)
+        moving = live & alive & (owner != idx)
+        go_up = moving & (owner > idx)
+        go_dn = moving & (owner < idx)
+        free_n = jnp.sum((~live).astype(jnp.int32))
+        up_in = jnp.where(idx > 0, lax.ppermute(jnp.sum(go_up.astype(jnp.int32)), axis, fwd), 0)
+        dn_in = jnp.where(idx < n_dev - 1, lax.ppermute(jnp.sum(go_dn.astype(jnp.int32)), axis, bwd), 0)
+        accept_up = jnp.minimum(up_in, free_n)          # up-arrivals seat first
+        accept_dn = jnp.minimum(dn_in, free_n - accept_up)
+        my_up_grant = lax.ppermute(accept_up, axis, bwd)  # grant from idx+1
+        my_dn_grant = lax.ppermute(accept_dn, axis, fwd)  # grant from idx-1
+        rank_up = jnp.cumsum(go_up.astype(jnp.int32)) - 1
+        rank_dn = jnp.cumsum(go_dn.astype(jnp.int32)) - 1
+        go_up = go_up & (rank_up < my_up_grant)
+        go_dn = go_dn & (rank_dn < my_dn_grant)
+        kept_local = (jnp.sum(moving.astype(jnp.int32))
+                      - jnp.sum(go_up.astype(jnp.int32))
+                      - jnp.sum(go_dn.astype(jnp.int32))).reshape(1)
+
+        payload = (pos, dirs, wgt, resampled, res_idx, alive, key_data, ids)
+
+        def send(direction_mask, perm, dz):
+            sent = [lax.ppermute(p, axis, perm) for p in payload]
+            sent_mask = lax.ppermute(direction_mask, axis, perm)
+            sent_pos = sent[0].at[:, :, 2].add(dz)
+            return (sent_pos,) + tuple(sent[1:]), sent_mask
+
+        up_payload, up_mask = send(go_up, fwd, -float(zl))
+        dn_payload, dn_mask = send(go_dn, bwd, float(zl))
+        up_mask = up_mask & (idx > 0)
+        dn_mask = dn_mask & (idx < n_dev - 1)
+
+        live = live & ~(go_up | go_dn)
+
+        def fill(live, payload_in, mask_in, carry_arrs, key_data, ids):
+            # rank-match arrivals to free lanes; the handshake guarantees
+            # arrivals <= free lanes, so nothing drops
+            arr_rank = jnp.cumsum(mask_in.astype(jnp.int32)) - 1
+            free_lanes = jnp.nonzero(~live, size=t_lanes, fill_value=t_lanes)[0]
+            dest = jnp.where(
+                mask_in, free_lanes[jnp.clip(arr_rank, 0, t_lanes - 1)], t_lanes
             )
-            moving = live & alive & (owner != idx)
-            go_up = moving & (owner > idx)
-            go_dn = moving & (owner < idx)
 
-            payload = (
-                pos, dirs, wgt, resampled, res_idx, alive, key_data, ids,
-            )
+            def scat(dst_arr, src_arr):
+                return dst_arr.at[dest].set(src_arr, mode="drop")
 
-            def send(direction_mask, perm, dz):
-                # ship ALL lanes + the mask; the receiver selects
-                sent = [lax.ppermute(p, axis, perm) for p in payload]
-                sent_mask = lax.ppermute(direction_mask, axis, perm)
-                # re-localize particle z into the receiver's frame
-                sent_pos = sent[0].at[:, :, 2].add(dz)
-                return (sent_pos,) + tuple(sent[1:]), sent_mask
+            new_carr = tuple(scat(d, s) for d, s in zip(carry_arrs, payload_in[:6]))
+            key_data = scat(key_data, payload_in[6])
+            ids = scat(ids, payload_in[7])
+            live = live.at[dest].set(True, mode="drop")
+            return live, new_carr, key_data, ids
 
-            # +1 neighbours: what shard idx-1 sent up arrives here
-            up_payload, up_mask = send(go_up, fwd, -float(zl))
-            dn_payload, dn_mask = send(go_dn, bwd, float(zl))
-            # edge shards never receive across the global boundary
-            up_mask = up_mask & (idx > 0)
-            dn_mask = dn_mask & (idx < n_dev - 1)
-
-            live = live & ~moving
-
-            def fill(live, lost, payload_in, mask_in, carry_arrs, key_data, ids):
-                # rank-match arrivals to free lanes (pure scatter)
-                arr_rank = jnp.cumsum(mask_in.astype(jnp.int32)) - 1
-                free_lanes = jnp.nonzero(
-                    ~live, size=t_lanes, fill_value=t_lanes
-                )[0]
-                n_free = jnp.sum((~live).astype(jnp.int32))
-                takes = mask_in & (arr_rank < n_free)
-                dest = jnp.where(
-                    takes, free_lanes[jnp.clip(arr_rank, 0, t_lanes - 1)], t_lanes
-                )  # t_lanes = out of range -> dropped by the scatter
-                lost = lost + jnp.sum((mask_in & ~takes).astype(jnp.int32))
-
-                def scat(dst_arr, src_arr):
-                    return dst_arr.at[dest].set(src_arr, mode="drop")
-
-                new_carr = tuple(scat(d, s) for d, s in zip(carry_arrs, payload_in[:6]))
-                key_data = scat(key_data, payload_in[6])
-                ids = scat(ids, payload_in[7])
-                live = live.at[dest].set(True, mode="drop")
-                return live, lost, new_carr, key_data, ids
-
-            carry_arrs = (pos, dirs, wgt, resampled, res_idx, alive)
-            live, lost, carry_arrs, key_data, ids = fill(
-                live, lost, up_payload, up_mask, carry_arrs, key_data, ids
-            )
-            live, lost, carry_arrs, key_data, ids = fill(
-                live, lost, dn_payload, dn_mask, carry_arrs, key_data, ids
-            )
-            # lanes not live carry no work
-            carry = carry_arrs[:5] + (carry_arrs[5] & live,)
-            return carry, key_data, ids, live, lost
-
-        it = 1
-        key_data_cur = key_data
-        ids_cur = ids
-        last_cz = est0[:, 2]
-        for s in range(n_stages):
-            # migrate based on the latest centroid (global z)
-            carry, key_data_cur, ids_cur, live, lost = migrate(
-                carry, key_data_cur, ids_cur, live, last_cz, lost
-            )
-            keys_cur = jax.vmap(jax.random.wrap_key_data)(key_data_cur)
-            n_it = min(stage_iters, ni - it)
-            carry, packed = tracker._trace_stage(
-                field, keys_cur, carry, jnp.arange(it, it + n_it), ~live
-            )
-            packed = packed.at[:, :, 2].add(z_off)
-            # the local in-bounds check runs against the halo-padded
-            # slab; re-impose the GLOBAL z bound so stop semantics match
-            # the single-device tracker (x/y bounds are identical). The
-            # stitcher takes the running prefix, so one masked iteration
-            # invalidates the tail exactly like the alive chain would.
-            zr = jnp.where(
-                packed[:, :, 2] >= 0,
-                jnp.floor(packed[:, :, 2] + 0.5),
-                jnp.ceil(packed[:, :, 2] - 0.5),
-            )
-            okg = (zr >= 0) & (zr < n_dev * zl)
-            packed = packed.at[:, :, 8].multiply(
-                okg.astype(jnp.float32) * live.astype(jnp.float32)[:, None]
-            )
-            last_cz = packed[:, n_it - 1, 2]
-            if n_it < stage_iters:
-                packed = jnp.pad(packed, ((0, 0), (0, stage_iters - n_it), (0, 0)))
-            stage_packs.append(packed)
-            stage_ids.append(jnp.where(live, ids_cur, -1))
-            stage_live.append(live)
-            it += n_it
-
-        return (
-            jnp.stack(stage_packs),   # (S+1, T, stage_iters, 9)
-            jnp.stack(stage_ids),     # (S+1, T)
-            jnp.stack(stage_live),    # (S+1, T)
-            lost,
+        carry_arrs = (pos, dirs, wgt, resampled, res_idx, alive)
+        live, carry_arrs, key_data, ids = fill(
+            live, up_payload, up_mask, carry_arrs, key_data, ids
         )
+        live, carry_arrs, key_data, ids = fill(
+            live, dn_payload, dn_mask, carry_arrs, key_data, ids
+        )
+        carry = carry_arrs[:5] + (carry_arrs[5] & live,)
 
-    fn = shard_map(
-        local_fn,
+        # ---- advance stage_iters iterations ----
+        keys_cur = jax.vmap(jax.random.wrap_key_data)(key_data)
+        carry, packed = tracker._trace_stage(field, keys_cur, carry, iter_idx, ~live)
+        packed = packed.at[:, :, 2].add(z_off)
+        # the local in-bounds check ran against the halo-padded slab;
+        # re-impose the GLOBAL z bound so stop semantics match the
+        # single-device tracker (x/y bounds are identical). Validity is
+        # a prefix property downstream, so one masked iteration
+        # invalidates the tail exactly like the alive chain would.
+        okg = _zbound(packed[:, :, 2], zmax)
+        packed = packed.at[:, :, 8].multiply(
+            okg.astype(jnp.float32) * live.astype(jnp.float32)[:, None]
+        )
+        last_cz = packed[:, -1, 2]
+        state = carry + (key_data, ids, live, last_cz)
+        return state, packed, jnp.where(live, ids, -1), live, kept_local
+
+    state_spec = (P(axis),) * 10
+    init_fn = shard_map(
+        init_local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(None, axis), P(None, axis), P(None, axis), P(axis)),
+        in_specs=(P(axis),) * 6,
+        out_specs=(state_spec, P(axis), P(axis)),
+    )
+    stage_fn = shard_map(
+        stage_local,
+        mesh=mesh,
+        in_specs=(P(axis), state_spec, P(None), P(axis)),
+        out_specs=(state_spec, P(axis), P(axis), P(axis), P(axis)),
     )
 
-    def step(vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key):
+    def init(vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key):
         keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
             jnp.asarray(trace_ids, jnp.uint32)
         )
         key_data = jax.vmap(jax.random.key_data)(keys)
-        return fn(
+        return init_fn(
             vol_sharded,
             jnp.asarray(seed_pos, jnp.float32),
             jnp.asarray(seed_dir, jnp.float32),
@@ -246,7 +245,57 @@ def build_handoff_trace_step(
             key_data,
         )
 
-    return jax.jit(step), n_stages, stage_iters
+    return jax.jit(init), jax.jit(stage_fn), n_stages
+
+
+def build_handoff_trace_step(
+    cfg: PNRConfig,
+    mesh,
+    lanes_per_shard: int,
+    stage_iters: int = 4,
+    trace_halo: int | None = None,
+):
+    """One-shot API over `build_handoff_tracer`: run every stage with no
+    kill feedback and return the stacked per-stage blocks.
+
+    Returns step(vol_sharded, seed_pos, seed_dir, trace_ids, valid,
+    base_key) -> (packed (S+1, L, stage_iters, 9), ids (S+1, L),
+    live (S+1, L), lost (n_shards,)) — `lost` is now always zero (the
+    capacity handshake keeps overflow traces local instead of dropping
+    them; their count is in the final `kept_local`, also returned via
+    the live/ids bookkeeping) and retained for API compatibility.
+    """
+    init, stage, n_stages = build_handoff_tracer(
+        cfg, mesh, lanes_per_shard, stage_iters, trace_halo
+    )
+    ni = cfg.ni
+    n_dev = mesh.devices.size
+
+    def step(vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key):
+        state, est0, ids0 = init(
+            vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key
+        )
+        lanes = est0.shape[0]
+        packs = [jnp.pad(est0[:, None, :], ((0, 0), (0, stage_iters - 1), (0, 0)))]
+        ids_all = [ids0]
+        live_all = [state[8]]
+        no_kill = jnp.zeros(lanes, bool)
+        it = 1
+        for s in range(n_stages):
+            n_it = min(stage_iters, ni - it)
+            state, packed, ids, live, _kept = stage(
+                vol_sharded, state, jnp.arange(it, it + stage_iters), no_kill
+            )
+            if n_it < stage_iters:
+                packed = packed.at[:, n_it:, 8].set(0.0)
+            packs.append(packed)
+            ids_all.append(ids)
+            live_all.append(live)
+            it += n_it
+        lost = jnp.zeros(n_dev, jnp.int32)
+        return jnp.stack(packs), jnp.stack(ids_all), jnp.stack(live_all), lost
+
+    return step, n_stages, stage_iters
 
 
 def stitch_estimates(

@@ -1,33 +1,43 @@
 """Multi-device reconstruction: the full pipeline over a device mesh.
 
-Same contract as `pnr_tpu.pipeline.reconstruction_func`, with the three
-heavy stages sharded over a 1-D Z mesh (SURVEY.md §2b):
+Same contract as `pnr_tpu.pipeline.reconstruction_func`, with the heavy
+stages sharded over a 1-D Z mesh (SURVEY.md §2b):
 
+* soma extraction: per-slice erode + xy-Gaussian shard trivially over Z
+  (no halo — both stencils are xy-only, frangi.cpp:879/786); the
+  max-entropy threshold reduces a global 256-bin histogram over the
+  mesh; the 3-D connected components run on the gathered binary mask on
+  host (tiny, one uint8 volume fetch) — bit-identical to single-device;
 * Frangi + J8: halo-exchange stencils, global min/max by mesh reduction
   (`frangi3d_sharded`);
 * seed extraction: per-shard MaximumFinder (exact — the tolerance flood
   is per-z-slice) + per-shard ZNCC scoring against halo-padded local
   likelihood fields (`seeds_sharded`, `build_seed_scorer`);
 * tracing: shard-local SMC with boundary handoff — the volume never
-  replicates (`build_handoff_trace_step`).
+  replicates (`build_handoff_tracer`), run STAGED with the same
+  in-order commit wavefront + kill-back as the single-device path, so
+  suppressed/stopped traces cost no further device compute and the
+  mutable-map semantics stay first-come-first-served.
 
-Seed ordering, first-come-first-served density suppression, and the
-graph post-processing run on the host exactly as in the single-device
-pipeline: waves are traced speculatively to full length on the mesh and
-committed in global corr order through the same `TraceCommitter`.
-Differences from the single-device path are bounded by the ~1e-2 fp
-drift of halo-edge convolutions (see tests/test_parallel.py), so SWC
-output matches within tolerance, not bitwise.
+Arbitrary Z is supported by replicate-padding the top slice up to the
+mesh multiple: with the reference's clamped-border stencils, replicated
+slices reproduce the border values exactly, so results in the original
+region are unchanged; seeds in the padding are discarded and the
+tracer's global stop bound stays the ORIGINAL Z.
 
-Limitations (v1): somaradius must be 0 (soma extraction is a host
-stage on the full volume — run the single-device path for soma stacks)
-and Z must divide by the mesh size (pad upstream otherwise).
+Lane overflow never loses traces: seeds that do not fit a wave's
+per-shard lanes are re-queued into the next wave (ordering divergence
+from the strict global corr order, counted and reported), and in-flight
+migration overflow keeps traces on their shard (parallel/handoff.py).
+Checkpoint/resume snapshots the commit state between waves exactly like
+the single-device loop.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional
+import os
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +48,9 @@ from jax import shard_map
 
 from pnr_tpu.config import PNRConfig
 from pnr_tpu.graph.build import TraceCommitter
-from pnr_tpu.graph.nodes import NodeList
+from pnr_tpu.graph.nodes import SOMA, NodeList
 from pnr_tpu.parallel.halo import halo_exchange_z
-from pnr_tpu.parallel.handoff import build_handoff_trace_step, stitch_estimates
+from pnr_tpu.parallel.handoff import build_handoff_tracer
 from pnr_tpu.parallel.sharded import (
     frangi3d_sharded,
     normalize_to_u8_sharded,
@@ -48,6 +58,54 @@ from pnr_tpu.parallel.sharded import (
     shard_volume,
 )
 from pnr_tpu.pipeline.reconstruct import ReconstructionResult, reconstruct_graph
+
+
+def _pad_z_replicate(vol: np.ndarray, n_dev: int) -> np.ndarray:
+    """Pad Z to a mesh multiple by replicating the last slice — exact
+    for clamped-border stencils (the beyond-edge taps read the edge
+    slice either way)."""
+    z = vol.shape[0]
+    zp = -(-z // n_dev) * n_dev
+    if zp == z:
+        return vol
+    pad = np.repeat(vol[-1:], zp - z, axis=0)
+    return np.concatenate([vol, pad], axis=0)
+
+
+def soma_extraction_sharded(
+    vs, vol_shape, cfg: PNRConfig, nodes: NodeList, mesh, verbose=False
+):
+    """Sharded soma extraction (Advantra_plugin.cpp:2426-2481): per-slab
+    xy erode + xy Gaussian (Z-sharded, halo-free), global max-entropy
+    threshold via a psum'd histogram, host 3-D CC on the gathered
+    binary mask. Returns the (Z, Y, X) int32 smap (original Z)."""
+    from pnr_tpu.ops.morphology import imerode_xy
+    from pnr_tpu.ops.gaussian import imgaussian_xy
+    from pnr_tpu.ops.thresholds import histogram256, maxentropy_th
+    from pnr_tpu import native
+
+    axis = mesh.axis_names[0]
+    r = float(cfg.somaradius)
+
+    def local_fn(v):
+        e8 = imerode_xy(v, r)
+        e8 = imgaussian_xy(e8, r)
+        hist = lax.psum(histogram256(e8), axis)
+        return e8, hist
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=(P(axis), P()))
+    e8_s, hist = jax.jit(fn)(vs)
+    th = maxentropy_th(np.asarray(hist))
+    e8_np = np.asarray(e8_s)[: vol_shape[0]]  # drop Z padding
+    e8bin = np.where(e8_np > th, 255, 0).astype(np.uint8)
+    labels, regions = native.conn3d(e8bin, value_over=0, min_size=1, diagonal=True)
+    base = len(nodes) - 1
+    for rg in range(len(regions)):
+        nodes.add(
+            regions[rg, 0], regions[rg, 1], regions[rg, 2],
+            sig=regions[rg, 3], ntype=SOMA,
+        )
+    return np.where(labels > 0, labels + base, 0).astype(np.int32)
 
 
 def build_seed_scorer(cfg: PNRConfig, mesh):
@@ -70,6 +128,11 @@ def build_seed_scorer(cfg: PNRConfig, mesh):
         sp_local = sp - jnp.stack(
             [jnp.zeros_like(z_off), jnp.zeros_like(z_off), z_off]
         )[None, :]
+        if tracker._patch_engine is not None:
+            corr, _ = tracker._patch_engine.eval_fused(
+                field, sp_local[:, None, :], sd[:, None, :]
+            )
+            return corr[:, 0]
         corr, sig = tracker._zncc(field, sp_local, sd)
         return corr
 
@@ -79,22 +142,23 @@ def build_seed_scorer(cfg: PNRConfig, mesh):
     return jax.jit(fn)
 
 
-def _bucket_by_shard(pos, dirs, ids, z_total, n_shards, lanes):
+def _bucket_by_shard(pos, dirs, ids, z_padded, n_shards, lanes):
     """Fixed-lane per-shard buckets preserving the given order inside
-    each shard. Returns (pos, dirs, ids, valid) each (n_shards*lanes, ...)."""
-    zl = z_total // n_shards
+    each shard. Returns (pos, dirs, ids, valid, dropped_ids) — overflow
+    entries are RETURNED (for re-queueing), never silently lost."""
+    zl = z_padded // n_shards
     out_p = np.zeros((n_shards * lanes, 3), np.float32)
     out_d = np.zeros((n_shards * lanes, 3), np.float32)
     out_d[:, 0] = 1.0
-    out_i = np.zeros(n_shards * lanes, np.int32)
+    out_i = np.zeros(n_shards * lanes, np.int64)
     valid = np.zeros(n_shards * lanes, bool)
-    dropped = 0
+    dropped: List[int] = []
     for s in range(n_shards):
         lo = s * zl
-        hi = (s + 1) * zl if s < n_shards - 1 else z_total + 1
+        hi = (s + 1) * zl if s < n_shards - 1 else z_padded + 1
         m = (pos[:, 2] >= lo) & (pos[:, 2] < hi)
         sel = np.nonzero(m)[0]
-        dropped += max(0, len(sel) - lanes)
+        dropped.extend(ids[sel[lanes:]].tolist())
         sel = sel[:lanes]
         k = len(sel)
         sl = slice(s * lanes, s * lanes + k)
@@ -105,25 +169,46 @@ def _bucket_by_shard(pos, dirs, ids, z_total, n_shards, lanes):
     return out_p, out_d, out_i, valid, dropped
 
 
+def _score_seeds_sharded(scorer, vs, pos, dirs, z_padded, n_dev, verbose):
+    """Score all seeds through the per-shard scorer, looping buckets so
+    a crowded slab degrades to extra passes instead of aborting."""
+    n = len(pos)
+    corr = np.full(n, -np.inf, np.float32)
+    todo = np.arange(n)
+    zl = z_padded // n_dev
+    while len(todo):
+        counts = np.bincount(
+            np.clip((pos[todo, 2] // zl).astype(int), 0, n_dev - 1),
+            minlength=n_dev,
+        )
+        lanes = max(1, int(counts.max()))
+        bp, bd, bi, bv, dropped = _bucket_by_shard(
+            pos[todo], dirs[todo], todo, z_padded, n_dev, lanes
+        )
+        c = np.asarray(scorer(vs, jnp.asarray(bp), jnp.asarray(bd)))
+        corr[bi[bv]] = c[bv]
+        todo = np.asarray(dropped, np.int64)
+        if len(todo) and verbose:
+            print(f"seed scorer: extra pass for {len(todo)} seeds")
+    return corr
+
+
 def reconstruction_func_sharded(
     vol: np.ndarray,
     cfg: PNRConfig,
     mesh,
     verbose: bool = True,
     key: Optional[jax.Array] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every_waves: int = 1,
+    resume: bool = False,
+    _lanes_override: Optional[int] = None,  # tests: force lane overflow
 ) -> ReconstructionResult:
     """Full reconstruction of a (Z, Y, X) uint8 volume over `mesh`."""
     vol = np.ascontiguousarray(vol, np.uint8)
     n_dev = int(mesh.devices.size)
-    if vol.shape[0] % n_dev != 0:
-        raise ValueError(
-            f"Z={vol.shape[0]} must divide by the mesh size {n_dev} (pad the stack)"
-        )
-    if cfg.somaradius > 0:
-        raise ValueError(
-            "sharded pipeline v1 does not run soma extraction; use the "
-            "single-device reconstruction_func for soma stacks"
-        )
+    z_orig = vol.shape[0]
+    padded = _pad_z_replicate(vol, n_dev)
     if key is None:
         key = jax.random.key(cfg.seed)
 
@@ -131,9 +216,16 @@ def reconstruction_func_sharded(
 
     tm = _StageTimer(verbose)
     nodes = NodeList()
+    smap = None
+
+    vs = shard_volume(padded, mesh)
+
+    if cfg.somaradius > 0:
+        tm.start("soma extraction (sharded)")
+        smap = soma_extraction_sharded(vs, vol.shape, cfg, nodes, mesh, verbose)
+        tm.stop()
 
     tm.start("frangi (sharded)")
-    vs = shard_volume(vol, mesh)
     j, jmin, jmax, vx, vy, vz = frangi3d_sharded(
         vs, cfg.sigmas, cfg.zdist, mesh,
         cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
@@ -153,6 +245,16 @@ def reconstruction_func_sharded(
     n_found = int(np.asarray(found).sum())
     if n_found > len(pos) and verbose:
         print(f"warning: seed cap dropped {n_found - len(pos)} seeds")
+    # discard seeds in the replicated Z padding (duplicates of the top
+    # slice) and inside the soma
+    keep = pos[:, 2] < z_orig
+    pos, dirs = pos[keep], dirs[keep]
+    if smap is not None and len(pos):
+        zi = np.floor(pos[:, 2] + 0.5).astype(int)
+        yi = np.floor(pos[:, 1] + 0.5).astype(int)
+        xi = np.floor(pos[:, 0] + 0.5).astype(int)
+        outside = smap[zi, yi, xi] == 0
+        pos, dirs = pos[outside], dirs[outside]
     tm.stop()
     if verbose:
         print(f"{len(pos) / 1000.0}k seeds")
@@ -160,22 +262,10 @@ def reconstruction_func_sharded(
     tm.start("seed selection & sorting (sharded)")
     corr = np.zeros(0, np.float32)
     if len(pos):
-        # size lanes to the fullest Z-slab (neurites confined to a few
-        # slices are common; uniform sizing would silently drop seeds)
-        zl = vol.shape[0] // n_dev
-        counts = np.bincount(
-            np.clip((pos[:, 2] // zl).astype(int), 0, n_dev - 1),
-            minlength=n_dev,
-        )
-        lanes = max(1, int(counts.max()))
         scorer = build_seed_scorer(cfg, mesh)
-        bp, bd, bi, bv, dropped = _bucket_by_shard(
-            pos, dirs, np.arange(len(pos)), vol.shape[0], n_dev, lanes
+        corr_all = _score_seeds_sharded(
+            scorer, vs, pos, dirs, padded.shape[0], n_dev, verbose
         )
-        assert dropped == 0
-        c = np.asarray(scorer(vs, jnp.asarray(bp), jnp.asarray(bd)))
-        corr_all = np.full(len(pos), -np.inf, np.float32)
-        corr_all[bi[bv]] = c[bv]
         keep = corr_all >= cfg.znccth
         pos, dirs, corr = pos[keep], dirs[keep], corr_all[keep]
         order = np.argsort(-corr, kind="stable")
@@ -184,19 +274,37 @@ def reconstruction_func_sharded(
     if verbose:
         print(f"{len(pos) / 1000.0}k seeds after selection")
 
-    tm.start("tracing (sharded, handoff)")
-    committer = TraceCommitter(vol.shape, cfg.vol, cfg.nodepervol, nodes, None)
+    tm.start("tracing (sharded, staged handoff)")
+    committer = TraceCommitter(vol.shape, cfg.vol, cfg.nodepervol, nodes, smap)
     wave = max(1, cfg.wave_size)
-    # 2 traces per seed (pos+neg); worst case all in one Z-slab
-    lanes = 2 * wave
-    step, n_stages, stage_iters = build_handoff_trace_step(
-        cfg, mesh, lanes_per_shard=lanes, stage_iters=4
+    # worst case: every trace of the wave in one slab always fits, so
+    # re-queueing only triggers under a test override
+    lanes = _lanes_override or 2 * wave
+    stage_iters = 4
+    init, stage, n_stages = build_handoff_tracer(
+        cfg, mesh, lanes_per_shard=lanes, stage_iters=stage_iters,
+        z_total=z_orig,
     )
     trace_count = 0
     idx = 0
     nseeds = len(pos)
-    while idx < nseeds and trace_count <= cfg.max_trace_count:
-        batch = []
+    waves_done = 0
+    requeued_total = 0
+    pending: List[int] = []  # lane-overflow seeds, traced next wave
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from pnr_tpu.pipeline.checkpoint import load_checkpoint
+
+        committer, idx, trace_count = load_checkpoint(checkpoint_path)
+        nodes = committer.nodes
+        if verbose:
+            print(f"resumed at seed {idx}, {trace_count} traces, |n0|={len(nodes)}")
+
+    while (pending or idx < nseeds) and trace_count <= cfg.max_trace_count:
+        batch: List[int] = []
+        while pending and len(batch) < wave:
+            si = pending.pop(0)
+            if committer.seed_allowed(pos[si]):
+                batch.append(si)
         while idx < nseeds and len(batch) < wave:
             if committer.seed_allowed(pos[idx]):
                 batch.append(idx)
@@ -204,7 +312,6 @@ def reconstruction_func_sharded(
         if not batch:
             break
         sel = np.asarray(batch)
-        # both directions per seed, reference commit order (pos, neg)
         sp = np.repeat(pos[sel], 2, axis=0)
         sd = np.empty_like(sp)
         sd[0::2] = dirs[sel]
@@ -213,35 +320,34 @@ def reconstruction_func_sharded(
         tids[0::2] = 2 * sel
         tids[1::2] = 2 * sel + 1
         bp, bd, bi, bv, dropped = _bucket_by_shard(
-            sp, sd, tids, vol.shape[0], n_dev, lanes
+            sp, sd, tids, padded.shape[0], n_dev, lanes
         )
-        if dropped and verbose:
-            print(f"warning: wave lane overflow dropped {dropped} traces")
-        packs, sids, live, lost = step(
-            vs, bp, bd, bi.astype(np.int32), bv, key
+        if dropped:
+            # re-queue whole seeds whose traces did not fit this wave's
+            # lanes (commit-order divergence, never loss)
+            requeue = sorted({int(t) // 2 for t in dropped})
+            bv = bv & ~np.isin(bi // 2, np.asarray(requeue))
+            sel = sel[~np.isin(sel, np.asarray(requeue))]
+            pending.extend(requeue)
+            requeued_total += len(requeue)
+            if verbose:
+                print(f"wave lane overflow: re-queued {len(requeue)} seeds")
+        if not len(sel):
+            continue
+
+        trace_count = _trace_and_commit_wave_sharded(
+            committer, init, stage, vs, bp, bd, bi, bv, key, cfg,
+            pos, sel, trace_count, n_stages, stage_iters,
         )
-        est, got_ids = stitch_estimates(np.asarray(packs), np.asarray(sids), cfg.ni)
-        by_id = {int(t): r for r, t in enumerate(got_ids)}
-        # commit in the reference's order: per seed, pos then neg trace
-        for si in sel:
-            if trace_count > cfg.max_trace_count:
-                break
-            if not committer.seed_allowed(pos[si]):
-                continue
-            trace_count += 1
-            for d in (0, 1):
-                tid = int(2 * si + d)
-                if tid not in by_id:
-                    continue
-                e = est[by_id[tid]]
-                cur = committer.begin_trace()
-                committer.commit_steps(
-                    cur, e[:, 0:3], e[:, 3:6], e[:, 6], e[:, 7], e[:, 8], cfg.ni
-                )
-                committer.finish_trace(cur)
+        waves_done += 1
+        if checkpoint_path and waves_done % max(1, checkpoint_every_waves) == 0:
+            from pnr_tpu.pipeline.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, committer, idx, trace_count)
     tm.stop()
     if verbose:
-        print(f"traced {trace_count} seeds, |n0|={len(nodes)}")
+        extra = f", {requeued_total} re-queued" if requeued_total else ""
+        print(f"traced {trace_count} seeds{extra}, |n0|={len(nodes)}")
 
     n0 = nodes
     tm.start("reconstruct")
@@ -255,5 +361,99 @@ def reconstruction_func_sharded(
         seeds_corr=corr,
         trace_count=trace_count,
         timings=tm.timings,
-        j8=np.asarray(j8),
+        j8=np.asarray(j8)[:z_orig],
     )
+
+
+def _trace_and_commit_wave_sharded(
+    committer, init, stage, vs, bp, bd, bi, bv, base_key, cfg,
+    pos, sel, trace_count, n_stages, stage_iters,
+):
+    """Staged sharded wave with the in-order commit wavefront and
+    kill-back — the sharded counterpart of the single-device
+    `_trace_and_commit_wave` (pipeline/reconstruct.py): estimates commit
+    in seed order between stages, and traces whose committed prefix
+    stopped (suppression/out-of-bounds/low corr) are killed so they cost
+    no further device compute and free their lanes for migration."""
+    ni = cfg.ni
+    state, est0, ids0 = init(vs, bp, bd, bi.astype(np.int32), bv, base_key)
+    lanes_total = int(est0.shape[0])
+
+    # per-trace host-side estimate buffers, filled stage by stage
+    est = {int(t): np.zeros((ni, 9), np.float32) for t in bi[bv]}
+    e0 = np.asarray(est0)
+    ids_cur = np.asarray(ids0)
+    for lane in range(lanes_total):
+        t = int(ids_cur[lane])
+        if t >= 0:
+            est[t][0] = e0[lane]
+
+    cursors = {int(t): committer.begin_trace() for t in bi[bv]}
+    killed_ids = set()
+    seed_started = {int(s): False for s in sel}
+    commit_order = []
+    for s in sel:
+        commit_order.extend([2 * int(s), 2 * int(s) + 1])
+    commit_ptr = 0
+    it_done = 1
+
+    def advance(avail):
+        nonlocal commit_ptr, trace_count
+        while commit_ptr < len(commit_order):
+            tid = commit_order[commit_ptr]
+            si = tid // 2
+            if tid % 2 == 0 and not seed_started[si]:
+                if trace_count > cfg.max_trace_count:
+                    return True
+                seed_started[si] = True
+                if not committer.seed_allowed(pos[si]):
+                    killed_ids.add(tid)
+                    killed_ids.add(tid + 1)
+                    if tid in cursors:
+                        cursors[tid]["finished"] = True
+                    if tid + 1 in cursors:
+                        cursors[tid + 1]["finished"] = True
+                    commit_ptr += 2
+                    continue
+                trace_count += 1
+            if tid not in cursors:  # seed re-queued out of this wave
+                commit_ptr += 1
+                continue
+            cur = cursors[tid]
+            e = est[tid]
+            committer.commit_steps(
+                cur, e[:, 0:3], e[:, 3:6], e[:, 6], e[:, 7], e[:, 8], avail
+            )
+            if cur["finished"] or cur["i"] >= ni:
+                committer.finish_trace(cur)
+                killed_ids.add(tid)
+                commit_ptr += 1
+            else:
+                break
+        return False
+
+    while True:
+        capped = advance(it_done)
+        if commit_ptr >= len(commit_order) or it_done >= ni or capped:
+            break
+        # build the kill mask in CURRENT lane layout
+        kill = np.zeros(lanes_total, bool)
+        for lane in range(lanes_total):
+            t = int(ids_cur[lane])
+            if t >= 0 and t in killed_ids:
+                kill[lane] = True
+        n_it = min(stage_iters, ni - it_done)
+        state, packed, ids_j, live, kept = stage(
+            vs, state, jnp.arange(it_done, it_done + stage_iters),
+            jnp.asarray(kill),
+        )
+        pk = np.asarray(packed)
+        ids_cur = np.asarray(ids_j)
+        for lane in range(lanes_total):
+            t = int(ids_cur[lane])
+            if t >= 0 and t in est:
+                est[t][it_done : it_done + n_it] = pk[lane, :n_it]
+        it_done += n_it
+
+    advance(it_done)
+    return trace_count

@@ -325,28 +325,164 @@ class TestShardedReconstruction:
         s = compare_swc(read_swc(pb), read_swc(pa), dist=3.0, resample=1.0)
         assert s.f1 > 0.85, f"sharded vs single-device SWC mismatch: {s}"
 
-    def test_rejects_unsupported_configs(self, mesh):
+    def test_arbitrary_z_matches_single_device(self, mesh):
+        """Z that does not divide the mesh runs via replicate-padding
+        and matches the single-device pipeline on the ORIGINAL volume
+        (replicated top slices reproduce the clamped-border stencil
+        values exactly; padding seeds are discarded)."""
+        from pnr_tpu.io.swc import save_nodelist, read_swc
+        from pnr_tpu.pipeline import reconstruction_func
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+        from pnr_tpu.utils.swc_compare import compare_swc
+
+        rng = np.random.default_rng(5)
+        shape = (18, 32, 64)  # 18 does not divide 8
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (y - 16) ** 2 + ((z - 9) * 2.0) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / (2 * 2.5**2)) * (x > 5) * (x < 58)
+            + rng.normal(0, 5, shape),
+            0, 255,
+        ).astype(np.uint8)
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=24, np=12, zdist=2.0, nodepervol=4, vol=9, wave_size=16,
+            zncc_mode="tube",
+        )
+        ref = reconstruction_func(vol, cfg, verbose=False)
+        got = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+        assert got.j8.shape == vol.shape
+        np.testing.assert_array_equal(got.j8, ref.j8)
+        assert len(got.tree) > 5
+        import tempfile
+
+        pa = tempfile.mktemp(suffix=".swc")
+        pb = tempfile.mktemp(suffix=".swc")
+        save_nodelist(ref.tree, pa)
+        save_nodelist(got.tree, pb)
+        s = compare_swc(read_swc(pb), read_swc(pa), dist=3.0, resample=1.0)
+        assert s.f1 > 0.85, f"arbitrary-Z sharded vs single-device: {s}"
+
+    def test_soma_matches_single_device(self, mesh):
+        """Sharded soma extraction (per-slice stencils + psum histogram
+        + host CC) is bit-identical to the single-device soma path."""
+        from pnr_tpu.graph.nodes import SOMA, NodeList
+        from pnr_tpu.parallel.sharded import shard_volume
+        from pnr_tpu.pipeline.reconstruct import soma_extraction
+        from pnr_tpu.pipeline.sharded_reconstruct import soma_extraction_sharded
+
+        rng = np.random.default_rng(7)
+        shape = (16, 48, 48)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        blob = 230.0 * np.exp(
+            -((x - 24) ** 2 + (y - 24) ** 2 + ((z - 8) * 2.0) ** 2) / (2 * 6.0**2)
+        )
+        vol = np.clip(blob + rng.normal(20, 6, shape), 0, 255).astype(np.uint8)
+        cfg = PNRConfig(
+            sigmas=(2.0,), somaradius=5, znccth=0.5, kappa=2.0, step=2,
+            ni=10, np=8, zdist=2.0, nodepervol=4, vol=9,
+        )
+        nodes_ref = NodeList()
+        smap_ref = soma_extraction(vol, cfg, nodes_ref)
+        nodes_got = NodeList()
+        smap_got = soma_extraction_sharded(
+            shard_volume(vol, mesh), vol.shape, cfg, nodes_got, mesh
+        )
+        np.testing.assert_array_equal(smap_got, smap_ref)
+        assert len(nodes_got) == len(nodes_ref) > 1
+        assert nodes_got.type[1] == SOMA
+        np.testing.assert_allclose(nodes_got.x[1:], nodes_ref.x[1:])
+
+    def test_forced_requeue_traces_all_seeds(self, mesh):
+        """With artificially tiny lanes, overflowing seeds re-queue into
+        later waves instead of vanishing: the constrained run traces the
+        same seeds as the unconstrained one (VERDICT r2 item 4)."""
         from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
 
+        rng = np.random.default_rng(21)
+        shape = (16, 32, 64)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (y - 16) ** 2 + ((z - 8) * 2.0) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / (2 * 2.5**2)) * (x > 5) * (x < 58)
+            + rng.normal(0, 5, shape),
+            0, 255,
+        ).astype(np.uint8)
         cfg = PNRConfig(
-            sigmas=(2.0,), znccth=0.5, kappa=2.0, step=2, ni=10, np=8,
-            zdist=2.0, nodepervol=4, vol=9,
+            sigmas=(2.0,), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=16, np=8, zdist=2.0, nodepervol=4, vol=9, wave_size=8,
+            zncc_mode="tube",
         )
-        with pytest.raises(ValueError, match="divide"):
-            reconstruction_func_sharded(
-                np.zeros((17, 16, 16), np.uint8), cfg, mesh, verbose=False
-            )
-        import dataclasses
+        free = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+        tight = reconstruction_func_sharded(
+            vol, cfg, mesh, verbose=False, _lanes_override=2
+        )
+        assert tight.trace_count == free.trace_count > 0
+        assert len(tight.n0) > 2
 
-        cfg2 = dataclasses.replace(cfg, somaradius=4)
-        with pytest.raises(ValueError, match="soma"):
-            reconstruction_func_sharded(
-                np.zeros((16, 16, 16), np.uint8), cfg2, mesh, verbose=False
-            )
+    def test_sharded_checkpoint_resume(self, mesh, tmp_path):
+        """Checkpoint between sharded waves and resume deterministically
+        (VERDICT r2 item 3): the resumed run finishes with the same node
+        count as an uninterrupted run."""
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
 
-    def test_lane_overflow_counts_lost_traces(self, mesh):
-        """With zero free lanes on the receiving shard, a migrating
-        trace drops and the per-shard lost counter reports exactly it."""
+        rng = np.random.default_rng(23)
+        shape = (16, 32, 64)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (y - 16) ** 2 + ((z - 8) * 2.0) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / (2 * 2.5**2)) * (x > 5) * (x < 58)
+            + rng.normal(0, 5, shape),
+            0, 255,
+        ).astype(np.uint8)
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=16, np=8, zdist=2.0, nodepervol=4, vol=9, wave_size=4,
+            zncc_mode="tube",
+        )
+        full = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+        ck = str(tmp_path / "sharded.npz")
+        reconstruction_func_sharded(
+            vol, cfg, mesh, verbose=False, checkpoint_path=ck,
+        )
+        resumed = reconstruction_func_sharded(
+            vol, cfg, mesh, verbose=False, checkpoint_path=ck, resume=True
+        )
+        # the checkpoint saved after the LAST wave: the resumed run adds
+        # nothing and reproduces the finished state
+        assert len(resumed.n0) == len(full.n0)
+        assert resumed.trace_count == full.trace_count
+
+    def test_soma_end_to_end_sharded(self, mesh):
+        """reconstruction_func_sharded accepts somaradius > 0 (VERDICT
+        r2 item 3): soma nodes land in the tree and seeds inside the
+        soma are suppressed."""
+        from pnr_tpu.graph.nodes import SOMA
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+
+        rng = np.random.default_rng(13)
+        shape = (16, 40, 64)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        blob = 240.0 * np.exp(
+            -((x - 14) ** 2 + (y - 20) ** 2 + ((z - 8) * 2.0) ** 2) / (2 * 5.0**2)
+        )
+        d2 = (y - 20) ** 2 + ((z - 8) * 2.0) ** 2
+        tube = 190.0 * np.exp(-d2 / (2 * 2.5**2)) * (x > 18) * (x < 58)
+        vol = np.clip(blob + tube + rng.normal(0, 5, shape), 0, 255).astype(np.uint8)
+        cfg = PNRConfig(
+            sigmas=(2.0,), somaradius=4, tolerance=10.0, znccth=0.5,
+            kappa=2.0, step=2, ni=24, np=12, zdist=2.0, nodepervol=4,
+            vol=9, wave_size=16, zncc_mode="tube",
+        )
+        res = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+        assert any(t == SOMA for t in res.n0.type[1:])
+        assert len(res.n0) > 2
+
+    def test_lane_overflow_loses_zero_traces(self, mesh):
+        """With zero free lanes on every receiving shard, migrating
+        traces STAY local (capacity handshake) instead of dropping:
+        the lost counter is zero and every trace keeps producing
+        estimates past its first boundary crossing (VERDICT r2 item 4)."""
         from pnr_tpu.parallel.handoff import build_handoff_trace_step
 
         rng = np.random.default_rng(9)
@@ -374,9 +510,24 @@ class TestShardedReconstruction:
         packs, sids, live, lost = step(
             shard_volume(vol, mesh), seeds, dirs, ids, valid, jax.random.key(0)
         )
-        lost_total = int(np.asarray(lost).sum())
-        # traces DO cross boundaries on this tube; each crossing into an
-        # occupied shard is dropped and counted ONCE (the counter used to
-        # be inflated by the lane count)
-        assert np.asarray(lost).shape == (8,)
-        assert 0 < lost_total <= 8
+        assert int(np.asarray(lost).sum()) == 0
+        from pnr_tpu.parallel.handoff import stitch_estimates
+
+        est, got_ids = stitch_estimates(np.asarray(packs), np.asarray(sids), cfg.ni)
+        # every trace survives to its natural stop — nothing vanishes
+        assert sorted(got_ids.tolist()) == list(range(8))
+        narrow_steps = (est[:, :, 8] > 0.5).sum()
+
+        # compare against a generous-lane run (no overflow pressure):
+        # kept-local traces may diverge numerically near the halo edge,
+        # but the total traced work must stay comparable — a dropped
+        # trace would lose most of its iterations
+        step_w, _, _ = build_handoff_trace_step(
+            cfg, mesh, lanes_per_shard=8, stage_iters=2
+        )
+        packs_w, sids_w, _, _ = step_w(
+            shard_volume(vol, mesh), seeds, dirs, ids, valid, jax.random.key(0)
+        )
+        est_w, _ = stitch_estimates(np.asarray(packs_w), np.asarray(sids_w), cfg.ni)
+        wide_steps = (est_w[:, :, 8] > 0.5).sum()
+        assert narrow_steps >= 0.5 * wide_steps, (narrow_steps, wide_steps)
