@@ -64,7 +64,9 @@ from pnr_tpu.ops.interp import trilinear
 from pnr_tpu.ops.zncc import ZnccTemplates, local_frame, _FLT_MIN
 
 KBLK = 512
-_VMEM_SOFT_CAP = 10 * 1024 * 1024
+#: ~16 MB VMEM/core on v5e; leave headroom for Pallas block
+#: double-buffering of the patch stream
+_VMEM_SOFT_CAP = 13 * 1024 * 1024
 
 # qinfo scalar columns
 _Q_RZ, _Q_NDZ, _Q_WZ = 0, 1, 2
@@ -88,6 +90,8 @@ class ExactBank(NamedTuple):
     centers: Tuple[np.ndarray, ...]
     #: per sigma: static z-window height for the block contraction
     zws: Tuple[int, ...]
+    #: per sigma: static y-window height (8-aligned dynamic start)
+    yws: Tuple[int, ...]
     cnt: np.ndarray
     avg: np.ndarray
     corrc: np.ndarray
@@ -102,6 +106,7 @@ def build_exact_bank(templates: ZnccTemplates) -> ExactBank:
     tables = []
     centers = []
     zws = []
+    yws = []
     rz_max = 1.0
     rxy_max = 1.0
     for i in range(len(templates.sigmas)):
@@ -120,6 +125,7 @@ def build_exact_bank(templates: ZnccTemplates) -> ExactBank:
         tab = np.zeros((nblk, 5, KBLK), np.float32)
         ctr = np.zeros((nblk, 2), np.float32)
         span = 0.0
+        yspan = 0.0
         for b in range(nblk):
             blk = slice(b * KBLK, min((b + 1) * KBLK, k))
             o = offs[blk]
@@ -134,15 +140,26 @@ def build_exact_bank(templates: ZnccTemplates) -> ExactBank:
             dv = 0.5 * float(o[:, 0].max() - o[:, 0].min())
             dw = 0.5 * float(o[:, 2].max() - o[:, 2].min())
             # |rz - c0| <= |dz|*dv + |wz|*dw <= sqrt(dv^2 + dw^2)
+            # (the template's u axis has uz == 0)
             span = max(span, math.sqrt(dv * dv + dw * dw))
+            # the (d, u, w) frame is orthonormal, so its y components
+            # form a unit vector: |ry - yc| <= sqrt(dv^2 + u2^2 + dw^2)
+            # about the block centroid yc = ryp + ndy*vbar + wy*wbar
+            # (u is symmetric in the full rows, so ubar = 0 and the u
+            # extent folds into the span)
+            yspan = max(yspan, math.sqrt(dv * dv + u2 * u2 + dw * dw))
         # hats reach floor(c0 - span) .. floor(c0 + span) + 1
         zws.append(int(math.ceil(2.0 * span + 4.0)))
+        # +14 covers the hat taps and the 8-aligned dynamic start
+        # (the aligned-down start can sit up to 8 below the centred one)
+        yws.append(_roundup(int(math.ceil(2.0 * yspan)) + 14, 8))
         tables.append(tab)
         centers.append(ctr)
     return ExactBank(
         tables=tuple(tables),
         centers=tuple(centers),
         zws=tuple(zws),
+        yws=tuple(yws),
         cnt=templates.cnt.copy(),
         avg=templates.avg.copy(),
         corrc=templates.corrc.copy(),
@@ -153,7 +170,9 @@ def build_exact_bank(templates: ZnccTemplates) -> ExactBank:
 
 
 def fits_exact(pz: int, py: int, px: int, bank: ExactBank) -> bool:
-    q = max(min(z, pz) * py for z in bank.zws)
+    q = max(
+        min(z, pz) * min(yw, py) for z, yw in zip(bank.zws, bank.yws)
+    )
     lanes_k = _roundup(KBLK, 128)
     lanes_x = _roundup(px, 128)
     vmem = 4 * (
@@ -180,6 +199,7 @@ def _exact_kernel(
     py: int,
     px: int,
     zws: Tuple[int, ...],
+    yws: Tuple[int, ...],
     centers,
     single_pass: bool,
 ):
@@ -204,9 +224,10 @@ def _exact_kernel(
     rows = []
     for s in range(ns):
         zw = min(zws[s], pz)
+        yw = yws[s] if yws[s] < py else py
         tab = tab_refs[s]
         zi = jax.lax.broadcasted_iota(jnp.int32, (zw, 1, KBLK), 0).astype(jnp.float32)
-        yi = jax.lax.broadcasted_iota(jnp.int32, (1, py, KBLK), 1).astype(jnp.float32)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (1, yw, KBLK), 1).astype(jnp.float32)
         xi = jax.lax.broadcasted_iota(jnp.int32, (px, KBLK), 0).astype(jnp.float32)
         sa = jnp.zeros((1, 1), jnp.float32)
         sb = jnp.zeros((1, 1), jnp.float32)
@@ -224,21 +245,32 @@ def _exact_kernel(
             ry = jnp.clip(ryp + tv * ndy + tu * uy + tw * wyv, 0.0, yhi)
             rx = jnp.clip(rxp + tv * ndx + tu * ux + tw * wxv, 0.0, xhi)
 
+            vbar, wbar = centers[s][b]
             if zw >= pz:
                 z0 = jnp.int32(0)
             else:
-                vbar, wbar = centers[s][b]
                 c0 = rzp + ndz * vbar + wzv * wbar
                 z0f = c0 - (zw - 1) * 0.5
                 z0 = jnp.clip(jnp.floor(z0f).astype(jnp.int32), 0, pz - zw)
+            if yw >= py:
+                y0 = jnp.int32(0)
+            else:
+                # 8-aligned start (sublane dim); centring on (yw-8)/2
+                # splits the alignment slack across both window edges
+                yc = ryp + ndy * vbar + wyv * wbar
+                y0f = yc - (yw - 8) * 0.5
+                y0 = jnp.clip(
+                    (jnp.floor(y0f).astype(jnp.int32) // 8) * 8, 0, py - yw
+                )
 
-            win = pat_ref[0, pl.ds(z0, zw)].reshape(zw * py, px)
-            win_t = win.T.astype(jnp.bfloat16)  # (px, zw*py)
+            win = pat_ref[0, pl.ds(z0, zw), pl.ds(y0, yw)].reshape(zw * yw, px)
+            win_t = win.T.astype(jnp.bfloat16)  # (px, zw*yw)
 
             rzw = jnp.clip(rz - z0.astype(jnp.float32), 0.0, zw - 1.001)
+            ryw = jnp.clip(ry - y0.astype(jnp.float32), 0.0, yw - 1.001)
             wzh = jnp.maximum(0.0, 1.0 - jnp.abs(rzw[None, :, :] - zi))
-            wyh = jnp.maximum(0.0, 1.0 - jnp.abs(ry[None, :, :] - yi))
-            wf = (wzh * wyh).reshape(zw * py, KBLK)
+            wyh = jnp.maximum(0.0, 1.0 - jnp.abs(ryw[None, :, :] - yi))
+            wf = (wzh * wyh).reshape(zw * yw, KBLK)
             w_hi = wf.astype(jnp.bfloat16)
 
             def bdot(a_, b_):
@@ -274,7 +306,7 @@ def _exact_sums_pallas(
     tabs: per-sigma (nblk, 5, KBLK) -> (T, B, S, 4) sums."""
     t, pz, py, px = patches.shape
     b = qs.shape[1]
-    zws, centers = bank_static
+    zws, yws, centers = bank_static
     ns = len(zws)
     kern = functools.partial(
         _exact_kernel,
@@ -282,6 +314,7 @@ def _exact_sums_pallas(
         py=py,
         px=px,
         zws=zws,
+        yws=yws,
         centers=centers,
         single_pass=single_pass,
     )
@@ -420,6 +453,7 @@ def make_exact_patch_engine(
     tabs = tuple(jnp.asarray(t) for t in bank.tables)
     bank_static = (
         bank.zws,
+        bank.yws,
         tuple(tuple((float(r[0]), float(r[1])) for r in c) for c in bank.centers),
     )
     bank_arrays = (
