@@ -190,9 +190,11 @@ def fits_exact(pz: int, py: int, px: int, bank: ExactBank) -> bool:
 
 
 def _exact_kernel(
-    qs_ref,  # scalar prefetch, flat (T*B*16,) — SMEM pads the last dim
-    # to 128 lanes, so any trailing structure axis would blow the 1 MB
-    # SMEM budget 8x
+    qs_ref,  # scalar prefetch, flat (T*B*6,): only the window-start
+    # scalars live in SMEM (1 MB budget; SMEM also pads a trailing
+    # structure axis to 128 lanes, hence the flat layout)
+    qv_ref,  # (1, 1, 8, 16) per-program VMEM block (the 8-row sublane
+    # replication satisfies Mosaic's (8, ==last) block tiling rule)
     pat_ref,  # (1, pz, py, px) f32
     *tabs_and_out,
     nb: int,
@@ -209,17 +211,19 @@ def _exact_kernel(
     pz = pat_ref.shape[1]
     ti = pl.program_id(0)
     pi = pl.program_id(1)
-    base = (ti * nb + pi) * _QCOLS
+    base = (ti * nb + pi) * 6
 
-    def sc(col):
-        return qs_ref[base + col]
-
-    rzp, ndz, wzv = sc(_Q_RZ), sc(_Q_NDZ), sc(_Q_WZ)
-    ryp, ndy, wyv = sc(_Q_RY), sc(_Q_NDY), sc(_Q_WY)
-    rxp, ndx, wxv = sc(_Q_RX), sc(_Q_NDX), sc(_Q_WX)
-    uy, ux = sc(_Q_UY), sc(_Q_UX)
-    m0 = sc(_Q_M0)
-    zhi, yhi, xhi = sc(_Q_ZHI), sc(_Q_YHI), sc(_Q_XHI)
+    # scalar lane (window starts): rzp/ndz/wz and ryp/ndy/wy
+    rzp_s, ndz_s, wzv_s = qs_ref[base + 0], qs_ref[base + 1], qs_ref[base + 2]
+    ryp_s, ndy_s, wyv_s = qs_ref[base + 3], qs_ref[base + 4], qs_ref[base + 5]
+    # vector lane: (1,)-shaped slices of the per-particle VMEM row
+    q = qv_ref[0, 0, 0]
+    rzp, ndz, wzv = q[_Q_RZ : _Q_RZ + 1], q[_Q_NDZ : _Q_NDZ + 1], q[_Q_WZ : _Q_WZ + 1]
+    ryp, ndy, wyv = q[_Q_RY : _Q_RY + 1], q[_Q_NDY : _Q_NDY + 1], q[_Q_WY : _Q_WY + 1]
+    rxp, ndx, wxv = q[_Q_RX : _Q_RX + 1], q[_Q_NDX : _Q_NDX + 1], q[_Q_WX : _Q_WX + 1]
+    uy, ux = q[_Q_UY : _Q_UY + 1], q[_Q_UX : _Q_UX + 1]
+    m0 = q[_Q_M0 : _Q_M0 + 1]
+    zhi, yhi, xhi = q[_Q_ZHI : _Q_ZHI + 1], q[_Q_YHI : _Q_YHI + 1], q[_Q_XHI : _Q_XHI + 1]
 
     rows = []
     for s in range(ns):
@@ -249,7 +253,7 @@ def _exact_kernel(
             if zw >= pz:
                 z0 = jnp.int32(0)
             else:
-                c0 = rzp + ndz * vbar + wzv * wbar
+                c0 = rzp_s + ndz_s * vbar + wzv_s * wbar
                 z0f = c0 - (zw - 1) * 0.5
                 z0 = jnp.clip(jnp.floor(z0f).astype(jnp.int32), 0, pz - zw)
             if yw >= py:
@@ -257,7 +261,7 @@ def _exact_kernel(
             else:
                 # 8-aligned start (sublane dim); centring on (yw-8)/2
                 # splits the alignment slack across both window edges
-                yc = ryp + ndy * vbar + wyv * wbar
+                yc = ryp_s + ndy_s * vbar + wyv_s * wbar
                 y0f = yc - (yw - 8) * 0.5
                 y0 = jnp.clip(
                     (jnp.floor(y0f).astype(jnp.int32) // 8) * 8, 0, py - yw
@@ -306,6 +310,8 @@ def _exact_sums_pallas(
     tabs: per-sigma (nblk, 5, KBLK) -> (T, B, S, 4) sums."""
     t, pz, py, px = patches.shape
     b = qs.shape[1]
+    qs_smem = qs[..., :6]
+    qv8 = jnp.broadcast_to(qs[:, :, None, :], (t, b, 8, _QCOLS))
     zws, yws, centers = bank_static
     ns = len(zws)
     kern = functools.partial(
@@ -323,6 +329,10 @@ def _exact_sums_pallas(
         num_scalar_prefetch=1,
         grid=(t, b),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1, 8, _QCOLS), lambda i, j, c: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             # particle index varies fastest, so the patch block is
             # fetched once per trace and stays resident for its B
             # particles
@@ -348,7 +358,7 @@ def _exact_sums_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, b, ns, 4), jnp.float32),
         interpret=interpret,
-    )(qs.reshape(-1), patches, *tabs)
+    )(qs_smem.reshape(-1), qv8, patches, *tabs)
 
 
 # ---------------------------------------------------------------------------
