@@ -531,3 +531,39 @@ class TestShardedReconstruction:
         est_w, _ = stitch_estimates(np.asarray(packs_w), np.asarray(sids_w), cfg.ni)
         wide_steps = (est_w[:, :, 8] > 0.5).sum()
         assert narrow_steps >= 0.5 * wide_steps, (narrow_steps, wide_steps)
+
+
+class TestBatchDP:
+    def test_batch_dp_matches_sequential(self, mesh):
+        """One-stack-per-device batch reconstruction produces the SAME
+        node graphs as the sequential reconstruction_batch with the
+        same key (VERDICT r2 item 6)."""
+        from pnr_tpu.parallel.batch_dp import reconstruction_batch_dp
+        from pnr_tpu.pipeline.reconstruct import reconstruction_batch
+
+        rng = np.random.default_rng(31)
+        shape = (8, 32, 64)
+        vols = []
+        for k in range(3):
+            z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+            d2 = (y - 16 - 2 * k) ** 2 + ((z - 4) * 2.0) ** 2
+            v = np.clip(
+                200.0 * np.exp(-d2 / (2 * 2.5**2)) * (x > 5) * (x < 58)
+                + rng.normal(0, 5, shape),
+                0, 255,
+            ).astype(np.uint8)
+            vols.append(v)
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=16, np=8, zdist=2.0, nodepervol=4, vol=9, wave_size=8,
+            zncc_mode="tube",
+        )
+        seq = list(reconstruction_batch(vols, cfg))
+        par = reconstruction_batch_dp(vols, cfg, mesh)
+        assert len(par) == 3
+        for s, p in zip(seq, par):
+            assert len(p.n0) == len(s.n0), (len(p.n0), len(s.n0))
+            np.testing.assert_allclose(
+                p.n0.positions(), s.n0.positions(), atol=1e-4
+            )
+            assert p.trace_count == s.trace_count
