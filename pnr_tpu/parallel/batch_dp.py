@@ -45,17 +45,27 @@ from pnr_tpu.pipeline.reconstruct import (
 )
 
 
-def build_batch_filter(cfg: PNRConfig, mesh):
-    """One launch: per-device Frangi + J8 over a (B, Z, Y, X) batch."""
-    from pnr_tpu.ops.frangi import frangi3d, normalize_to_u8
+def build_batch_filter(cfg: PNRConfig, mesh, is2d: bool = False):
+    """One launch: per-device Frangi + J8 over a (B, Z, Y, X) batch.
+
+    P == 1 stacks run the 2-D filter (frangi2d, incl. its eigen-swap
+    quirk) — the multi-device axis for 2-D workloads IS the batch
+    (one image per device); there is no volume axis to shard."""
+    from pnr_tpu.ops.frangi import frangi2d, frangi3d, normalize_to_u8
 
     axis = mesh.axis_names[0]
 
     def local_fn(v):
-        j, jmin, jmax, vx, vy, vz = frangi3d(
-            v[0], cfg.sigmas, cfg.zdist,
-            cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
-        )
+        if is2d:
+            j, jmin, jmax, vx, vy, vz = frangi2d(
+                v[0, 0], cfg.sigmas, cfg.frangi_betaone, cfg.frangi_betatwo
+            )
+            j, vx, vy, vz = j[None], vx[None], vy[None], vz[None]
+        else:
+            j, jmin, jmax, vx, vy, vz = frangi3d(
+                v[0], cfg.sigmas, cfg.zdist,
+                cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
+            )
         j8 = normalize_to_u8(j, jmin, jmax)
         return j8[None], vx[None], vy[None], vz[None]
 
@@ -170,7 +180,7 @@ def reconstruction_batch_dp(
         tm.stop()
 
     tm.start("frangi (batch)")
-    filt = build_batch_filter(cfg, mesh)
+    filt = build_batch_filter(cfg, mesh, is2d)
     j8b, vxb, vyb, vzb = filt(vb)
     j8_np = np.asarray(j8b)
     tm.stop()

@@ -567,3 +567,35 @@ class TestBatchDP:
                 p.n0.positions(), s.n0.positions(), atol=1e-4
             )
             assert p.trace_count == s.trace_count
+
+    def test_batch_dp_2d(self, mesh):
+        """2-D (P == 1) stacks are first-class on the multi-device path:
+        the batch axis IS the parallel axis for single-slice images
+        (one image per device; frangi2d per shard)."""
+        from pnr_tpu.parallel.batch_dp import reconstruction_batch_dp
+        from pnr_tpu.pipeline.reconstruct import reconstruction_batch
+
+        rng = np.random.default_rng(41)
+        shape = (1, 48, 80)
+        vols = []
+        for k in range(2):
+            z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+            d2 = (y - 24 - 3 * k) ** 2
+            v = np.clip(
+                200.0 * np.exp(-d2 / (2 * 2.5**2)) * (x > 6) * (x < 74)
+                + rng.normal(0, 5, shape),
+                0, 255,
+            ).astype(np.uint8)
+            vols.append(v)
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=16, np=8, zdist=2.0, nodepervol=4, vol=9, wave_size=8,
+            zncc_mode="tube",
+        )
+        seq = list(reconstruction_batch(vols, cfg))
+        par = reconstruction_batch_dp(vols, cfg, mesh)
+        for s, p in zip(seq, par):
+            assert len(p.n0) == len(s.n0) > 1
+            np.testing.assert_allclose(
+                p.n0.positions(), s.n0.positions(), atol=1e-4
+            )
