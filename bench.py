@@ -225,10 +225,15 @@ def bench_e2e(shape=(128, 640, 640), zncc_mode="tube"):
         ni=100, np=20, zdist=ZDIST, nodepervol=4, vol=9,
         zncc_mode=zncc_mode,
     )
+    # first run pays the shape's compiles; production streams many
+    # stacks, so the warm per-stack time is the metric (both reported)
+    t0 = time.perf_counter()
+    res = reconstruction_func(vol, cfg, verbose=False)
+    dt_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = reconstruction_func(vol, cfg, verbose=False)
     dt = time.perf_counter() - t0
-    return dt, vol.size / 1e6, len(res.n0)
+    return dt, vol.size / 1e6, len(res.n0), dt_cold
 
 
 def bench_cpp_e2e(shape=(32, 192, 192)):
@@ -359,8 +364,9 @@ def main():
             extras["default_sigma_tracer_error"] = str(e)[:120]
     if budget_left():
         try:
-            dt, mvox, n0 = bench_e2e()
+            dt, mvox, n0, dt_cold = bench_e2e()
             extras["e2e_s_per_stack"] = round(dt, 2)
+            extras["e2e_s_first_stack"] = round(dt_cold, 2)
             extras["e2e_stack_mvox"] = round(mvox, 1)
         except Exception as e:
             extras["e2e_error"] = str(e)[:120]

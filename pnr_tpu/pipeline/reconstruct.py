@@ -398,9 +398,10 @@ def reconstruction_func(
         )
         j, vx, vy, vz = j[None], vx[None], vy[None], vz[None]
     else:
-        if vol.size > 40_000_000:
+        if vol.size > 80_000_000:
             # stream in Z-tiles: the fused graph peaks at ~180 B/voxel,
-            # beyond one chip's HBM for large stacks
+            # beyond one v5e's 16 GB HBM around ~80 Mvox (52 Mvox
+            # monolithic measured fine with headroom for the field maps)
             from pnr_tpu.ops.frangi_blocked import frangi3d_blocked
 
             j, jmin, jmax, vx, vy, vz = frangi3d_blocked(
