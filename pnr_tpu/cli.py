@@ -67,6 +67,12 @@ def main(argv=None) -> int:
         "(0 = single device). Requires N jax devices (for CPU testing: "
         "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N)",
     )
+    ap.add_argument(
+        "--interactive",
+        action="store_true",
+        help="prompt for the 11 parameters with the reference defaults "
+        "(the menu-mode CommonDialog flow, Advantra_plugin.cpp:184-272)",
+    )
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("-h", "--help", action="store_true")
     args = ap.parse_args(argv)
@@ -75,16 +81,27 @@ def main(argv=None) -> int:
         print_help_params()
         return 0 if args.help else 1
 
-    if args.params is None or len(args.params) != 11:
-        sys.stderr.write("\nNeeds 11 input parameters.\n\n")
-        print_help_params()
-        return 1
+    if args.interactive:
+        from pnr_tpu.ui import prompt_parameters
 
-    try:
-        cfg = PNRConfig.from_cli_params(args.params)
-    except ValueError as e:
-        sys.stderr.write(f"{e}\n")
-        return 1
+        try:
+            cfg = prompt_parameters()
+        except ValueError as e:
+            sys.stderr.write(f"{e}\n")
+            return 1
+        if cfg is None:
+            return 1  # cancelled
+    else:
+        if args.params is None or len(args.params) != 11:
+            sys.stderr.write("\nNeeds 11 input parameters.\n\n")
+            print_help_params()
+            return 1
+
+        try:
+            cfg = PNRConfig.from_cli_params(args.params)
+        except ValueError as e:
+            sys.stderr.write(f"{e}\n")
+            return 1
     import dataclasses
 
     if args.save_midres:

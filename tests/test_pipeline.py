@@ -270,3 +270,78 @@ class TestBatchDriver:
         np.testing.assert_allclose(
             np.asarray(solo.tree.x), np.asarray(results[0].tree.x), atol=1e-5
         )
+
+
+class TestCommonDialog:
+    """Terminal CommonDialog equivalent (nf_dialog.h:15-260 / the menu
+    parameter flow, Advantra_plugin.cpp:184-272)."""
+
+    def test_defaults_and_overrides(self):
+        import io
+
+        from pnr_tpu.ui import CommonDialog
+
+        d = CommonDialog(
+            ["neuritesigmas", "step"], ["2,3", "3"],
+            infile=io.StringIO("4,5\n\n"), outfile=io.StringIO(),
+        )
+        assert d.exec_() is True
+        assert d.get_para("neuritesigmas") == "4,5"
+        assert d.get_num("step") == 3.0
+
+    def test_cancel(self):
+        import io
+
+        from pnr_tpu.ui import CommonDialog
+
+        d = CommonDialog(["a"], ["1"], infile=io.StringIO("cancel\n"), outfile=io.StringIO())
+        assert d.exec_() is False
+        assert d.accepted is False
+
+    def test_unknown_item_raises(self):
+        import io
+
+        from pnr_tpu.ui import CommonDialog
+
+        d = CommonDialog(["a"], ["1"], infile=io.StringIO("\n"), outfile=io.StringIO())
+        d.exec_()
+        with pytest.raises(KeyError):
+            d.get_para("missing")
+
+    def test_prompt_parameters_full_flow(self):
+        import io
+
+        from pnr_tpu.ui import prompt_parameters
+
+        # override sigmas + vol, keep the rest; EOF accepts the tail
+        cfg = prompt_parameters(
+            infile=io.StringIO("2,4,6\n\n\n\n\n\n\n\n\n\n27\n"),
+            outfile=io.StringIO(),
+        )
+        assert cfg is not None
+        assert cfg.sigmas == (2.0, 4.0, 6.0)
+        assert cfg.vol == 27
+        # untouched fields keep the reference defaults
+        from pnr_tpu.config import PNRConfig
+
+        assert cfg.step == PNRConfig().step
+
+    def test_prompt_parameters_cancel(self):
+        import io
+
+        from pnr_tpu.ui import prompt_parameters
+
+        assert prompt_parameters(
+            infile=io.StringIO("cancel\n"), outfile=io.StringIO()
+        ) is None
+
+    def test_prompt_parameters_validates(self):
+        import io
+
+        from pnr_tpu.ui import prompt_parameters
+
+        with pytest.raises(ValueError):
+            prompt_parameters(
+                infile=io.StringIO("2,3\n\n\n\n\n\n\n\n\n\n7\n"),  # vol=7 invalid
+                outfile=io.StringIO(),
+            )
