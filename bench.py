@@ -376,6 +376,12 @@ def main():
             extras["e2e_error"] = str(e)[:120]
     if budget_left():
         try:
+            dt, _, _, _ = bench_e2e(zncc_mode="exact")
+            extras["e2e_s_per_stack_exact"] = round(dt, 2)
+        except Exception as e:
+            extras["e2e_exact_error"] = str(e)[:120]
+    if budget_left():
+        try:
             ref = bench_cpp_e2e()
             if ref:
                 extras["ref_cpp_e2e_s"] = round(ref[0], 2)
