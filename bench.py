@@ -36,18 +36,20 @@ def make_volume(shape):
     return np.clip(vol + rng.normal(0, 5, shape), 0, 255).astype(np.uint8)
 
 
-def bench_tpu(vol):
+def bench_tpu(vol, engine="xla"):
     import jax
     import jax.numpy as jnp
 
     from pnr_tpu.ops import frangi3d, normalize_to_u8
+    from pnr_tpu.ops.frangi_fused import frangi3d_fused
     from pnr_tpu.utils.runtime import warmup_device_transfers
 
     warmup_device_transfers()
+    frangi = frangi3d_fused if engine == "fused" else frangi3d
 
     @jax.jit
     def step(v):
-        j, jmin, jmax, vx, vy, vz = frangi3d(v, SIGMAS, ZDIST)
+        j, jmin, jmax, vx, vy, vz = frangi(v, SIGMAS, ZDIST)
         return normalize_to_u8(j, jmin, jmax), vx, vy, vz
 
     #: chained filter steps per launch: a production run streams many
@@ -320,8 +322,19 @@ def bench_quality():
 def main():
     t_start = time.perf_counter()
     vol = make_volume(SHAPE)
-    tpu_mvox, tpu_mvox_single = bench_tpu(vol)
-    extras = {"single_launch_mvox_s": round(tpu_mvox_single, 2)}
+    xla_mvox, xla_single = bench_tpu(vol, engine="xla")
+    extras = {"frangi_xla_mvox_s": round(xla_mvox, 2)}
+    tpu_mvox, tpu_mvox_single = xla_mvox, xla_single
+    extras["frangi_engine"] = "xla"
+    try:
+        fused_mvox, fused_single = bench_tpu(vol, engine="fused")
+        extras["frangi_fused_mvox_s"] = round(fused_mvox, 2)
+        if fused_mvox > tpu_mvox:
+            tpu_mvox, tpu_mvox_single = fused_mvox, fused_single
+            extras["frangi_engine"] = "fused_pallas"
+    except Exception as e:
+        extras["frangi_fused_error"] = str(e)[:120]
+    extras["single_launch_mvox_s"] = round(tpu_mvox_single, 2)
     base_vol = make_volume(BASE_SHAPE)
     base_mvox = None
     try:

@@ -55,7 +55,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pnr_tpu.ops.gaussian import gaussian_kernel
 
-_VMEM_BUDGET = 13 * 1024 * 1024
+#: bz=16,by=32 (est 13.5 MB) crashes the v5e compiler; bz=8,by=32
+#: (est 11.5 MB) is validated — the estimate undercounts Mosaic's
+#: transient allocations, so the gate stays below the observed failure
+_VMEM_BUDGET = 12 * 1024 * 1024
 _EPS = 1e-20
 _PI = math.pi
 
@@ -196,6 +199,34 @@ class _Geom:
         self.ZT = (self.nz - 1) * bz + self.Rmax
         self.R = [bz + 2 * (h + 2) for h in self.hz]
 
+    def y_band_matrices(self) -> np.ndarray:
+        """Banded y-Gaussian operators, 3-way bf16-split for the MXU.
+
+        Row j of B_sigma holds kxy_sigma at columns r0+j .. r0+j+2h, so
+        ys = B @ raw runs the y pass as one matmul; splitting the f32
+        weights into three bf16 parts (hi + lo + lo2) keeps the
+        accumulated weight error ~2^-26, below f32 noise (the raw data
+        side is uint8 integers -- exact in bf16)."""
+        ns = len(self.sigmas)
+        RY = self.by + 4
+        out = np.zeros((ns * 3, RY, self.EY), np.float32)
+        for si in range(ns):
+            b = np.zeros((RY, self.EY), np.float64)
+            r0 = self.PY0 - 2 - self.hxy[si]
+            for j in range(RY):
+                for t, w in enumerate(self.kxy[si]):
+                    b[j, r0 + j + t] += w
+            import ml_dtypes
+
+            bf = ml_dtypes.bfloat16
+            hi = b.astype(np.float32).astype(bf).astype(np.float64)
+            lo = (b - hi).astype(np.float32).astype(bf).astype(np.float64)
+            lo2 = (b - hi - lo).astype(np.float32)
+            out[3 * si + 0] = hi.astype(np.float32)
+            out[3 * si + 1] = lo.astype(np.float32)
+            out[3 * si + 2] = lo2
+        return out
+
     def vmem_bytes(self) -> int:
         ring = sum(r * (self.by + 4) * self.Xe for r in self.R) * 4
         fring = len(self.sigmas) * 5 * (self.by + 4) * self.Xc * 4
@@ -211,7 +242,7 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
     ns = len(g.sigmas)
     RY = by + 4
 
-    def kern(raw_ref, oj_ref, ovp_ref, ost_ref, *scr):
+    def kern(raw_ref, yband_ref, oj_ref, ovp_ref, ost_ref, *scr):
         rings = scr[:ns]
         frings = scr[ns : 2 * ns]
         pbuf = scr[2 * ns]
@@ -230,8 +261,15 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
             )
 
         def smooth_store(q, slot):
-            """xy-smooth padded plane q (dynamic) into each sigma ring."""
-            rawf = pbuf[slot].astype(jnp.int32).astype(jnp.float32)  # (EY, Xe)
+            """xy-smooth padded plane q (dynamic) into each sigma ring.
+
+            The y pass runs on the MXU as a banded matmul (3-way
+            bf16-split weights x integer-exact bf16 data); the x pass
+            follows on the VPU over the already-narrow RY rows."""
+            rawb = (
+                pbuf[slot].astype(jnp.int32).astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )  # (EY, Xe), integers: exact in bf16
             row_i = jax.lax.broadcasted_iota(jnp.int32, (RY, g.Xc), 0)
             lane_i = jax.lax.broadcasted_iota(jnp.int32, (RY, g.Xc), 1)
             for si in range(ns):
@@ -240,16 +278,22 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
                 @pl.when(q <= z0 + g.PZ0 + bz + g.hz[si] + 1)
                 def _store(si=si, hs=hs):
                     taps = g.kxy[si]
+
+                    def ydot(part):
+                        return jax.lax.dot_general(
+                            yband_ref[3 * si + part].astype(jnp.bfloat16),
+                            rawb,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    t_ = ydot(0) + ydot(1) + ydot(2)  # (RY, Xe) f32
                     x0 = g.PX0 - 2 - hs
-                    xs = jnp.float32(taps[0]) * rawf[:, x0 : x0 + g.Xc]
+                    ys = jnp.float32(taps[0]) * t_[:, x0 : x0 + g.Xc]
                     for t in range(1, len(taps)):
-                        xs = xs + jnp.float32(taps[t]) * rawf[
+                        ys = ys + jnp.float32(taps[t]) * t_[
                             :, x0 + t : x0 + t + g.Xc
                         ]
-                    r0 = g.PY0 - 2 - hs
-                    ys = jnp.float32(taps[0]) * xs[r0 : r0 + RY]
-                    for t in range(1, len(taps)):
-                        ys = ys + jnp.float32(taps[t]) * xs[r0 + t : r0 + t + RY]
                     # border clamp semantics for the downstream diffs:
                     # x: lanes 0,1 <-> global -2,-1 := global 0 (lane 2);
                     #    lanes X+2,X+3 <-> >= X := global X-1 (lane X+1)
@@ -471,6 +515,7 @@ def _frangi3d_fused_impl(
         mode="edge",
     )
     kern = _kernel(g, alpha, beta, c, blackwhite)
+    yband = jnp.asarray(g.y_band_matrices())
     scratch = (
         [pltpu.VMEM((r, by + 4, g.Xc), jnp.float32) for r in g.R]
         + [pltpu.VMEM((5, by + 4, g.Xc), jnp.float32) for _ in g.sigmas]
@@ -479,7 +524,12 @@ def _frangi3d_fused_impl(
     j, vp_packed, stats = pl.pallas_call(
         kern,
         grid=(g.ny, g.nz),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                yband.shape, lambda jy, jz: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
         out_specs=[
             pl.BlockSpec((bz, by, g.X), lambda jy, jz: (jz, jy, 0),
                          memory_space=pltpu.VMEM),
@@ -495,7 +545,7 @@ def _frangi3d_fused_impl(
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(vp)
+    )(vp, yband)
     j = j[: g.Z, : g.Y]
     vp_packed = vp_packed[: g.Z, : g.Y]
     jmin = jnp.min(stats[..., 0])

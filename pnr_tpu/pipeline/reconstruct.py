@@ -398,10 +398,28 @@ def reconstruction_func(
         )
         j, vx, vy, vz = j[None], vx[None], vy[None], vz[None]
     else:
-        if vol.size > 80_000_000:
-            # stream in Z-tiles: the fused graph peaks at ~180 B/voxel,
-            # beyond one v5e's 16 GB HBM around ~80 Mvox (52 Mvox
-            # monolithic measured fine with headroom for the field maps)
+        from pnr_tpu.ops.frangi_fused import (
+            fits_fused, frangi3d_fused, fused_frangi_enabled,
+        )
+        from pnr_tpu.ops.pallas_conv import mosaic_available
+
+        use_fused = (
+            (cfg.fused_frangi or fused_frangi_enabled())
+            and mosaic_available()
+            and fits_fused(vol.shape, cfg.sigmas, cfg.zdist)
+        )
+        if use_fused:
+            # one raw-volume read; O(ring) VMEM and ~13 B/voxel HBM
+            # peak, so it also lifts the monolithic ~80 Mvox XLA cap
+            j, jmin, jmax, vx, vy, vz = frangi3d_fused(
+                img, cfg.sigmas, cfg.zdist,
+                cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
+            )
+        elif vol.size > 80_000_000:
+            # stream in Z-tiles: the fused XLA graph peaks at ~180
+            # B/voxel, beyond one v5e's 16 GB HBM around ~80 Mvox (52
+            # Mvox monolithic measured fine with headroom for the
+            # field maps)
             from pnr_tpu.ops.frangi_blocked import frangi3d_blocked
 
             j, jmin, jmax, vx, vy, vz = frangi3d_blocked(
