@@ -66,8 +66,10 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "axis", "grad_border"))
-def _pallas_conv(vol, kernel, axis, grad_border):
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "axis", "grad_border", "interpret")
+)
+def _pallas_conv(vol, kernel, axis, grad_border, interpret=False):
     kernel = np.asarray(kernel, np.float32)
     k = kernel.shape[0]
     half = k // 2
@@ -121,6 +123,7 @@ def _pallas_conv(vol, kernel, axis, grad_border):
         in_specs=[in_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
+        interpret=interpret,
     )(vp)
 
 
@@ -186,8 +189,8 @@ def pallas_conv1d_along_axis(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_y", "kernel_x"))
-def _pallas_conv_yx(vol, kernel_y, kernel_x):
+@functools.partial(jax.jit, static_argnames=("kernel_y", "kernel_x", "interpret"))
+def _pallas_conv_yx(vol, kernel_y, kernel_x, interpret=False):
     """Fused y+x correlation: one HBM round trip for two passes.
 
     Grid over z (one slice per program, no z halo needed); the y pass
@@ -229,6 +232,7 @@ def _pallas_conv_yx(vol, kernel_y, kernel_x):
         out_specs=pl.BlockSpec((1, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
         scratch_shapes=[pltpu.VMEM((y, x + 2 * hx), jnp.float32)],
+        interpret=interpret,
     )(vp)
 
 

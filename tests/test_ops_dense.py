@@ -339,3 +339,53 @@ class TestFrangiBlocked:
         m = np.asarray(j_ref) > float(jmax_r) / 510.0
         assert m.sum() > 100
         np.testing.assert_array_equal(np.asarray(vx)[m], np.asarray(vx_r)[m])
+
+
+class TestPallasConvInterpret:
+    """CPU (interpret-mode) coverage of the Mosaic conv kernels' logic —
+    the same kernel bodies the TPU path compiles (the TPU-only class
+    above additionally validates the real Mosaic lowering)."""
+
+    def test_axis_passes_match_xla(self, rng):
+        from pnr_tpu.ops.pallas_conv import _pallas_conv
+
+        vol = jnp.asarray((rng.random((6, 40, 136)) * 255).astype(np.uint8))
+        k = gaussian_kernel(2.0)
+        for axis in (0, 1, 2):
+            got = np.asarray(
+                _pallas_conv(
+                    vol, tuple(float(t) for t in k), axis, False, interpret=True
+                )
+            )
+            want = np.asarray(
+                conv1d_along_axis(vol.astype(jnp.float32), jnp.asarray(k), axis)
+            )
+            np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_grad_border_matches_gradient(self, rng):
+        from pnr_tpu.ops.pallas_conv import _pallas_conv
+
+        vol = jnp.asarray(rng.random((6, 24, 136)).astype(np.float32))
+        diff = (0.5, 0.0, -0.5)
+        for axis in (0, 1, 2):
+            got = np.asarray(_pallas_conv(vol, diff, axis, True, interpret=True))
+            want = -np.gradient(np.asarray(vol), axis=axis)
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_fused_yx_matches_two_passes(self, rng):
+        from pnr_tpu.ops.pallas_conv import _pallas_conv_yx
+
+        vol = jnp.asarray((rng.random((4, 48, 136)) * 255).astype(np.uint8))
+        ky = gaussian_kernel(2.0)
+        kx = gaussian_kernel(1.5)
+        got = np.asarray(
+            _pallas_conv_yx(
+                vol,
+                tuple(float(t) for t in ky),
+                tuple(float(t) for t in kx),
+                interpret=True,
+            )
+        )
+        want = conv1d_along_axis(vol.astype(jnp.float32), jnp.asarray(kx), axis=2)
+        want = np.asarray(conv1d_along_axis(want, jnp.asarray(ky), axis=1))
+        np.testing.assert_allclose(got, want, atol=1e-3)
