@@ -5,6 +5,8 @@ from pnr_tpu.parallel.sharded import (
     assign_seeds_to_shards,
     build_local_trace_step,
     build_sharded_step,
+    frangi2d_halo,
+    frangi2d_sharded,
     frangi3d_sharded,
     frangi_halo,
     make_mesh,
@@ -16,6 +18,8 @@ __all__ = [
     "halo_exchange_z",
     "make_mesh",
     "frangi_halo",
+    "frangi2d_halo",
+    "frangi2d_sharded",
     "frangi3d_sharded",
     "normalize_to_u8_sharded",
     "shard_volume",

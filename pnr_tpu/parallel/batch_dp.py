@@ -70,7 +70,8 @@ def build_batch_filter(cfg: PNRConfig, mesh, is2d: bool = False):
         return j8[None], vx[None], vy[None], vz[None]
 
     fn = shard_map(
-        local_fn, mesh=mesh, in_specs=P(axis), out_specs=(P(axis),) * 4
+        local_fn, mesh=mesh, in_specs=P(axis), out_specs=(P(axis),) * 4,
+        check_vma=False,  # Pallas conv inside frangi3d
     )
     return jax.jit(fn)
 
@@ -82,7 +83,10 @@ def build_batch_fields(tracker, mesh):
     def local_fn(v):
         return tracker.prepare_field(v[0])[None]
 
-    fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    fn = shard_map(
+        local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+        check_vma=False,  # tube-map Pallas kernels inside
+    )
     return jax.jit(fn)
 
 
@@ -109,12 +113,14 @@ def build_batch_tracer(tracker, cfg: PNRConfig, mesh, lanes: int):
         mesh=mesh,
         in_specs=(P(axis),) * 5,
         out_specs=(cspec, P(axis)),
+        check_vma=False,  # tube-map / exact Pallas kernels inside
     )
     stage_fn = shard_map(
         stage_local,
         mesh=mesh,
         in_specs=(P(axis), cspec, P(axis), P(None), P(axis)),
         out_specs=(cspec, P(axis)),
+        check_vma=False,  # tube-map / exact Pallas kernels inside
     )
     return jax.jit(init_fn), jax.jit(stage_fn)
 

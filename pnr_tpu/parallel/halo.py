@@ -23,6 +23,61 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def halo_exchange_z_aligned(x: jax.Array, halo: int, axis_name: str = "z"):
+    """Aligned-window halo exchange for border-sensitive stencils.
+
+    Returns (slab, crop_off): a local slab of static shape
+    (zl + 2*halo, Y, X) covering global slices [w0, w0 + S) with
+    w0 = clamp(g0 - halo, 0, Ztot - S) — shifted INTO the volume at the
+    global edges so every slab edge coincides with a TRUE global border.
+    Operators whose border rule is not equivalent to edge replication
+    (the reference's one-sided first difference at borders,
+    frangi.cpp:305-381 — `jnp.gradient` semantics) then apply their edge
+    case exactly where the unsharded op would, making the cropped result
+    bitwise equal to single-device even in the first/last shard's border
+    slices. `crop_off = g0 - w0` is where the shard's own rows start in
+    the slab (crop with `lax.dynamic_slice_in_dim`).
+
+    Plain `halo_exchange_z` replicates edge slices instead, which is
+    exact only for clamp-equivalent operators (convolution with edge
+    padding, min/max windows, clamped interpolation).
+
+    When the volume is smaller than the slab (tiny shards / huge halo)
+    this degrades to a full `all_gather` — slab = the whole volume,
+    crop_off = g0 — which is trivially exact.
+    """
+    zl = x.shape[0]
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    s_len = zl + 2 * halo
+    z_tot = n * zl
+
+    if n == 1 or s_len >= z_tot:
+        full = lax.all_gather(x, axis_name, axis=0, tiled=True)
+        return full, idx * zl
+
+    # edge shards reach up to 2*halo past their own slab on one side
+    hops = min(int(math.ceil(2 * halo / zl)), n - 1)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    prev_slabs = []
+    nxt_slabs = []
+    cur_p, cur_n = x, x
+    for _ in range(hops):
+        cur_p = lax.ppermute(cur_p, axis_name, perm=fwd)
+        cur_n = lax.ppermute(cur_n, axis_name, perm=bwd)
+        prev_slabs.insert(0, cur_p)
+        nxt_slabs.append(cur_n)
+    stack = jnp.concatenate(prev_slabs + [x] + nxt_slabs, axis=0)
+    # stack[k] holds global slice g0 - hops*zl + k; wrapped slabs carry
+    # out-of-range garbage but w0 below never selects them
+    g0 = idx * zl
+    w0 = jnp.clip(g0 - halo, 0, z_tot - s_len)
+    start = w0 - (g0 - hops * zl)
+    slab = lax.dynamic_slice_in_dim(stack, start, s_len, axis=0)
+    return slab, g0 - w0
+
+
 def halo_exchange_z(x: jax.Array, halo: int, axis_name: str = "z") -> jax.Array:
     """Pad a local (Zl, Y, X) shard with `halo` ghost slices on both Z sides.
 

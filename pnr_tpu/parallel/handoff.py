@@ -73,6 +73,7 @@ def build_handoff_tracer(
     stage_iters: int = 4,
     trace_halo: int | None = None,
     z_total: int | None = None,
+    is2d: bool = False,
 ):
     """Staged distributed tracer. Returns (init, stage, n_stages).
 
@@ -87,14 +88,22 @@ def build_handoff_tracer(
     shard (`_bucket` in the sharded pipeline); `valid` masks pad lanes.
     Estimates come back in global coordinates. `kill` retires traces
     whose committed prefix already stopped. `z_total` bounds the global
-    z stop check (defaults to the sharded volume's Z — pass the
-    original Z when the volume was padded to divide the mesh).
+    stop check along the sharded coordinate (defaults to the sharded
+    volume's extent — pass the original extent when the volume was
+    padded to divide the mesh).
+
+    With `is2d`, a single-slice (1, Y, X) image shards over Y instead:
+    `vol_sharded` holds the TRANSPOSED (Y, 1, X) representation (axis 0
+    is always the mesh axis), traces migrate on their centroid's y, and
+    `z_total` bounds global Y. The reference treats 2-D as first-class
+    (Advantra_plugin.cpp:2339, frangi2d); this is its scale-out analog.
     """
     from pnr_tpu.smc.tracker import BatchedTracker
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    tracker = BatchedTracker(cfg, is2d=False)
+    tracker = BatchedTracker(cfg, is2d=is2d)
+    ci = 1 if is2d else 2  # migrating coordinate in (x, y, z) estimates
     if trace_halo is None:
         trace_halo = required_trace_halo(cfg, stage_iters)
     ni = cfg.ni
@@ -105,6 +114,10 @@ def build_handoff_tracer(
         idx = lax.axis_index(axis)
         zl = vol_local.shape[0]
         padded = halo_exchange_z(vol_local, trace_halo, axis)
+        if is2d:
+            # restore (1, Y_local+2h, X) for the tracker's (x, y, z=0)
+            # coordinate frame
+            padded = jnp.transpose(padded, (1, 0, 2))
         field = tracker.prepare_field(padded)
         z_off = (idx * zl - trace_halo).astype(jnp.float32)
         return field, z_off, zl
@@ -117,15 +130,13 @@ def build_handoff_tracer(
         field, z_off, zl = _local_field(vol_local)
         zmax = float(z_total if z_total is not None else n_dev * vol_local.shape[0])
         keys = jax.vmap(jax.random.wrap_key_data)(key_data)
-        sp_local = sp - jnp.stack(
-            [jnp.zeros_like(z_off), jnp.zeros_like(z_off), z_off]
-        )[None, :]
+        sp_local = sp - jnp.zeros((3,), jnp.float32).at[ci].set(z_off)[None, :]
         carry, est0 = tracker._trace_init(field, sp_local, sd, keys)
-        est0 = est0.at[:, 2].add(z_off)
-        okg0 = _zbound(est0[:, 2], zmax)
+        est0 = est0.at[:, ci].add(z_off)
+        okg0 = _zbound(est0[:, ci], zmax)
         est0 = est0.at[:, 8].multiply((valid & okg0).astype(jnp.float32))
         live = valid
-        state = carry + (key_data, ids, live, est0[:, 2])
+        state = carry + (key_data, ids, live, est0[:, ci])
         return state, est0, jnp.where(live, ids, -1)
 
     def stage_local(vol_local, state, iter_idx, kill):
@@ -163,7 +174,7 @@ def build_handoff_tracer(
         def send(direction_mask, perm, dz):
             sent = [lax.ppermute(p, axis, perm) for p in payload]
             sent_mask = lax.ppermute(direction_mask, axis, perm)
-            sent_pos = sent[0].at[:, :, 2].add(dz)
+            sent_pos = sent[0].at[:, :, ci].add(dz)
             return (sent_pos,) + tuple(sent[1:]), sent_mask
 
         up_payload, up_mask = send(go_up, fwd, -float(zl))
@@ -203,17 +214,18 @@ def build_handoff_tracer(
         # ---- advance stage_iters iterations ----
         keys_cur = jax.vmap(jax.random.wrap_key_data)(key_data)
         carry, packed = tracker._trace_stage(field, keys_cur, carry, iter_idx, ~live)
-        packed = packed.at[:, :, 2].add(z_off)
+        packed = packed.at[:, :, ci].add(z_off)
         # the local in-bounds check ran against the halo-padded slab;
-        # re-impose the GLOBAL z bound so stop semantics match the
-        # single-device tracker (x/y bounds are identical). Validity is
-        # a prefix property downstream, so one masked iteration
-        # invalidates the tail exactly like the alive chain would.
-        okg = _zbound(packed[:, :, 2], zmax)
+        # re-impose the GLOBAL bound along the sharded coordinate so
+        # stop semantics match the single-device tracker (the other
+        # bounds are identical). Validity is a prefix property
+        # downstream, so one masked iteration invalidates the tail
+        # exactly like the alive chain would.
+        okg = _zbound(packed[:, :, ci], zmax)
         packed = packed.at[:, :, 8].multiply(
             okg.astype(jnp.float32) * live.astype(jnp.float32)[:, None]
         )
-        last_cz = packed[:, -1, 2]
+        last_cz = packed[:, -1, ci]
         state = carry + (key_data, ids, live, last_cz)
         return state, packed, jnp.where(live, ids, -1), live, kept_local
 
@@ -223,12 +235,14 @@ def build_handoff_tracer(
         mesh=mesh,
         in_specs=(P(axis),) * 6,
         out_specs=(state_spec, P(axis), P(axis)),
+        check_vma=False,  # tube-map / exact Pallas kernels inside
     )
     stage_fn = shard_map(
         stage_local,
         mesh=mesh,
         in_specs=(P(axis), state_spec, P(None), P(axis)),
         out_specs=(state_spec, P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,  # tube-map / exact Pallas kernels inside
     )
 
     def init(vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key):

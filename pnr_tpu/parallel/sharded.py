@@ -23,7 +23,7 @@ from jax import shard_map
 
 from pnr_tpu.config import PNRConfig
 from pnr_tpu.ops.frangi import frangi3d
-from pnr_tpu.parallel.halo import halo_exchange_z
+from pnr_tpu.parallel.halo import halo_exchange_z, halo_exchange_z_aligned
 
 _FLT_MIN = 1.175494e-38
 
@@ -63,20 +63,25 @@ def frangi3d_sharded(
 ):
     """Multi-scale Frangi over a Z-sharded volume; returns sharded outputs.
 
-    Matches the unsharded `frangi3d` (same clamped-border semantics at
-    the global boundaries; interior shard boundaries exchange halos over
-    ICI). Jmin/Jmax are global (psum-tree reductions).
+    Bitwise-matches the unsharded `frangi3d`: interior shard boundaries
+    exchange halos over ICI, and the windows of the first/last shard
+    are ALIGNED to the global borders (`halo_exchange_z_aligned`) so
+    the one-sided border differences of the Hessian (frangi.cpp:305-381)
+    fire exactly where the unsharded op fires them. Jmin/Jmax are
+    global (psum-tree reductions; min over the final response — equal
+    to the reference's first-scale running min whenever any voxel hits
+    the lambda sign cut, i.e. always in practice).
     """
     halo = frangi_halo(sigmas, zdist)
     axis = mesh.axis_names[0]
 
     def local_fn(v):
-        padded = halo_exchange_z(v, halo, axis)
-        j, jmin, jmax, vx, vy, vz = frangi3d(padded, sigmas, zdist, alpha, beta, c)
-        j = j[halo:-halo]
-        vx = vx[halo:-halo]
-        vy = vy[halo:-halo]
-        vz = vz[halo:-halo]
+        slab, off = halo_exchange_z_aligned(v, halo, axis)
+        zl = v.shape[0]
+        j, jmin, jmax, vx, vy, vz = frangi3d(slab, sigmas, zdist, alpha, beta, c)
+        j, vx, vy, vz = (
+            lax.dynamic_slice_in_dim(a, off, zl, 0) for a in (j, vx, vy, vz)
+        )
         jmin = lax.pmin(jnp.min(j), axis)
         jmax = lax.pmax(jnp.max(j), axis)
         return j, jmin, jmax, vx, vy, vz
@@ -86,8 +91,59 @@ def frangi3d_sharded(
         mesh=mesh,
         in_specs=P(mesh.axis_names[0]),
         out_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis)),
+        check_vma=False,  # Pallas conv inside; vma inference unsupported
     )
     return fn(vol)
+
+
+def frangi2d_halo(sigmas: Sequence[float]) -> int:
+    """Ghost rows needed in Y: Gaussian kernel + two first-difference passes."""
+    return int(math.ceil(3.0 * max(sigmas))) + 2
+
+
+def frangi2d_sharded(
+    vol_t: jax.Array,
+    sigmas: Tuple[float, ...],
+    mesh: Mesh,
+    beta_one: float = 0.5,
+    beta_two: float = 15.0,
+):
+    """Multi-scale 2-D Frangi over a Y-sharded single-slice image.
+
+    `vol_t` is the TRANSPOSED (Y, 1, X) representation of a (1, Y, X)
+    stack, sharded over axis 0 — the 2-D analog of `frangi3d_sharded`:
+    the same 1-D mesh machinery with halo exchange along Y. Outputs stay
+    in the transposed layout; Jmin/Jmax are global mesh reductions.
+    Matches the unsharded `frangi2d` (frangi.cpp:392-505) on the
+    original image.
+    """
+    from pnr_tpu.ops.frangi import frangi2d
+
+    halo = frangi2d_halo(sigmas)
+    axis = mesh.axis_names[0]
+
+    def local_fn(v):
+        slab, off = halo_exchange_z_aligned(v, halo, axis)
+        yl = v.shape[0]
+        j, _jmin, _jmax, vx, vy, vz = frangi2d(
+            slab[:, 0, :], tuple(sigmas), beta_one, beta_two
+        )
+        j, vx, vy, vz = (
+            lax.dynamic_slice_in_dim(a, off, yl, 0)[:, None, :]
+            for a in (j, vx, vy, vz)
+        )
+        jmin = lax.pmin(jnp.min(j), axis)
+        jmax = lax.pmax(jnp.max(j), axis)
+        return j, jmin, jmax, vx, vy, vz
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis)),
+        check_vma=False,  # Pallas conv inside; vma inference unsupported
+    )
+    return fn(vol_t)
 
 
 def normalize_to_u8_sharded(j, jmin, jmax):
@@ -261,6 +317,7 @@ def build_local_trace_step(cfg: PNRConfig, mesh: Mesh, seeds_per_shard: int, tra
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
+        check_vma=False,  # tube-map / exact Pallas kernels inside
     )
 
     def step(vol_sharded, seed_pos, seed_dir, base_key):

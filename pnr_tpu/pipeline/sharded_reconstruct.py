@@ -1,7 +1,9 @@
 """Multi-device reconstruction: the full pipeline over a device mesh.
 
 Same contract as `pnr_tpu.pipeline.reconstruction_func`, with the heavy
-stages sharded over a 1-D Z mesh (SURVEY.md §2b):
+stages sharded over a 1-D mesh (SURVEY.md §2b) — Z-slabs for 3-D
+volumes, Y-slabs (via an internal transposed (Y, 1, X) layout) for the
+reference's first-class 2-D path (P == 1, Advantra_plugin.cpp:2339):
 
 * soma extraction: per-slice erode + xy-Gaussian shard trivially over Z
   (no halo — both stencils are xy-only, frangi.cpp:879/786); the
@@ -52,6 +54,7 @@ from pnr_tpu.graph.nodes import SOMA, NodeList
 from pnr_tpu.parallel.halo import halo_exchange_z
 from pnr_tpu.parallel.handoff import build_handoff_tracer
 from pnr_tpu.parallel.sharded import (
+    frangi2d_sharded,
     frangi3d_sharded,
     normalize_to_u8_sharded,
     seeds_sharded,
@@ -60,43 +63,74 @@ from pnr_tpu.parallel.sharded import (
 from pnr_tpu.pipeline.reconstruct import ReconstructionResult, reconstruct_graph
 
 
-def _pad_z_replicate(vol: np.ndarray, n_dev: int) -> np.ndarray:
-    """Pad Z to a mesh multiple by replicating the last slice — exact
-    for clamped-border stencils (the beyond-edge taps read the edge
-    slice either way)."""
-    z = vol.shape[0]
-    zp = -(-z // n_dev) * n_dev
-    if zp == z:
+def _pad_axis_replicate(vol: np.ndarray, n_dev: int, axis: int = 0) -> np.ndarray:
+    """Pad an axis to a mesh multiple by replicating the last slice —
+    exact for clamped-border stencils (the beyond-edge taps read the
+    edge slice either way)."""
+    n = vol.shape[axis]
+    npad = -(-n // n_dev) * n_dev - n
+    if npad == 0:
         return vol
-    pad = np.repeat(vol[-1:], zp - z, axis=0)
-    return np.concatenate([vol, pad], axis=0)
+    pad = np.repeat(np.take(vol, [-1], axis=axis), npad, axis=axis)
+    return np.concatenate([vol, pad], axis=axis)
+
+
+def _pad_z_replicate(vol: np.ndarray, n_dev: int) -> np.ndarray:
+    return _pad_axis_replicate(vol, n_dev, axis=0)
 
 
 def soma_extraction_sharded(
-    vs, vol_shape, cfg: PNRConfig, nodes: NodeList, mesh, verbose=False
+    vs, vol_shape, cfg: PNRConfig, nodes: NodeList, mesh, verbose=False,
+    is2d: bool = False,
 ):
-    """Sharded soma extraction (Advantra_plugin.cpp:2426-2481): per-slab
-    xy erode + xy Gaussian (Z-sharded, halo-free), global max-entropy
-    threshold via a psum'd histogram, host 3-D CC on the gathered
-    binary mask. Returns the (Z, Y, X) int32 smap (original Z)."""
+    """Sharded soma extraction (Advantra_plugin.cpp:2426-2481): xy erode
+    + xy Gaussian stencils over the mesh, global max-entropy threshold
+    via a psum'd histogram, host 3-D CC on the gathered binary mask.
+    Returns the int32 smap with `vol_shape` (original extents).
+
+    3-D: Z-sharded slabs — both stencils are xy-only (frangi.cpp:879,
+    786), so no halo is needed. 2-D (`is2d`): `vs` holds the transposed
+    (Y, 1, X) representation sharded over Y; the stencils reach
+    ceil(r) + ceil(3r) rows, exchanged as a Y halo. Replicate-padded
+    rows/slices (arbitrary extents) are masked out of the histogram so
+    the threshold is exactly the single-device one.
+    """
     from pnr_tpu.ops.morphology import imerode_xy
     from pnr_tpu.ops.gaussian import imgaussian_xy
-    from pnr_tpu.ops.thresholds import histogram256, maxentropy_th
+    from pnr_tpu.ops.thresholds import maxentropy_th
     from pnr_tpu import native
 
     axis = mesh.axis_names[0]
     r = float(cfg.somaradius)
+    span_orig = vol_shape[1] if is2d else vol_shape[0]
+    halo = (int(math.ceil(r)) + int(math.ceil(3.0 * r))) if is2d else 0
 
     def local_fn(v):
-        e8 = imerode_xy(v, r)
-        e8 = imgaussian_xy(e8, r)
-        hist = lax.psum(histogram256(e8), axis)
-        return e8, hist
+        if is2d:
+            padded = halo_exchange_z(v, halo, axis)  # (Yl + 2h, 1, X)
+            img = jnp.transpose(padded, (1, 0, 2))  # (1, Yp, X)
+            e8 = imgaussian_xy(imerode_xy(img, r), r)
+            e8 = jnp.transpose(e8[:, halo:-halo], (1, 0, 2))  # (Yl, 1, X)
+        else:
+            e8 = imgaussian_xy(imerode_xy(v, r), r)
+        # exact global histogram: replicate-padded slices contribute 0
+        sl = v.shape[0]
+        g = lax.axis_index(axis) * sl + jnp.arange(sl)
+        w = (g < span_orig).astype(jnp.int32)
+        wmask = jnp.broadcast_to(w[:, None, None], e8.shape).reshape(-1)
+        hist = jnp.zeros((256,), jnp.int32).at[
+            e8.reshape(-1).astype(jnp.int32)
+        ].add(wmask)
+        return e8, lax.psum(hist, axis)
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=(P(axis), P()))
     e8_s, hist = jax.jit(fn)(vs)
     th = maxentropy_th(np.asarray(hist))
-    e8_np = np.asarray(e8_s)[: vol_shape[0]]  # drop Z padding
+    e8_np = np.asarray(e8_s)
+    if is2d:  # back to (1, Y, X), drop Y padding
+        e8_np = e8_np.transpose(1, 0, 2)[:, :span_orig]
+    else:
+        e8_np = e8_np[:span_orig]  # drop Z padding
     e8bin = np.where(e8_np > th, 255, 0).astype(np.uint8)
     labels, regions = native.conn3d(e8bin, value_over=0, min_size=1, diagonal=True)
     base = len(nodes) - 1
@@ -108,14 +142,17 @@ def soma_extraction_sharded(
     return np.where(labels > 0, labels + base, 0).astype(np.int32)
 
 
-def build_seed_scorer(cfg: PNRConfig, mesh):
+def build_seed_scorer(cfg: PNRConfig, mesh, is2d: bool = False):
     """Shard-local znccBBB seed scoring: each shard scores the seeds in
     its slab against its halo-padded likelihood field (exact within the
-    halo — identical values to the global field)."""
+    halo — identical values to the global field). With `is2d`, the
+    volume is the transposed (Y, 1, X) representation sharded over Y
+    and seeds bucket by their y coordinate."""
     from pnr_tpu.smc.tracker import BatchedTracker
 
     axis = mesh.axis_names[0]
-    tracker = BatchedTracker(cfg, is2d=False)
+    tracker = BatchedTracker(cfg, is2d=is2d)
+    ci = 1 if is2d else 2
     smax = max(cfg.sigmas)
     halo = int(math.ceil(3.0 * smax)) + int(math.ceil(smax)) + 2
 
@@ -123,11 +160,11 @@ def build_seed_scorer(cfg: PNRConfig, mesh):
         idx = lax.axis_index(axis)
         zl = vol_local.shape[0]
         padded = halo_exchange_z(vol_local, halo, axis)
+        if is2d:
+            padded = jnp.transpose(padded, (1, 0, 2))
         field = tracker.prepare_field(padded)
         z_off = (idx * zl - halo).astype(jnp.float32)
-        sp_local = sp - jnp.stack(
-            [jnp.zeros_like(z_off), jnp.zeros_like(z_off), z_off]
-        )[None, :]
+        sp_local = sp - jnp.zeros((3,), jnp.float32).at[ci].set(z_off)[None, :]
         if tracker._patch_engine is not None:
             corr, _ = tracker._patch_engine.eval_fused(
                 field, sp_local[:, None, :], sd[:, None, :]
@@ -137,14 +174,17 @@ def build_seed_scorer(cfg: PNRConfig, mesh):
         return corr
 
     fn = shard_map(
-        local_fn, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)), out_specs=P(axis)
+        local_fn, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,  # tube-map / exact Pallas kernels inside
     )
     return jax.jit(fn)
 
 
-def _bucket_by_shard(pos, dirs, ids, z_padded, n_shards, lanes):
+def _bucket_by_shard(pos, dirs, ids, z_padded, n_shards, lanes, ci=2):
     """Fixed-lane per-shard buckets preserving the given order inside
-    each shard. Returns (pos, dirs, ids, valid, dropped_ids) — overflow
+    each shard (`ci` selects the sharded coordinate: z for 3-D, y for
+    2-D). Returns (pos, dirs, ids, valid, dropped_ids) — overflow
     entries are RETURNED (for re-queueing), never silently lost."""
     zl = z_padded // n_shards
     out_p = np.zeros((n_shards * lanes, 3), np.float32)
@@ -156,7 +196,7 @@ def _bucket_by_shard(pos, dirs, ids, z_padded, n_shards, lanes):
     for s in range(n_shards):
         lo = s * zl
         hi = (s + 1) * zl if s < n_shards - 1 else z_padded + 1
-        m = (pos[:, 2] >= lo) & (pos[:, 2] < hi)
+        m = (pos[:, ci] >= lo) & (pos[:, ci] < hi)
         sel = np.nonzero(m)[0]
         dropped.extend(ids[sel[lanes:]].tolist())
         sel = sel[:lanes]
@@ -169,7 +209,7 @@ def _bucket_by_shard(pos, dirs, ids, z_padded, n_shards, lanes):
     return out_p, out_d, out_i, valid, dropped
 
 
-def _score_seeds_sharded(scorer, vs, pos, dirs, z_padded, n_dev, verbose):
+def _score_seeds_sharded(scorer, vs, pos, dirs, z_padded, n_dev, verbose, ci=2):
     """Score all seeds through the per-shard scorer, looping buckets so
     a crowded slab degrades to extra passes instead of aborting."""
     n = len(pos)
@@ -178,12 +218,12 @@ def _score_seeds_sharded(scorer, vs, pos, dirs, z_padded, n_dev, verbose):
     zl = z_padded // n_dev
     while len(todo):
         counts = np.bincount(
-            np.clip((pos[todo, 2] // zl).astype(int), 0, n_dev - 1),
+            np.clip((pos[todo, ci] // zl).astype(int), 0, n_dev - 1),
             minlength=n_dev,
         )
         lanes = max(1, int(counts.max()))
         bp, bd, bi, bv, dropped = _bucket_by_shard(
-            pos[todo], dirs[todo], todo, z_padded, n_dev, lanes
+            pos[todo], dirs[todo], todo, z_padded, n_dev, lanes, ci
         )
         c = np.asarray(scorer(vs, jnp.asarray(bp), jnp.asarray(bd)))
         corr[bi[bv]] = c[bv]
@@ -204,11 +244,30 @@ def reconstruction_func_sharded(
     resume: bool = False,
     _lanes_override: Optional[int] = None,  # tests: force lane overflow
 ) -> ReconstructionResult:
-    """Full reconstruction of a (Z, Y, X) uint8 volume over `mesh`."""
+    """Full reconstruction of a (Z, Y, X) uint8 volume over `mesh`.
+
+    3-D volumes shard over Z. Single-slice (P == 1) images — the
+    reference's first-class 2-D path (Advantra_plugin.cpp:2339) —
+    shard over Y instead: internally the image is carried as its
+    transposed (Y, 1, X) representation so the whole 1-D-mesh machinery
+    (halo exchange, bucketing, boundary handoff) applies unchanged,
+    with `frangi2d` per shard and y-migration in the tracer. Seed
+    extraction in 2-D runs on the gathered J8 slice: the tolerance
+    flood spans the whole slice (seed.cpp:574 floods per z-slice), so
+    it cannot shard over Y; one slice gather is the same O(Y*X) the
+    host already holds as the input.
+    """
     vol = np.ascontiguousarray(vol, np.uint8)
     n_dev = int(mesh.devices.size)
-    z_orig = vol.shape[0]
-    padded = _pad_z_replicate(vol, n_dev)
+    is2d = vol.shape[0] == 1
+    ci = 1 if is2d else 2  # the sharded coordinate in (x, y, z)
+    span_orig = vol.shape[1] if is2d else vol.shape[0]
+    if is2d:
+        rep = np.ascontiguousarray(
+            _pad_axis_replicate(vol, n_dev, axis=1).transpose(1, 0, 2)
+        )
+    else:
+        rep = _pad_z_replicate(vol, n_dev)
     if key is None:
         key = jax.random.key(cfg.seed)
 
@@ -218,37 +277,67 @@ def reconstruction_func_sharded(
     nodes = NodeList()
     smap = None
 
-    vs = shard_volume(padded, mesh)
+    vs = shard_volume(rep, mesh)
 
     if cfg.somaradius > 0:
         tm.start("soma extraction (sharded)")
-        smap = soma_extraction_sharded(vs, vol.shape, cfg, nodes, mesh, verbose)
+        smap = soma_extraction_sharded(
+            vs, vol.shape, cfg, nodes, mesh, verbose, is2d=is2d
+        )
         tm.stop()
 
     tm.start("frangi (sharded)")
-    j, jmin, jmax, vx, vy, vz = frangi3d_sharded(
-        vs, cfg.sigmas, cfg.zdist, mesh,
-        cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
-    )
+    if is2d:
+        j, jmin, jmax, vx, vy, vz = frangi2d_sharded(
+            vs, cfg.sigmas, mesh, cfg.frangi_betaone, cfg.frangi_betatwo
+        )
+    else:
+        j, jmin, jmax, vx, vy, vz = frangi3d_sharded(
+            vs, cfg.sigmas, cfg.zdist, mesh,
+            cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
+        )
     j8 = normalize_to_u8_sharded(j, jmin, jmax)
     j8.block_until_ready()
     tm.stop()
 
     tm.start("seed extraction (sharded)")
-    cap = max(64, vol.shape[1] * vol.shape[2] // 64)
-    pos_s, dirs_s, valid_s, found = seeds_sharded(
-        j8, vx, vy, vz, cfg.tolerance, mesh, cap
-    )
-    valid_np = np.asarray(valid_s)
-    pos = np.asarray(pos_s)[valid_np]
-    dirs = np.asarray(dirs_s)[valid_np]
-    n_found = int(np.asarray(found).sum())
-    if n_found > len(pos) and verbose:
-        print(f"warning: seed cap dropped {n_found - len(pos)} seeds")
-    # discard seeds in the replicated Z padding (duplicates of the top
-    # slice) and inside the soma
-    keep = pos[:, 2] < z_orig
-    pos, dirs = pos[keep], dirs[keep]
+    if is2d:
+        from pnr_tpu import native
+        from pnr_tpu.seeds.extract import (
+            decode_directions_device, max_points_device, max_points_host,
+        )
+
+        j8_full = np.asarray(j8).transpose(1, 0, 2)[:, :span_orig]
+        if native.have_native():
+            mask = max_points_host(j8_full, float(cfg.tolerance))
+        else:
+            mask = np.asarray(
+                max_points_device(jnp.asarray(j8_full), float(cfg.tolerance))
+            )
+        _, yy, xx = np.nonzero(mask)
+        pos = np.stack(
+            [xx, yy, np.zeros_like(xx)], axis=-1
+        ).astype(np.float32)
+        # gather the quantized directions at the seed voxels from the
+        # TRANSPOSED sharded maps: flat index is y*X + x there
+        pos_t = np.stack([xx, np.zeros_like(xx), yy], axis=-1).astype(np.float32)
+        dirs = decode_directions_device(vx, vy, vz, pos_t)
+    else:
+        cap = max(64, vol.shape[1] * vol.shape[2] // 64)
+        pos_s, dirs_s, valid_s, found = seeds_sharded(
+            j8, vx, vy, vz, cfg.tolerance, mesh, cap
+        )
+        valid_np = np.asarray(valid_s)
+        pos = np.asarray(pos_s)[valid_np]
+        dirs = np.asarray(dirs_s)[valid_np]
+        n_found = int(np.asarray(found).sum())
+        if n_found > len(pos) and verbose:
+            print(f"warning: seed cap dropped {n_found - len(pos)} seeds")
+        # discard seeds in the replicated Z padding (duplicates of the
+        # top slice)
+        keep = pos[:, 2] < span_orig
+        pos, dirs = pos[keep], dirs[keep]
+    # drop seeds inside the soma
     if smap is not None and len(pos):
         zi = np.floor(pos[:, 2] + 0.5).astype(int)
         yi = np.floor(pos[:, 1] + 0.5).astype(int)
@@ -262,9 +351,9 @@ def reconstruction_func_sharded(
     tm.start("seed selection & sorting (sharded)")
     corr = np.zeros(0, np.float32)
     if len(pos):
-        scorer = build_seed_scorer(cfg, mesh)
+        scorer = build_seed_scorer(cfg, mesh, is2d=is2d)
         corr_all = _score_seeds_sharded(
-            scorer, vs, pos, dirs, padded.shape[0], n_dev, verbose
+            scorer, vs, pos, dirs, rep.shape[0], n_dev, verbose, ci
         )
         keep = corr_all >= cfg.znccth
         pos, dirs, corr = pos[keep], dirs[keep], corr_all[keep]
@@ -283,7 +372,7 @@ def reconstruction_func_sharded(
     stage_iters = 4
     init, stage, n_stages = build_handoff_tracer(
         cfg, mesh, lanes_per_shard=lanes, stage_iters=stage_iters,
-        z_total=z_orig,
+        z_total=span_orig, is2d=is2d,
     )
     trace_count = 0
     idx = 0
@@ -320,7 +409,7 @@ def reconstruction_func_sharded(
         tids[0::2] = 2 * sel
         tids[1::2] = 2 * sel + 1
         bp, bd, bi, bv, dropped = _bucket_by_shard(
-            sp, sd, tids, padded.shape[0], n_dev, lanes
+            sp, sd, tids, rep.shape[0], n_dev, lanes, ci
         )
         if dropped:
             # re-queue whole seeds whose traces did not fit this wave's
@@ -361,7 +450,11 @@ def reconstruction_func_sharded(
         seeds_corr=corr,
         trace_count=trace_count,
         timings=tm.timings,
-        j8=np.asarray(j8)[:z_orig],
+        j8=(
+            np.asarray(j8).transpose(1, 0, 2)[:, :span_orig]
+            if is2d
+            else np.asarray(j8)[:span_orig]
+        ),
     )
 
 

@@ -599,3 +599,119 @@ class TestBatchDP:
             np.testing.assert_allclose(
                 p.n0.positions(), s.n0.positions(), atol=1e-4
             )
+
+
+class TestSharded2D:
+    """Y-sharded spatial decomposition of single-slice (P == 1) images:
+    the sharded/handoff path's 2-D mode (VERDICT r2 item 10)."""
+
+    @staticmethod
+    def _image(shape=(1, 48, 96), seed=5, yc=24.0):
+        rng = np.random.default_rng(seed)
+        y, x = np.meshgrid(
+            np.arange(shape[1]), np.arange(shape[2]), indexing="ij"
+        )
+        along = (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 6) * (x < shape[2] - 7)
+        img = 200.0 * np.exp(-((y - yc) ** 2) / (2 * 2.5**2)) * along
+        img = img + rng.normal(0, 5, (shape[1], shape[2]))
+        return np.clip(img, 0, 255).astype(np.uint8)[None]
+
+    def test_frangi2d_sharded_matches_single_device(self, mesh):
+        """Y-sharded frangi2d + J8 is bitwise the single-device result
+        (halo-exchange stencils along Y, pmin/pmax reductions)."""
+        from pnr_tpu.ops.frangi import frangi2d
+        from pnr_tpu.parallel import frangi2d_sharded
+
+        vol = self._image()
+        sigmas = (2.0, 3.0)
+        j_ref, jmin_ref, jmax_ref, vx_ref, vy_ref, _ = frangi2d(
+            jnp.asarray(vol[0]), sigmas
+        )
+        j8_ref = np.asarray(normalize_to_u8(j_ref, jmin_ref, jmax_ref))
+
+        vt = np.ascontiguousarray(vol.transpose(1, 0, 2))  # (Y, 1, X)
+        j, jmin, jmax, vx, vy, vz = frangi2d_sharded(
+            shard_volume(vt, mesh), sigmas, mesh
+        )
+        j8 = np.asarray(normalize_to_u8_sharded(j, jmin, jmax))[:, 0, :]
+        np.testing.assert_array_equal(j8, j8_ref)
+        np.testing.assert_array_equal(np.asarray(vx)[:, 0, :], np.asarray(vx_ref))
+        np.testing.assert_array_equal(np.asarray(vy)[:, 0, :], np.asarray(vy_ref))
+
+    def test_2d_matches_single_device_swc(self, mesh):
+        """Full Y-sharded 2-D reconstruction (frangi2d per shard, host
+        flood on the gathered slice, y-handoff tracing) vs the
+        single-device pipeline — the 2-D mirror of
+        test_matches_single_device_swc."""
+        from pnr_tpu.io.swc import read_swc, save_nodelist
+        from pnr_tpu.pipeline import reconstruction_func
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+        from pnr_tpu.utils.swc_compare import compare_swc
+
+        vol = self._image()
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.4, kappa=2.0, step=2,
+            ni=30, np=16, zdist=2.0, nodepervol=4, vol=9, wave_size=16,
+            zncc_mode="tube",
+        )
+        ref = reconstruction_func(vol, cfg, verbose=False)
+        got = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+        assert got.j8.shape == vol.shape
+        np.testing.assert_array_equal(got.j8, ref.j8)
+        assert got.trace_count >= 1
+        assert len(got.tree) > 5
+        if len(got.tree) > 1:
+            assert np.median(np.abs(np.asarray(got.tree.y[1:]) - 24.0)) < 3.0
+
+        import tempfile
+
+        pa = tempfile.mktemp(suffix=".swc")
+        pb = tempfile.mktemp(suffix=".swc")
+        save_nodelist(ref.tree, pa)
+        save_nodelist(got.tree, pb)
+        s = compare_swc(read_swc(pb), read_swc(pa), dist=3.0, resample=1.0)
+        assert s.f1 > 0.85, f"2-D sharded vs single-device SWC mismatch: {s}"
+
+    def test_2d_arbitrary_y_and_soma(self, mesh):
+        """Y that does not divide the mesh (replicate-padding) plus a
+        sharded 2-D soma stage: smap matches the single-device soma
+        path bit-for-bit and the pipeline runs end to end."""
+        from pnr_tpu.graph.nodes import SOMA, NodeList
+        from pnr_tpu.pipeline.reconstruct import soma_extraction
+        from pnr_tpu.pipeline.sharded_reconstruct import (
+            reconstruction_func_sharded, soma_extraction_sharded,
+        )
+
+        rng = np.random.default_rng(17)
+        shape = (1, 50, 80)  # 50 does not divide 8
+        y, x = np.meshgrid(np.arange(50), np.arange(80), indexing="ij")
+        blob = 240.0 * np.exp(-((x - 12) ** 2 + (y - 25) ** 2) / (2 * 5.0**2))
+        tube = 190.0 * np.exp(-((y - 25) ** 2) / (2 * 2.5**2)) * (x > 16) * (x < 72)
+        vol = np.clip(
+            blob + tube + rng.normal(0, 5, (50, 80)), 0, 255
+        ).astype(np.uint8)[None]
+        cfg = PNRConfig(
+            sigmas=(2.0,), somaradius=4, tolerance=10.0, znccth=0.4,
+            kappa=2.0, step=2, ni=24, np=12, zdist=2.0, nodepervol=4,
+            vol=9, wave_size=16, zncc_mode="tube",
+        )
+
+        # sharded 2-D soma == single-device soma, bit for bit
+        nodes_ref = NodeList()
+        smap_ref = soma_extraction(vol, cfg, nodes_ref)
+        from pnr_tpu.pipeline.sharded_reconstruct import _pad_axis_replicate
+
+        vt = np.ascontiguousarray(
+            _pad_axis_replicate(vol, 8, axis=1).transpose(1, 0, 2)
+        )
+        nodes_got = NodeList()
+        smap_got = soma_extraction_sharded(
+            shard_volume(vt, mesh), vol.shape, cfg, nodes_got, mesh, is2d=True
+        )
+        np.testing.assert_array_equal(smap_got, smap_ref)
+        assert len(nodes_got) == len(nodes_ref) > 1
+
+        res = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+        assert res.j8.shape == vol.shape
+        assert any(t == SOMA for t in res.n0.type[1:])
+        assert len(res.n0) > 2
