@@ -60,6 +60,60 @@ class TestHaloExchange:
             np.testing.assert_array_equal(blocks[r], want)
 
 
+class TestAlignedHalo:
+    def test_aligned_windows_cover_true_borders(self, mesh):
+        """Every slab of halo_exchange_z_aligned holds REAL global rows
+        [w0, w0+S) with w0 = clamp(g0 - h, 0, Z - S): edge shards shift
+        into the volume instead of replicating, so slab edges coincide
+        with true global borders."""
+        from pnr_tpu.parallel.halo import halo_exchange_z_aligned
+
+        vol = make_vol((32, 8, 16))
+        halo = 3
+        n, zl = 8, 4
+        s_len = zl + 2 * halo
+
+        fn = shard_map(
+            lambda v: (lambda sl, o: (sl, o.reshape(1)))(
+                *halo_exchange_z_aligned(v, halo, "z")
+            ),
+            mesh=mesh, in_specs=P("z"), out_specs=(P("z"), P("z")),
+            check_vma=False,
+        )
+        slabs, offs = fn(shard_volume(vol, mesh))
+        slabs = np.asarray(slabs).reshape(n, s_len, 8, 16)
+        offs = np.asarray(offs).reshape(n)
+        for r in range(n):
+            g0 = r * zl
+            w0 = int(np.clip(g0 - halo, 0, 32 - s_len))
+            np.testing.assert_array_equal(slabs[r], vol[w0 : w0 + s_len])
+            assert offs[r] == g0 - w0
+            # the shard's own rows sit at [crop_off, crop_off + zl)
+            np.testing.assert_array_equal(
+                slabs[r][offs[r] : offs[r] + zl], vol[g0 : g0 + zl]
+            )
+
+    def test_tiny_volume_falls_back_to_all_gather(self, mesh):
+        """halo > what neighbours can supply -> slab = the full volume."""
+        from pnr_tpu.parallel.halo import halo_exchange_z_aligned
+
+        vol = make_vol((16, 8, 16))
+        halo = 9  # S = 2 + 18 = 20 > Z = 16
+        fn = shard_map(
+            lambda v: (lambda sl, o: (sl, o.reshape(1)))(
+                *halo_exchange_z_aligned(v, halo, "z")
+            ),
+            mesh=mesh, in_specs=P("z"), out_specs=(P("z"), P("z")),
+            check_vma=False,
+        )
+        slabs, offs = fn(shard_volume(vol, mesh))
+        slabs = np.asarray(slabs).reshape(8, 16, 8, 16)
+        offs = np.asarray(offs).reshape(8)
+        for r in range(8):
+            np.testing.assert_array_equal(slabs[r], vol)
+            assert offs[r] == r * 2
+
+
 class TestShardedFrangi:
     def test_matches_single_device(self, mesh):
         vol = make_vol()
