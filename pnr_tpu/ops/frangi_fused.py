@@ -55,12 +55,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pnr_tpu.ops.gaussian import gaussian_kernel
 
-#: bz=16,by=32 (est 13.5 MB) crashes the v5e compiler; bz=8,by=32
-#: (est 11.5 MB) is validated — the estimate undercounts Mosaic's
-#: transient allocations, so the gate stays below the observed failure
+#: bz=16,by=32 (est 13.5 MB) and bz=4,by=64 (est 14.6 MB) crash the
+#: v5e compiler; bz=4,by=48 (est 11.2 MB, the round-3 sweep's fastest:
+#: 879 Mvox/s chained vs 840 at 8x32 — throughput is flat in geometry,
+#: the floor is per-plane DMA/op granularity) is validated — the
+#: estimate undercounts Mosaic's transient allocations, so the gate
+#: stays below the observed failures
 _VMEM_BUDGET = 12 * 1024 * 1024
 _EPS = 1e-20
 _PI = math.pi
+
+#: profiling-only ablation knob (set before first trace): "none" |
+#: "noeig" (skip eigensolve+vesselness) | "smooth" (skip Hessian too) —
+#: isolates the smoothing / derivative / eigen cost shares on hardware
+_ABLATE = "none"
 
 
 def _ru(v: int, m: int) -> int:
@@ -263,13 +271,22 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
         def smooth_store(q, slot):
             """xy-smooth padded plane q (dynamic) into each sigma ring.
 
-            The y pass runs on the MXU as a banded matmul (3-way
-            bf16-split weights x integer-exact bf16 data); the x pass
-            follows on the VPU over the already-narrow RY rows."""
+            The y pass runs as ONE banded matmul on the MXU for ALL
+            (sigma, bf16-part) pairs — the 3*ns*RY band rows stack along
+            M (9 separate (RY, EY) dots measured dominated by per-dot
+            fixed cost at 28% M-utilization; the stacked dot is bitwise
+            identical since K and the part-sum order are unchanged). The
+            x pass follows on the VPU over the already-narrow RY rows."""
             rawb = (
                 pbuf[slot].astype(jnp.int32).astype(jnp.float32)
                 .astype(jnp.bfloat16)
             )  # (EY, Xe), integers: exact in bf16
+            t_all = jax.lax.dot_general(
+                yband_ref[...].reshape(3 * ns * RY, g.EY).astype(jnp.bfloat16),
+                rawb,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3*ns*RY, Xe)
             row_i = jax.lax.broadcasted_iota(jnp.int32, (RY, g.Xc), 0)
             lane_i = jax.lax.broadcasted_iota(jnp.int32, (RY, g.Xc), 1)
             for si in range(ns):
@@ -278,16 +295,12 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
                 @pl.when(q <= z0 + g.PZ0 + bz + g.hz[si] + 1)
                 def _store(si=si, hs=hs):
                     taps = g.kxy[si]
-
-                    def ydot(part):
-                        return jax.lax.dot_general(
-                            yband_ref[3 * si + part].astype(jnp.bfloat16),
-                            rawb,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-
-                    t_ = ydot(0) + ydot(1) + ydot(2)  # (RY, Xe) f32
+                    r0 = 3 * si * RY
+                    t_ = (
+                        t_all[r0 : r0 + RY]
+                        + t_all[r0 + RY : r0 + 2 * RY]
+                        + t_all[r0 + 2 * RY : r0 + 3 * RY]
+                    )  # (RY, Xe) f32
                     x0 = g.PX0 - 2 - hs
                     ys = jnp.float32(taps[0]) * t_[:, x0 : x0 + g.Xc]
                     for t in range(1, len(taps)):
@@ -390,6 +403,14 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
             packbest = None
             v0_plane = None
             for si in range(ns):
+                if _ABLATE == "smooth":  # profiling: smoothing cost only
+                    v = f_get(si, zg)[2 : 2 + by, 2 : 2 + g.X]
+                    pack = v.astype(jnp.int32)
+                    if si == 0:
+                        vbest, packbest, v0_plane = v, pack, v
+                    else:
+                        vbest = jnp.maximum(vbest, v)
+                    continue
                 s2 = jnp.float32(g.sigmas[si] * g.sigmas[si])
 
                 def dz_at(znom):
@@ -446,6 +467,14 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
                 dxz = (dx_zp - dx_zm) * 0.5
                 dxz = jnp.where((zg == 0) | (zg == g.Z - 1), 2.0 * dxz, dxz) * s2
 
+                if _ABLATE == "noeig":  # profiling: derivatives cost only
+                    v = dxx + dyy + dzz + dxy + dxz + dyz
+                    pack = v.astype(jnp.int32)
+                    if si == 0:
+                        vbest, packbest, v0_plane = v, pack, v
+                    else:
+                        vbest = jnp.maximum(vbest, v)
+                    continue
                 lam1, lam2, lam3, vx, vy, vz = _eig3_vessel_plane(
                     dxx, dyy, dzz, dxy, dxz, dyz
                 )
@@ -556,7 +585,7 @@ def _frangi3d_fused_impl(
     return j, jmin, jmax, vx, vy, vz
 
 
-def fits_fused(shape, sigmas, zdist, bz: int = 8, by: int = 32) -> bool:
+def fits_fused(shape, sigmas, zdist, bz: int = 4, by: int = 48) -> bool:
     """Can the fused kernel run this config within the VMEM budget?"""
     z, y, x = shape
     if z < bz or z < 5 or y < 8 or x < 8:
@@ -573,8 +602,8 @@ def frangi3d_fused(
     beta: float = 0.5,
     c: float = 500.0,
     blackwhite: bool = False,
-    bz: int = 8,
-    by: int = 32,
+    bz: int = 4,
+    by: int = 48,
     interpret: bool = False,
 ):
     """Drop-in fused `frangi3d` (same contract); falls back to the XLA
