@@ -1,6 +1,11 @@
 """Device-mesh parallelism: halo-exchange stencils and sharded pipeline."""
 
-from pnr_tpu.parallel.halo import halo_exchange_z
+from pnr_tpu.parallel.batch_dp import (
+    reconstruction_batch_dp,
+    reconstruction_batch_sharded,
+    split_mesh,
+)
+from pnr_tpu.parallel.halo import halo_exchange_z, halo_exchange_z_aligned
 from pnr_tpu.parallel.sharded import (
     assign_seeds_to_shards,
     build_local_trace_step,
@@ -16,6 +21,10 @@ from pnr_tpu.parallel.sharded import (
 
 __all__ = [
     "halo_exchange_z",
+    "halo_exchange_z_aligned",
+    "reconstruction_batch_dp",
+    "reconstruction_batch_sharded",
+    "split_mesh",
     "make_mesh",
     "frangi_halo",
     "frangi2d_halo",

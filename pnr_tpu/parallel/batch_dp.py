@@ -385,3 +385,89 @@ def reconstruction_batch_dp(
         )
     tm.stop()
     return results
+
+
+def split_mesh(mesh, groups: int):
+    """Split a 1-D mesh into `groups` equal contiguous 1-D submeshes."""
+    from jax.sharding import Mesh
+
+    n_dev = int(mesh.devices.size)
+    if groups < 1 or n_dev % groups:
+        raise ValueError(
+            f"split_mesh: {groups} groups must divide the {n_dev}-device mesh"
+        )
+    k = n_dev // groups
+    axis = mesh.axis_names[0]
+    devs = mesh.devices.reshape(-1)
+    return [Mesh(devs[g * k : (g + 1) * k], (axis,)) for g in range(groups)]
+
+
+def reconstruction_batch_sharded(
+    vols,
+    cfg: PNRConfig,
+    mesh,
+    groups: Optional[int] = None,
+    verbose: bool = False,
+) -> List[ReconstructionResult]:
+    """DP x spatial composition (SURVEY.md §2b, both axes at once).
+
+    Splits the mesh's devices into `groups` equal spatial submeshes and
+    streams the stack batch through them: group g runs the FULL
+    spatially-sharded pipeline (`reconstruction_func_sharded` — halo
+    Frangi, per-shard seeds, boundary-handoff tracing) on its own
+    submesh while the other groups process other stacks concurrently,
+    each driven by its own host thread (device work overlaps across
+    disjoint device sets; the per-wave host commit is cheap and
+    interleaves). Unlike `reconstruction_batch_dp`, a stack need not
+    fit one device — this is the serving layout for batches of
+    larger-than-HBM stacks.
+
+    `groups` defaults to the largest divisor of the mesh size that is
+    <= len(vols). Results return in input order and are IDENTICAL to
+    sequential `reconstruction_func_sharded` runs on a same-size mesh
+    (each stack's PRNG streams derive from cfg.seed exactly as there;
+    scheduling cannot reorder anything within a stack).
+    """
+    import queue
+    import threading
+
+    from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+
+    vols = [np.ascontiguousarray(v, np.uint8) for v in vols]
+    if not vols:
+        return []
+    n_dev = int(mesh.devices.size)
+    if groups is None:
+        groups = max(g for g in range(1, min(len(vols), n_dev) + 1) if n_dev % g == 0)
+    submeshes = split_mesh(mesh, groups)
+
+    q: "queue.SimpleQueue[int]" = queue.SimpleQueue()
+    for i in range(len(vols)):
+        q.put(i)
+    results: List[Optional[ReconstructionResult]] = [None] * len(vols)
+    errors: List[BaseException] = []
+
+    def worker(g: int):
+        try:
+            while True:
+                try:
+                    i = q.get_nowait()
+                except queue.Empty:
+                    return
+                results[i] = reconstruction_func_sharded(
+                    vols[i], cfg, submeshes[g], verbose=verbose
+                )
+        except BaseException as e:  # surface to the caller
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(g,), daemon=True)
+        for g in range(groups)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results  # type: ignore[return-value]

@@ -769,3 +769,51 @@ class TestSharded2D:
         assert res.j8.shape == vol.shape
         assert any(t == SOMA for t in res.n0.type[1:])
         assert len(res.n0) > 2
+
+
+class TestBatchSharded:
+    def test_dp_times_spatial_matches_sequential(self, mesh):
+        """DP x spatial composition: 2 groups x 4-way Z submeshes stream
+        a 3-stack batch; every result is identical to a sequential
+        reconstruction_func_sharded run on a same-size submesh
+        (SURVEY.md §2b — both parallel axes at once)."""
+        from pnr_tpu.parallel import reconstruction_batch_sharded, split_mesh
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+
+        rng = np.random.default_rng(51)
+        shape = (8, 32, 64)
+        vols = []
+        for k in range(3):
+            z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+            d2 = (y - 16 - 2 * k) ** 2 + ((z - 4) * 2.0) ** 2
+            v = np.clip(
+                200.0 * np.exp(-d2 / (2 * 2.5**2)) * (x > 5) * (x < 58)
+                + rng.normal(0, 5, shape),
+                0, 255,
+            ).astype(np.uint8)
+            vols.append(v)
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=16, np=8, zdist=2.0, nodepervol=4, vol=9, wave_size=8,
+            zncc_mode="tube",
+        )
+        par = reconstruction_batch_sharded(vols, cfg, mesh, groups=2)
+        sub = split_mesh(mesh, 2)[0]
+        for v, p in zip(vols, par):
+            s = reconstruction_func_sharded(v, cfg, sub, verbose=False)
+            assert len(p.n0) == len(s.n0) > 1
+            np.testing.assert_allclose(
+                p.n0.positions(), s.n0.positions(), atol=1e-4
+            )
+            assert p.trace_count == s.trace_count
+            np.testing.assert_array_equal(p.j8, s.j8)
+
+    def test_split_mesh_validates(self, mesh):
+        import pytest
+
+        from pnr_tpu.parallel import split_mesh
+
+        with pytest.raises(ValueError, match="split_mesh"):
+            split_mesh(mesh, 3)
+        subs = split_mesh(mesh, 4)
+        assert len(subs) == 4 and all(m.devices.size == 2 for m in subs)
