@@ -84,13 +84,14 @@ class PNRConfig:
     use_bf16: bool = False
     #: Run the dense filter through the fully-fused Pallas Frangi kernel
     #: (ops/frangi_fused.py: one raw-volume read, per-sigma VMEM plane
-    #: rings, ~1.4x the unfused path on v5e). Off by default — the
-    #: unfused path is the bit-for-bit parity reference; the fused
-    #: kernel matches it to fp noise on structured signal (see
-    #: tests/test_frangi_fused.py). Env PNR_TPU_FUSED_FRANGI=1 also
-    #: enables it. Falls back automatically off-TPU / when the sigma
-    #: config does not fit VMEM.
-    fused_frangi: bool = False
+    #: rings, ~1.6x the unfused path on v5e). On by default since round
+    #: 3 (oracle-parity tested, TPU-validated, automatic geometry
+    #: ladder); set False for the unfused bit-for-bit parity reference —
+    #: the fused kernel matches it to fp noise on structured signal
+    #: (tests/test_frangi_fused.py). Env PNR_TPU_FUSED_FRANGI=1 forces
+    #: it on. Falls back automatically off-TPU / when no tile geometry
+    #: fits VMEM.
+    fused_frangi: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "sigmas", tuple(sorted(float(s) for s in self.sigmas)))

@@ -594,6 +594,20 @@ def fits_fused(shape, sigmas, zdist, bz: int = 4, by: int = 48) -> bool:
     return g.vmem_bytes() <= _VMEM_BUDGET
 
 
+#: geometry ladder, fastest first (throughput is flat in geometry on
+#: this runtime — see PARITY.md round-3 ablation — so smaller tiles
+#: cost little; wide X / large sigma configs land lower on the ladder)
+_GEOM_LADDER = ((4, 48), (4, 32), (8, 32), (4, 24), (8, 24), (4, 16), (8, 16))
+
+
+def best_fused_geom(shape, sigmas, zdist):
+    """First ladder geometry that fits VMEM, or None (use the XLA path)."""
+    for bz, by in _GEOM_LADDER:
+        if fits_fused(shape, sigmas, zdist, bz, by):
+            return bz, by
+    return None
+
+
 def frangi3d_fused(
     vol: jax.Array,
     sigmas: Sequence[float],
@@ -606,12 +620,18 @@ def frangi3d_fused(
     by: int = 48,
     interpret: bool = False,
 ):
-    """Drop-in fused `frangi3d` (same contract); falls back to the XLA
-    composition when Mosaic is unavailable or the config does not fit."""
+    """Drop-in fused `frangi3d` (same contract). When the requested
+    (bz, by) tile does not fit VMEM, walks the geometry ladder for one
+    that does; falls back to the XLA composition when Mosaic is
+    unavailable or no geometry fits."""
     from pnr_tpu.ops.frangi import frangi3d
     from pnr_tpu.ops.pallas_conv import mosaic_available
 
     sigmas = tuple(float(s) for s in sigmas)
+    if vol.ndim == 3 and not fits_fused(vol.shape, sigmas, zdist, bz, by):
+        geom = best_fused_geom(vol.shape, sigmas, zdist)
+        if geom is not None:
+            bz, by = geom
     if (
         vol.ndim != 3
         or not (interpret or mosaic_available())

@@ -386,10 +386,22 @@ def reference_reconstruct_n0(vol: np.ndarray, cfg, max_seeds: int = 200_000):
     if orc is None:
         raise RuntimeError(f"oracle unavailable: {unavailable_reason()}")
     vol = np.ascontiguousarray(vol, np.uint8)
-    j, jmin, jmax, vx, vy, vz = orc.frangi3d(
-        vol, cfg.sigmas, cfg.zdist, cfg.frangi_alpha, cfg.frangi_beta,
-        cfg.frangi_c,
-    )
+    is2d = vol.shape[0] == 1
+    if is2d:
+        # the reference's first-class P == 1 path (Advantra_plugin.cpp:
+        # 2339): frangi2d + a 2-D tracker (circle codebook, planar
+        # priors/templates)
+        j, jmin, jmax, vx, vy = orc.frangi2d(
+            vol[0], cfg.sigmas, beta1=cfg.frangi_betaone,
+            beta2=cfg.frangi_betatwo,
+        )
+        j, vx, vy = j[None], vx[None], vy[None]
+        vz = np.zeros_like(vx)
+    else:
+        j, jmin, jmax, vx, vy, vz = orc.frangi3d(
+            vol, cfg.sigmas, cfg.zdist, cfg.frangi_alpha, cfg.frangi_beta,
+            cfg.frangi_c,
+        )
     if abs(jmax - jmin) <= 1.175494e-38:
         j8 = np.zeros(vol.shape, np.uint8)
     else:
@@ -398,7 +410,7 @@ def reference_reconstruct_n0(vol: np.ndarray, cfg, max_seeds: int = 200_000):
         ).astype(np.uint8)
     seeds = orc.extract_seeds(cfg.tolerance, j8, vx, vy, vz, max_out=max_seeds)
     tr = orc.tracker(
-        cfg.sigmas, cfg.step, cfg.np, cfg.ni, cfg.kappa, False, cfg.znccth,
+        cfg.sigmas, cfg.step, cfg.np, cfg.ni, cfg.kappa, is2d, cfg.znccth,
         cfg.kc, cfg.neff_ratio, cfg.zdist, cfg.nodepervol,
     )
     with _SilenceStdoutFd():

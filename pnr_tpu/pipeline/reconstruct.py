@@ -399,14 +399,14 @@ def reconstruction_func(
         j, vx, vy, vz = j[None], vx[None], vy[None], vz[None]
     else:
         from pnr_tpu.ops.frangi_fused import (
-            fits_fused, frangi3d_fused, fused_frangi_enabled,
+            best_fused_geom, frangi3d_fused, fused_frangi_enabled,
         )
         from pnr_tpu.ops.pallas_conv import mosaic_available
 
         use_fused = (
             (cfg.fused_frangi or fused_frangi_enabled())
             and mosaic_available()
-            and fits_fused(vol.shape, cfg.sigmas, cfg.zdist)
+            and best_fused_geom(vol.shape, cfg.sigmas, cfg.zdist) is not None
         )
         if use_fused:
             # one raw-volume read; O(ring) VMEM and ~13 B/voxel HBM

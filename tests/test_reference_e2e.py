@@ -126,3 +126,48 @@ class TestReferenceEndToEnd:
         our_cov = (d.min(axis=0) <= 4.0).mean()
         assert ref_cov >= 0.9, ref_cov
         assert our_cov >= 0.9, our_cov
+
+
+class TestReference2D:
+    """The reference's first-class 2-D path (P == 1,
+    Advantra_plugin.cpp:2339): compiled frangi2d + 2-D tracker end to
+    end vs the rebuild's 2-D pipeline on the same image."""
+
+    @staticmethod
+    def phantom2d():
+        rng = np.random.default_rng(33)
+        h, w = 96, 128
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        # a Y-shaped planar neuron with end caps
+        trunk = np.exp(-((y - 48) ** 2) / (2 * 2.2**2)) * (x > 10) * (x < 64)
+        up = np.exp(-((y - 48 + 0.55 * (x - 64)) ** 2) / (2 * 2.2**2)) * (
+            (x >= 64) & (x < 112)
+        )
+        dn = np.exp(-((y - 48 - 0.55 * (x - 64)) ** 2) / (2 * 2.2**2)) * (
+            (x >= 64) & (x < 112)
+        )
+        img = 190.0 * np.maximum(trunk, np.maximum(up, dn))
+        img = img * (0.8 + 0.2 * np.sin(x / 5.0))
+        img = np.clip(img + rng.normal(0, 5, (h, w)), 0, 255)
+        return img.astype(np.uint8)[None]
+
+    def test_2d_swc_parity(self, tmp_path):
+        cfg = PNRConfig(
+            sigmas=(2.0, 3.0), tolerance=10.0, znccth=0.5, kappa=2.0,
+            step=2, ni=40, np=10, zdist=2.0, nodepervol=4, vol=9,
+            wave_size=32, zncc_mode="exact",
+        )
+        vol = self.phantom2d()
+        ref_n0, n_seeds, _ = reference_reconstruct_n0(vol, cfg)
+        assert n_seeds > 0 and len(ref_n0) > 10
+        ref_rows = _swc_rows(
+            reconstruct_graph(ref_n0.copy(), cfg), tmp_path / "ref2d.swc"
+        )
+        res = reconstruction_func(vol, cfg, verbose=False)
+        our_rows = _swc_rows(res.tree, tmp_path / "ours2d.swc")
+        s = compare_swc(our_rows, ref_rows, dist=4.0, resample=1.0)
+        assert s.recall >= 0.8, s
+        assert s.f1 >= 0.65, s
+        # both stay planar
+        assert np.all(np.abs(np.asarray(ref_n0.z[1:])) < 1.5)
+        assert np.all(np.abs(np.asarray(res.n0.z[1:])) < 1.5)
