@@ -320,6 +320,12 @@ def bench_quality():
 
 
 def main():
+    # pay the one-time device-transfer init (45-370 s on this runtime)
+    # BEFORE the extras budget starts: it is a fixed cost unrelated to
+    # how many metrics we can afford to measure
+    from pnr_tpu.utils.runtime import warmup_device_transfers
+
+    warmup_device_transfers()
     t_start = time.perf_counter()
     vol = make_volume(SHAPE)
     xla_mvox, xla_single = bench_tpu(vol, engine="xla")

@@ -80,8 +80,6 @@ class PNRConfig:
     #: (ops/zncc_fast.py), validated to track the exact correlation on
     #: tubular structures.
     zncc_mode: str = "exact"
-    #: Use bfloat16 for the heavy stencil passes where precision allows.
-    use_bf16: bool = False
     #: Run the dense filter through the fully-fused Pallas Frangi kernel
     #: (ops/frangi_fused.py: one raw-volume read, per-sigma VMEM plane
     #: rings, ~1.6x the unfused path on v5e). On by default since round

@@ -41,10 +41,15 @@ def frangi3d_blocked(
     """Same contract as `frangi3d`, O(block) peak memory."""
     z, y, x = vol.shape
     halo = frangi_halo_z(sigmas, zdist)
+    if z <= 2 * (halo + 4):
+        # too shallow to both tile and keep exact true borders — and by
+        # construction small enough for the monolithic path
+        return frangi3d(vol, sigmas, zdist, alpha, beta, c)
     nblk = -(-z // block_z)
     zpad = nblk * block_z - z
 
     vp = jnp.pad(vol, ((halo, halo + zpad), (0, 0), (0, 0)), mode="edge")
+    border_fix = z > 2 * (halo + 4)  # static: thin-slab pass will run
 
     def one_tile(i):
         tile = jax.lax.dynamic_slice(
@@ -59,6 +64,11 @@ def frangi3d_blocked(
         # both are 0 for any volume with background (documented).
         zi = jax.lax.broadcasted_iota(jnp.int32, jc.shape, 0) + i * block_z
         in_range = zi < z
+        if border_fix:
+            # the 2 slices at each global border carry in-tile padded
+            # border semantics; they are recomputed exactly below and
+            # folded into the reductions there
+            in_range &= (zi >= 2) & (zi < z - 2)
         jmin = jnp.min(jnp.where(in_range, jc, jnp.inf))
         jmax = jnp.max(jnp.where(in_range, jc, -jnp.inf))
         return jc, jmin, jmax, vx[sl], vy[sl], vz[sl]
@@ -68,4 +78,26 @@ def frangi3d_blocked(
     vx = vx.reshape(nblk * block_z, y, x)[:z]
     vy = vy.reshape(nblk * block_z, y, x)[:z]
     vz = vz.reshape(nblk * block_z, y, x)[:z]
-    return j, jnp.min(jmins), jnp.max(jmaxs), vx, vy, vz
+    jmin, jmax = jnp.min(jmins), jnp.max(jmaxs)
+
+    # True-border fix: inside a tile the replicate-padded halo turns the
+    # reference's one-sided border difference (frangi.cpp:305-330,
+    # jnp.gradient semantics) into central/2, so global slices 0..1 and
+    # z-2..z-1 come out wrong. Recompute them on thin slabs whose edge
+    # IS the true border (the slab is deep enough that its far edge
+    # cannot contaminate the kept slices) — the result is then bitwise
+    # `frangi3d`. Mirrors halo_exchange_z_aligned in the sharded path.
+    fix = halo + 4
+    if border_fix:
+        jh, _, _, vxh, vyh, vzh = frangi3d(vol[:fix], sigmas, zdist, alpha, beta, c)
+        jt, _, _, vxt, vyt, vzt = frangi3d(vol[z - fix:], sigmas, zdist, alpha, beta, c)
+        j = j.at[:2].set(jh[:2]).at[z - 2:].set(jt[-2:])
+        vx = vx.at[:2].set(vxh[:2]).at[z - 2:].set(vxt[-2:])
+        vy = vy.at[:2].set(vyh[:2]).at[z - 2:].set(vyt[-2:])
+        vz = vz.at[:2].set(vzh[:2]).at[z - 2:].set(vzt[-2:])
+        # the interior tiles' min/max skipped the corrected slices'
+        # final values; fold them in (min stays the documented
+        # final-response min)
+        jmin = jnp.minimum(jmin, jnp.minimum(jnp.min(jh[:2]), jnp.min(jt[-2:])))
+        jmax = jnp.maximum(jmax, jnp.maximum(jnp.max(jh[:2]), jnp.max(jt[-2:])))
+    return j, jmin, jmax, vx, vy, vz
