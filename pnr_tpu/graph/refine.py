@@ -157,7 +157,22 @@ def non_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float) ->
         ],
         axis=-1,
     )
-    conv = np.asarray(_mean_shift_device(jnp.asarray(p4), float(sig2rad), int(max_iter), float(eps2)))
+    # bucket N to the next power of two so a streaming batch of stacks
+    # with varying node counts does not recompile the blocked kernel per
+    # stack (a fresh XLA compile costs ~5-10 s on remote runtimes —
+    # observed as an erratic 'reconstruct' stage). Padding rows sit at
+    # -1e6 with zero mask overlap against any real kernel radius and
+    # contribute exact 0.0 terms to the masked sums, so results are
+    # bitwise unchanged; their own updates converge after one iteration.
+    nr = p4.shape[0]
+    npad = max(256, 1 << (nr - 1).bit_length()) - nr
+    if npad:
+        filler = np.full((npad, 4), -1.0e6, np.float32)
+        filler[:, 3] = 1.0
+        p4 = np.concatenate([p4, filler], axis=0)
+    conv = np.asarray(
+        _mean_shift_device(jnp.asarray(p4), float(sig2rad), int(max_iter), float(eps2))
+    )[:nr]
     out.x[1:] = conv[:, 0].tolist()
     out.y[1:] = conv[:, 1].tolist()
     out.z[1:] = conv[:, 2].tolist()
