@@ -239,6 +239,13 @@ def decode_directions_device(vx_u8, vy_u8, vz_u8, pos: np.ndarray) -> np.ndarray
         + pos[:, 1].astype(np.int64) * w
         + pos[:, 0].astype(np.int64)
     )
+    # bucket to a power of two: seed counts vary per stack and the
+    # gather would otherwise recompile for every distinct N in a
+    # streaming batch
+    n = len(flat)
+    npad = max(256, 1 << (n - 1).bit_length()) - n
+    if npad:
+        flat = np.concatenate([flat, np.zeros(npad, np.int64)])
 
     @jax.jit
     def gather_dirs(vx, vy, vz, idx):
@@ -250,4 +257,4 @@ def decode_directions_device(vx_u8, vy_u8, vz_u8, pos: np.ndarray) -> np.ndarray
         n = jnp.linalg.norm(u, axis=-1, keepdims=True)
         return u / jnp.where(n > 0, n, 1.0)
 
-    return np.asarray(gather_dirs(vx_u8, vy_u8, vz_u8, jnp.asarray(flat)))
+    return np.asarray(gather_dirs(vx_u8, vy_u8, vz_u8, jnp.asarray(flat)))[:n]
