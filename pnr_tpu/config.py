@@ -80,6 +80,15 @@ class PNRConfig:
     #: (ops/zncc_fast.py), validated to track the exact correlation on
     #: tubular structures.
     zncc_mode: str = "exact"
+    #: Add the bf16 lo-correction matmul pass to the exact-ZNCC Pallas
+    #: kernel's hat weights (two MXU passes instead of one). Off by
+    #: default: the single-pass correlation error vs f32 is <= 2.4e-4
+    #: (p99 1.3e-4, zero sigma-argmax flips on noisy tube volumes) — an
+    #: order of magnitude inside this engine's 2e-3 agreement with the
+    #: compiled reference, while single-pass is ~1.6x faster (374k vs
+    #: 234k particle-updates/s at the default sigmas on v5e). Set True
+    #: for the float-grade kernel (agrees with the f32 gather to ~5e-6).
+    zncc_exact_hilo: bool = False
     #: Run the dense filter through the fully-fused Pallas Frangi kernel
     #: (ops/frangi_fused.py: one raw-volume read, per-sigma VMEM plane
     #: rings, ~1.6x the unfused path on v5e). On by default since round

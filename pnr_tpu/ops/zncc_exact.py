@@ -456,8 +456,20 @@ def make_exact_patch_engine(
     step: float,
     force_xla: bool = False,
     interpret: bool = False,
+    hi_lo: bool = False,
 ) -> ExactPatchEngine:
-    """Build the exact patch engine for a template set."""
+    """Build the exact patch engine for a template set.
+
+    hi_lo=True adds the bf16 lo-correction matmul pass for the hat
+    weights (kernel agrees with the f32 gather to ~5e-6). The default
+    single hi pass halves the MXU work; its measured correlation error
+    vs f32 is max 2.4e-4 / p99 1.3e-4 on noisy tube volumes with random
+    directions (zero sigma-argmax flips) — an order of magnitude inside
+    the 2e-3 agreement between this engine and the compiled reference
+    (tests/test_reference_parity.py), and immaterial against znccth
+    thresholds of 0.3-0.5. Measured on v5e: single-pass lifts tracker
+    throughput 234k -> 374k updates/s at sigmas (2,3).
+    """
     bank = build_exact_bank(templates)
     is2d = templates.is2d
     tabs = tuple(jnp.asarray(t) for t in bank.tables)
@@ -560,7 +572,8 @@ def make_exact_patch_engine(
         )
         if use_kernel:
             sums = _exact_sums_pallas(
-                patches, qs, tabs, bank_static, interpret=interpret
+                patches, qs, tabs, bank_static,
+                single_pass=not hi_lo, interpret=interpret,
             )
         else:
             sums = _exact_sums_xla(patches, qs, tabs)

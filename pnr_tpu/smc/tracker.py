@@ -105,7 +105,7 @@ class BatchedTracker:
                 from pnr_tpu.ops.zncc_exact import make_exact_patch_engine
 
                 self._patch_engine = make_exact_patch_engine(
-                    self.templates, cfg.step
+                    self.templates, cfg.step, hi_lo=cfg.zncc_exact_hilo
                 )
                 self._prepare_field = (
                     lambda im: jnp.asarray(im)[None] if im.ndim == 3 else im

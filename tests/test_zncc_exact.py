@@ -37,9 +37,19 @@ class TestExactEngine:
         wsum = sum(float(t[:, 3, :].sum()) for t in bank.tables)
         assert np.isclose(wsum, float(tmpl.wgt.sum()), rtol=1e-5)
 
-    @pytest.mark.parametrize("mode", ["xla", "interpret"])
-    def test_matches_global_znccbbb(self, rng, mode):
-        """Patch covering the whole volume -> engine == global, to f32."""
+    @pytest.mark.parametrize(
+        "mode,atol",
+        [
+            ("xla", 2e-5),
+            # hi_lo kernel: float-grade (two bf16 weight passes)
+            ("interpret_hilo", 2e-5),
+            # default single-pass kernel: measured corr error <= 2.4e-4
+            # on noisy volumes (see make_exact_patch_engine docstring)
+            ("interpret_fast", 1e-3),
+        ],
+    )
+    def test_matches_global_znccbbb(self, rng, mode, atol):
+        """Patch covering the whole volume -> engine == global."""
         vol = rng.integers(0, 256, (20, 48, 48), dtype=np.uint8)
         tmpl = ZnccTemplates((2.0, 3.0), is2d=False)
         gfn = make_zncc_fn(tmpl)
@@ -50,13 +60,15 @@ class TestExactEngine:
             jnp.asarray(d.reshape(-1, 3)),
         )
         eng = make_exact_patch_engine(
-            tmpl, step=3, force_xla=(mode == "xla"), interpret=(mode == "interpret")
+            tmpl, step=3, force_xla=(mode == "xla"),
+            interpret=mode.startswith("interpret"),
+            hi_lo=(mode == "interpret_hilo"),
         )
         ec, es = eng.eval_fused(
             jnp.asarray(vol)[None], jnp.asarray(pos), jnp.asarray(d)
         )
         np.testing.assert_allclose(
-            np.asarray(ec).ravel(), np.asarray(gc), atol=2e-5
+            np.asarray(ec).ravel(), np.asarray(gc), atol=atol
         )
         assert (np.asarray(es).ravel() == np.asarray(gs)).all()
 
@@ -73,7 +85,7 @@ class TestExactEngine:
             jnp.asarray(pos.reshape(-1, 3)),
             jnp.asarray(d.reshape(-1, 3)),
         )
-        eng = make_exact_patch_engine(tmpl, step=3, interpret=True)
+        eng = make_exact_patch_engine(tmpl, step=3, interpret=True, hi_lo=True)
         ec, es = eng.eval_fused(
             jnp.asarray(vol)[None], jnp.asarray(pos), jnp.asarray(d)
         )
@@ -95,7 +107,7 @@ class TestExactEngine:
             np.float32
         )
         f = jnp.asarray(vol)[None]
-        eng_k = make_exact_patch_engine(tmpl, step=3, interpret=True)
+        eng_k = make_exact_patch_engine(tmpl, step=3, interpret=True, hi_lo=True)
         eng_x = make_exact_patch_engine(tmpl, step=3, force_xla=True)
         kc, ks = eng_k.eval_fused(f, jnp.asarray(pos), jnp.asarray(d))
         xc, xs = eng_x.eval_fused(f, jnp.asarray(pos), jnp.asarray(d))
@@ -121,7 +133,7 @@ class TestExactEngine:
             jnp.asarray(pos.reshape(-1, 3)),
             jnp.asarray(d.reshape(-1, 3)),
         )
-        eng = make_exact_patch_engine(tmpl, step=3, interpret=True)
+        eng = make_exact_patch_engine(tmpl, step=3, interpret=True, hi_lo=True)
         ec, es = eng.eval_fused(
             jnp.asarray(vol)[None], jnp.asarray(pos), jnp.asarray(d)
         )
