@@ -49,6 +49,7 @@ from pnr_tpu.ops import (
 from pnr_tpu.ops.zncc import make_zncc_fn
 from pnr_tpu.seeds.extract import extract_seeds
 from pnr_tpu.smc.tracker import BatchedTracker
+from pnr_tpu.utils.runtime import fetch_volume
 
 
 @dataclasses.dataclass
@@ -89,7 +90,7 @@ def soma_extraction(vol: np.ndarray, cfg: PNRConfig, nodes: NodeList):
     v = jnp.asarray(vol)
     e8 = imerode_xy(v, float(cfg.somaradius))
     e8 = imgaussian_xy(e8, float(cfg.somaradius))
-    e8_np = np.asarray(e8)
+    e8_np = fetch_volume(e8)
     th = maxentropy_th(e8_np)
     e8bin = np.where(e8_np > th, 255, 0).astype(np.uint8)
     labels, regions = native.conn3d(e8bin, value_over=0, min_size=1, diagonal=True)
@@ -444,7 +445,7 @@ def reconstruction_func(
     # transfers over the device link to read a few hundred voxels)
     from pnr_tpu.seeds.extract import decode_directions_device, max_points_device, max_points_host
 
-    j8_np = np.asarray(j8)
+    j8_np = fetch_volume(j8)
     if native.have_native():
         mask = max_points_host(j8_np, float(cfg.tolerance))
     else:
@@ -520,9 +521,9 @@ def reconstruction_func(
     midres = None
     if cfg.save_midres:
         midres = {
-            "vx": np.asarray(vx),
-            "vy": np.asarray(vy),
-            "vz": np.asarray(vz),
+            "vx": fetch_volume(vx),
+            "vy": fetch_volume(vy),
+            "vz": fetch_volume(vz),
             "trace_density": np.clip(committer.npervol, 0, 255).astype(np.uint8),
         }
         if smap is not None:
@@ -549,7 +550,7 @@ def reconstruction_func(
         seeds_corr=corr,
         trace_count=trace_count,
         timings=tm.timings,
-        j8=np.asarray(j8),
+        j8=j8_np,
         midres=midres,
     )
 

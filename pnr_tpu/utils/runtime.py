@@ -29,6 +29,33 @@ def warmup_device_transfers() -> float:
     return time.perf_counter() - t0
 
 
+def fetch_volume(arr, slabs: int = 8) -> np.ndarray:
+    """Device->host fetch of a large array via concurrent slab transfers.
+
+    Remote-tunneled TPU runtimes serialize each transfer at ~10-20 MB/s
+    but PIPELINE concurrent ones: slicing the leading axis into `slabs`
+    pieces and issuing copy_to_host_async on all of them before
+    collecting measured 6.2x faster than one np.asarray (1.2 s vs 7.6 s
+    for a 52 MB uint8 volume on the axon v5e tunnel). Bitwise identical
+    to the direct fetch; falls back to np.asarray for small arrays,
+    non-jax inputs, or runtimes without copy_to_host_async.
+    """
+    if not hasattr(arr, "copy_to_host_async") or arr.ndim == 0:
+        return np.asarray(arr)
+    n = arr.shape[0]
+    slabs = max(1, min(int(slabs), n))
+    if slabs == 1 or arr.size * arr.dtype.itemsize < (1 << 20):
+        return np.asarray(arr)
+    bounds = np.linspace(0, n, slabs + 1).astype(int)
+    parts = [arr[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    try:
+        for p in parts:
+            p.copy_to_host_async()
+    except Exception:
+        return np.asarray(arr)
+    return np.concatenate([np.asarray(p) for p in parts], axis=0)
+
+
 @contextmanager
 def stage_timer(name: str, timings: dict, verbose: bool = False):
     if verbose:
