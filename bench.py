@@ -155,7 +155,7 @@ def bench_cpp_reference(vol):
     return vol.size / dt / 1e6
 
 
-def bench_tracer(vol, zncc_mode="tube", sigmas=None):
+def bench_tracer(vol, zncc_mode="tube", sigmas=None, ni=None):
     """Particle-updates/s of the lockstep SMC tracer.
 
     Measured on the monolithic device path (one init launch + one
@@ -173,7 +173,8 @@ def bench_tracer(vol, zncc_mode="tube", sigmas=None):
     # exact mode: a ~100-iteration scan wrapping the Pallas engine
     # overwhelms the TPU compiler; 25 iterations measure the same
     # per-update rate (throughput is iteration-flat)
-    ni = 100 if zncc_mode == "tube" else 25
+    if ni is None:
+        ni = 100 if zncc_mode == "tube" else 25
     cfg = PNRConfig(
         sigmas=sigmas or SIGMAS, znccth=0.3, kappa=3.0, step=2, ni=ni, np=20,
         zdist=ZDIST, nodepervol=4, vol=9, zncc_mode=zncc_mode,
@@ -359,6 +360,18 @@ def main():
     def budget_left():
         return time.perf_counter() - t_start < 330.0
 
+    # Extras ordered by (verdict importance / cost), cheapest-critical
+    # first: the remote tunnel's D2H bandwidth varies >5x across hours,
+    # so the transfer-heavy e2e runs go LAST — a slow link must not
+    # starve the parity metrics out of the budget.
+    if budget_left():
+        try:
+            ref = bench_cpp_e2e()
+            if ref:
+                extras["ref_cpp_e2e_s"] = round(ref[0], 2)
+                extras["ref_cpp_e2e_mvox"] = round(ref[1], 2)
+        except Exception as e:
+            extras["ref_cpp_e2e_error"] = str(e)[:120]
     tracer_vol = make_volume((64, 256, 256))
     if budget_left():
         try:
@@ -375,38 +388,18 @@ def main():
     if budget_left():
         # the default-sigma config (PNRConfig defaults: 2,3) is where the
         # parity engine runs daily; the (2,4,6) bench sigmas carry a 3.6x
-        # larger template sample count
+        # larger template sample count. Matched ni for a fair ratio.
         try:
             extras["exact_updates_per_s_default_sigmas"] = round(
                 bench_tracer(tracer_vol, zncc_mode="exact", sigmas=(2.0, 3.0))
             )
             extras["tube_updates_per_s_default_sigmas"] = round(
-                bench_tracer(tracer_vol, zncc_mode="tube", sigmas=(2.0, 3.0))
+                bench_tracer(
+                    tracer_vol, zncc_mode="tube", sigmas=(2.0, 3.0), ni=25
+                )
             )
         except Exception as e:
             extras["default_sigma_tracer_error"] = str(e)[:120]
-    if budget_left():
-        try:
-            dt, mvox, n0, dt_cold = bench_e2e()
-            extras["e2e_s_per_stack"] = round(dt, 2)
-            extras["e2e_s_first_stack"] = round(dt_cold, 2)
-            extras["e2e_stack_mvox"] = round(mvox, 1)
-        except Exception as e:
-            extras["e2e_error"] = str(e)[:120]
-    if budget_left():
-        try:
-            dt, _, _, _ = bench_e2e(zncc_mode="exact")
-            extras["e2e_s_per_stack_exact"] = round(dt, 2)
-        except Exception as e:
-            extras["e2e_exact_error"] = str(e)[:120]
-    if budget_left():
-        try:
-            ref = bench_cpp_e2e()
-            if ref:
-                extras["ref_cpp_e2e_s"] = round(ref[0], 2)
-                extras["ref_cpp_e2e_mvox"] = round(ref[1], 2)
-        except Exception as e:
-            extras["ref_cpp_e2e_error"] = str(e)[:120]
     if budget_left():
         try:
             f1 = bench_reference_swc_f1()
@@ -421,6 +414,20 @@ def main():
                 extras["phantom_swc"] = q
         except Exception as e:
             extras["phantom_swc_error"] = str(e)[:120]
+    if budget_left():
+        try:
+            dt, mvox, n0, dt_cold = bench_e2e()
+            extras["e2e_s_per_stack"] = round(dt, 2)
+            extras["e2e_s_first_stack"] = round(dt_cold, 2)
+            extras["e2e_stack_mvox"] = round(mvox, 1)
+        except Exception as e:
+            extras["e2e_error"] = str(e)[:120]
+    if budget_left():
+        try:
+            dt, _, _, _ = bench_e2e(zncc_mode="exact")
+            extras["e2e_s_per_stack_exact"] = round(dt, 2)
+        except Exception as e:
+            extras["e2e_exact_error"] = str(e)[:120]
     print(
         json.dumps(
             {
