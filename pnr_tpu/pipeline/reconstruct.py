@@ -49,7 +49,7 @@ from pnr_tpu.ops import (
 from pnr_tpu.ops.zncc import make_zncc_fn
 from pnr_tpu.seeds.extract import extract_seeds
 from pnr_tpu.smc.tracker import BatchedTracker
-from pnr_tpu.utils.runtime import fetch_volume
+from pnr_tpu.utils.runtime import fetch_u8_sparse, fetch_volume
 
 
 @dataclasses.dataclass
@@ -445,7 +445,7 @@ def reconstruction_func(
     # transfers over the device link to read a few hundred voxels)
     from pnr_tpu.seeds.extract import decode_directions_device, max_points_device, max_points_host
 
-    j8_np = fetch_volume(j8)
+    j8_np = fetch_u8_sparse(j8)
     if native.have_native():
         mask = max_points_host(j8_np, float(cfg.tolerance))
     else:

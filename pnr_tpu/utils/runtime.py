@@ -56,6 +56,48 @@ def fetch_volume(arr, slabs: int = 8) -> np.ndarray:
     return np.concatenate([np.asarray(p) for p in parts], axis=0)
 
 
+def fetch_u8_sparse(arr, nonzero_cap: int = 1 << 22) -> np.ndarray:
+    """Exact device->host fetch of a mostly-zero uint8 array via its
+    nonzero (index, value) pairs.
+
+    Frangi J8 is typically >99% zeros (dark microscopy background), so
+    shipping the ~0.1% nonzero entries moves ~0.2 MB instead of the
+    full volume — decisive on the remote tunnel, whose D2H bandwidth
+    has been measured anywhere between ~1 and ~20 MB/s. The
+    reconstruction is bitwise equal to np.asarray (every nonzero value
+    is shipped; the rest ARE zero). Falls back to the slab-parallel
+    dense fetch when the array is denser than `nonzero_cap` entries,
+    small, or not a jax array.
+    """
+    if not hasattr(arr, "copy_to_host_async"):
+        return np.asarray(arr)
+    if arr.dtype != np.uint8 or arr.size * 8 < (1 << 21) or arr.size <= nonzero_cap:
+        return fetch_volume(arr)
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def sparsify(a):
+        flat = a.reshape(-1)
+        nz = flat > 0
+        idx = jnp.nonzero(nz, size=nonzero_cap, fill_value=0)[0].astype(jnp.int32)
+        return idx, flat[idx], jnp.sum(nz)
+
+    try:
+        idx, val, cnt = sparsify(arr)
+        n = int(cnt)
+        if n > nonzero_cap:
+            return fetch_volume(arr)
+        k = max(128, -(-n // 128) * 128)
+        idx_np = np.asarray(idx[:k])
+        val_np = np.asarray(val[:k])
+    except Exception:
+        return fetch_volume(arr)
+    out = np.zeros(arr.size, np.uint8)
+    out[idx_np[:n]] = val_np[:n]
+    return out.reshape(arr.shape)
+
+
 @contextmanager
 def stage_timer(name: str, timings: dict, verbose: bool = False):
     if verbose:
