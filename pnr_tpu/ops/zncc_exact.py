@@ -150,9 +150,7 @@ def build_exact_bank(templates: ZnccTemplates) -> ExactBank:
             yspan = max(yspan, math.sqrt(dv * dv + u2 * u2 + dw * dw))
         # hats reach floor(c0 - span) .. floor(c0 + span) + 1
         zws.append(int(math.ceil(2.0 * span + 4.0)))
-        # +14 covers the hat taps and the 8-aligned dynamic start
-        # (the aligned-down start can sit up to 8 below the centred one)
-        yws.append(_roundup(int(math.ceil(2.0 * yspan)) + 14, 8))
+        yws.append(_roundup(int(math.ceil(2.0 * yspan)) + 4, 8))
         tables.append(tab)
         centers.append(ctr)
     return ExactBank(
@@ -259,15 +257,14 @@ def _exact_kernel(
             if yw >= py:
                 y0 = jnp.int32(0)
             else:
-                # 8-aligned start (sublane dim); centring on (yw-8)/2
-                # splits the alignment slack across both window edges
                 yc = ryp_s + ndy_s * vbar + wyv_s * wbar
-                y0f = yc - (yw - 8) * 0.5
-                y0 = jnp.clip(
-                    (jnp.floor(y0f).astype(jnp.int32) // 8) * 8, 0, py - yw
-                )
+                y0f = yc - (yw - 1) * 0.5
+                y0 = jnp.clip(jnp.floor(y0f).astype(jnp.int32), 0, py - yw)
 
             win = pat_ref[0, pl.ds(z0, zw), pl.ds(y0, yw)].reshape(zw * yw, px)
+            # f32 transpose + cast: measured faster than bf16-first
+            # transpose (packed-sublane shuffles) AND than a dim-0
+            # dot_general contraction (Mosaic re-transposes internally)
             win_t = win.T.astype(jnp.bfloat16)  # (px, zw*yw)
 
             rzw = jnp.clip(rz - z0.astype(jnp.float32), 0.0, zw - 1.001)
@@ -369,6 +366,7 @@ def _exact_sums_xla(patches, qs, tabs):
     """Same sums via trilinear gathers on the patches (lax.map over
     queries bounds the gather working set)."""
     t, pz, py, px = patches.shape
+    patches = patches.astype(jnp.float32)
     b = qs.shape[1]
     q = qs.reshape(t * b, _QCOLS)
     trace_idx = jnp.repeat(jnp.arange(t), b)
@@ -515,9 +513,15 @@ def make_exact_patch_engine(
             s = jax.lax.dynamic_slice(
                 field, (0, czyx[0], czyx[1], czyx[2]), (1, pz, py, px)
             )
-            return s[0].astype(jnp.float32)
+            return s[0]
 
-        patches = jax.vmap(slice_one)(corner)  # (T, pz, py, px) f32
+        # patches ride as f32: narrower dtypes would cut HBM/VMEM
+        # traffic 2-4x, but Mosaic requires 8-aligned sublane dynamic
+        # starts for sub-32-bit memrefs, which would force the y
+        # windows ~+14 wider — a worse trade, the kernel is MAC-bound
+        # (measured: u8/bf16 both reject unaligned y starts; the
+        # unaligned-f32 tight windows are the fastest formulation)
+        patches = jax.vmap(slice_one)(corner).astype(jnp.float32)
         return patches, corner
 
     def _qinfo(vol_shape, patches, corner, pos, dirs):
@@ -543,7 +547,9 @@ def make_exact_patch_engine(
         pyi = jnp.clip(jnp.round(ryp).astype(jnp.int32), 0, py - 1)
         pxi = jnp.clip(jnp.round(rxp).astype(jnp.int32), 0, px - 1)
         flat = patches.reshape(t, pz * py * px)
-        m0 = jnp.take_along_axis(flat, (pzi * py + pyi) * px + pxi, axis=1)
+        m0 = jnp.take_along_axis(flat, (pzi * py + pyi) * px + pxi, axis=1).astype(
+            jnp.float32
+        )
 
         zhi_b = jnp.broadcast_to(zhi, (t, b))
         yhi_b = jnp.broadcast_to(yhi, (t, b))
