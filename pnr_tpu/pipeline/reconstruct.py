@@ -349,33 +349,40 @@ def _trace_and_commit_wave(
     return trace_count
 
 
-def reconstruction_func(
+@dataclasses.dataclass
+class _StackFront:
+    """Everything up to (and including) seed selection for one stack:
+    the device/link-heavy prefix of `reconstruction_func`, computable
+    independently of the trace state so it can be PREFETCHED for stack
+    i+1 while stack i is still tracing (`reconstruction_batch`)."""
+
+    nodes: NodeList
+    smap: Optional[np.ndarray]
+    j8_np: np.ndarray
+    vx: jax.Array
+    vy: jax.Array
+    vz: jax.Array
+    pos: np.ndarray
+    dirs: np.ndarray
+    corr: np.ndarray
+    field: jax.Array
+    tracker: BatchedTracker
+    timings: Dict[str, float]
+
+
+def _stack_front(
     vol: np.ndarray,
     cfg: PNRConfig,
     verbose: bool = True,
-    key: Optional[jax.Array] = None,
-    checkpoint_path: Optional[str] = None,
-    checkpoint_every_waves: int = 1,
-    resume: bool = False,
-    _tracker: Optional[BatchedTracker] = None,
-) -> ReconstructionResult:
-    """Full reconstruction of a (Z, Y, X) uint8 volume.
+    tracker: Optional[BatchedTracker] = None,
+) -> _StackFront:
+    """Soma -> Frangi -> seed extraction -> seed selection/sorting.
 
-    With `checkpoint_path`, the mutable trace state snapshots every
-    `checkpoint_every_waves` committed waves; `resume=True` continues
-    from the snapshot (deterministic — PRNG streams are per-trace-id).
-    Setting env PNR_TPU_PROFILE_DIR captures a jax.profiler trace.
-    """
-    import os
-
-    profile_dir = os.environ.get("PNR_TPU_PROFILE_DIR")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
+    Pure function of (vol, cfg): no PRNG, no mutable trace state — safe
+    to run in a worker thread ahead of the consuming back half."""
     vol = np.ascontiguousarray(vol, np.uint8)
     is2d = vol.shape[0] == 1
     tm = _StageTimer(verbose)
-    if key is None:
-        key = jax.random.key(cfg.seed)
 
     from pnr_tpu.utils.runtime import warmup_device_transfers
 
@@ -458,7 +465,8 @@ def reconstruction_func(
         print(f"{len(pos) / 1000.0}k seeds")
 
     tm.start("seed selection & sorting")
-    tracker = _tracker if _tracker is not None else BatchedTracker(cfg, is2d)
+    if tracker is None:
+        tracker = BatchedTracker(cfg, is2d)
     field = tracker.prepare_field(img)
     if len(pos):
         # drop seeds inside the soma (smap > 0)
@@ -479,6 +487,50 @@ def reconstruction_func(
     tm.stop()
     if verbose:
         print(f"{len(pos) / 1000.0}k seeds after selection")
+
+    return _StackFront(
+        nodes=nodes, smap=smap, j8_np=j8_np, vx=vx, vy=vy, vz=vz,
+        pos=pos, dirs=dirs, corr=corr, field=field, tracker=tracker,
+        timings=tm.timings,
+    )
+
+
+def reconstruction_func(
+    vol: np.ndarray,
+    cfg: PNRConfig,
+    verbose: bool = True,
+    key: Optional[jax.Array] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every_waves: int = 1,
+    resume: bool = False,
+    _tracker: Optional[BatchedTracker] = None,
+    _front: Optional[_StackFront] = None,
+) -> ReconstructionResult:
+    """Full reconstruction of a (Z, Y, X) uint8 volume.
+
+    With `checkpoint_path`, the mutable trace state snapshots every
+    `checkpoint_every_waves` committed waves; `resume=True` continues
+    from the snapshot (deterministic — PRNG streams are per-trace-id).
+    Setting env PNR_TPU_PROFILE_DIR captures a jax.profiler trace.
+    """
+    import os
+
+    profile_dir = os.environ.get("PNR_TPU_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    vol = np.ascontiguousarray(vol, np.uint8)
+    if key is None:
+        key = jax.random.key(cfg.seed)
+
+    if _front is None:
+        _front = _stack_front(vol, cfg, verbose=verbose, tracker=_tracker)
+    front = _front
+    tm = _StageTimer(verbose)
+    tm.timings.update(front.timings)
+    nodes, smap, tracker, field = front.nodes, front.smap, front.tracker, front.field
+    pos, dirs, corr = front.pos, front.dirs, front.corr
+    vx, vy, vz = front.vx, front.vy, front.vz
+    j8_np = front.j8_np
 
     tm.start("tracing")
     committer = TraceCommitter(vol.shape, cfg.vol, cfg.nodepervol, nodes, smap)
@@ -560,6 +612,7 @@ def reconstruction_batch(
     cfg: PNRConfig,
     verbose: bool = False,
     key: Optional[jax.Array] = None,
+    prefetch: bool = True,
 ):
     """Reconstruct a sequence of stacks, amortizing setup across them.
 
@@ -569,20 +622,64 @@ def reconstruction_batch(
     every stack; each stack gets its own PRNG substream (fold_in by
     index, so results match individual runs with the same key only for
     index 0). Yields ReconstructionResult per input, in order.
+
+    With `prefetch` (default), a single worker thread runs the next
+    stack's device/link-heavy front half (soma, Frangi, J8 fetch, seed
+    extraction/scoring) WHILE the current stack traces and commits —
+    a two-stage software pipeline. Results are bitwise-identical to
+    prefetch=False: the front half is a pure function of (vol, cfg)
+    and the back half consumes it unchanged; only wall-clock overlaps.
     """
     if key is None:
         key = jax.random.key(cfg.seed)
-    tracker = None
-    for i, vol in enumerate(vols):
-        vol = np.ascontiguousarray(vol, np.uint8)
+    trackers: Dict[bool, BatchedTracker] = {}
+
+    def get_tracker(vol):
         is2d = vol.shape[0] == 1
-        if tracker is None or tracker.is2d != is2d:
-            tracker = BatchedTracker(cfg, is2d)
-        yield reconstruction_func(
-            vol, cfg, verbose=verbose,
-            key=jax.random.fold_in(key, i),
-            _tracker=tracker,
-        )
+        if is2d not in trackers:
+            trackers[is2d] = BatchedTracker(cfg, is2d)
+        return trackers[is2d]
+
+    it = enumerate(vols)
+    if not prefetch:
+        for i, vol in it:
+            vol = np.ascontiguousarray(vol, np.uint8)
+            yield reconstruction_func(
+                vol, cfg, verbose=verbose,
+                key=jax.random.fold_in(key, i),
+                _tracker=get_tracker(vol),
+            )
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="pnr-prefetch")
+    try:
+        def submit(item):
+            i, vol = item
+            vol = np.ascontiguousarray(vol, np.uint8)
+            tracker = get_tracker(vol)  # build on the main thread
+            return i, vol, ex.submit(
+                _stack_front, vol, cfg, verbose=verbose, tracker=tracker
+            )
+
+        nxt = next(it, None)
+        if nxt is None:
+            return
+        pending = submit(nxt)
+        while pending is not None:
+            i, vol, fut = pending
+            front = fut.result()
+            nxt = next(it, None)
+            # queue the NEXT front before tracing the current stack
+            pending = submit(nxt) if nxt is not None else None
+            yield reconstruction_func(
+                vol, cfg, verbose=verbose,
+                key=jax.random.fold_in(key, i),
+                _front=front,
+            )
+    finally:
+        ex.shutdown(wait=True, cancel_futures=True)
 
 
 def reconstruct_graph(

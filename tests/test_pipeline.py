@@ -271,6 +271,27 @@ class TestBatchDriver:
             np.asarray(solo.tree.x), np.asarray(results[0].tree.x), atol=1e-5
         )
 
+    def test_prefetch_pipeline_identical(self):
+        """The prefetching two-stage pipeline (front half of stack i+1
+        overlapped with the back half of stack i) must be bitwise
+        identical to the sequential driver: the front half is a pure
+        function of (vol, cfg)."""
+        import jax
+
+        from pnr_tpu.pipeline import reconstruction_batch
+
+        vols = [tube_phantom(seed=21), tube_phantom(seed=22), tube_phantom(seed=23)]
+        key = jax.random.key(3)
+        seq = list(reconstruction_batch(vols, CFG, key=key, prefetch=False))
+        pre = list(reconstruction_batch(vols, CFG, key=key, prefetch=True))
+        assert len(seq) == len(pre) == 3
+        for a, b in zip(seq, pre):
+            assert len(a.tree) == len(b.tree)
+            np.testing.assert_array_equal(np.asarray(a.tree.x), np.asarray(b.tree.x))
+            np.testing.assert_array_equal(np.asarray(a.n0.x), np.asarray(b.n0.x))
+            np.testing.assert_array_equal(a.seeds_pos, b.seeds_pos)
+            assert a.trace_count == b.trace_count
+
 
 class TestCommonDialog:
     """Terminal CommonDialog equivalent (nf_dialog.h:15-260 / the menu
