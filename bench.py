@@ -228,19 +228,20 @@ def bench_e2e(shape=(128, 640, 640), zncc_mode="tube"):
         ni=100, np=20, zdist=ZDIST, nodepervol=4, vol=9,
         zncc_mode=zncc_mode,
     )
-    # stream TWO stacks through reconstruction_batch (shared tracker,
-    # shared compiles — the production serving path): the first pays
-    # the shape's compiles, the second is the warm per-stack metric
+    # stream FOUR stacks through reconstruction_batch (shared tracker,
+    # shared compiles, prefetch-pipelined fronts — the production
+    # serving path): the first pays the shape's compiles, the mean of
+    # the last two is the warm steady-state per-stack metric
     from pnr_tpu.pipeline.reconstruct import reconstruction_batch
 
     times = []
     res = None
-    gen = reconstruction_batch([vol, vol], cfg)
-    for _ in range(2):
+    gen = reconstruction_batch([vol, vol, vol, vol], cfg)
+    for _ in range(4):
         t0 = time.perf_counter()
         res = next(gen)
         times.append(time.perf_counter() - t0)
-    return times[1], vol.size / 1e6, len(res.n0), times[0]
+    return sum(times[2:]) / 2, vol.size / 1e6, len(res.n0), times[0]
 
 
 def bench_cpp_e2e(shape=(32, 192, 192)):

@@ -206,6 +206,12 @@ def _score_seeds(
     engine = tracker._patch_engine
     if engine is not None:
         chunk = min(chunk, 1024)
+    # bucket the launch shape to the next power of two >= n (>= 128):
+    # typical stacks have a few hundred selected seeds, and padding them
+    # all the way to the 1024-lane chunk quadruples the patch traffic;
+    # the bucket set stays bounded (128..chunk) so compiles stay shared
+    if n <= chunk:
+        chunk = max(128, 1 << max(0, (n - 1).bit_length()))
 
         def fn(f, p, d):
             c, _ = engine.eval_fused(f, p[:, None, :], d[:, None, :])
@@ -613,6 +619,7 @@ def reconstruction_batch(
     verbose: bool = False,
     key: Optional[jax.Array] = None,
     prefetch: bool = True,
+    prefetch_depth: int = 2,
 ):
     """Reconstruct a sequence of stacks, amortizing setup across them.
 
@@ -623,12 +630,17 @@ def reconstruction_batch(
     index, so results match individual runs with the same key only for
     index 0). Yields ReconstructionResult per input, in order.
 
-    With `prefetch` (default), a single worker thread runs the next
-    stack's device/link-heavy front half (soma, Frangi, J8 fetch, seed
+    With `prefetch` (default), worker threads run the next stacks'
+    device/link-heavy front halves (soma, Frangi, J8 fetch, seed
     extraction/scoring) WHILE the current stack traces and commits —
-    a two-stage software pipeline. Results are bitwise-identical to
+    a software pipeline. Results are bitwise-identical to
     prefetch=False: the front half is a pure function of (vol, cfg)
     and the back half consumes it unchanged; only wall-clock overlaps.
+    `prefetch_depth` fronts run concurrently — on remote-tunneled
+    runtimes the link pipelines concurrent transfers, so depth 2 also
+    overlaps two stacks' uploads/fetches; each in-flight front holds
+    its device buffers (volume, J8, direction maps, likelihood field),
+    so reduce the depth for volumes near the HBM budget.
     """
     if key is None:
         key = jax.random.key(cfg.seed)
@@ -651,9 +663,11 @@ def reconstruction_batch(
             )
         return
 
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="pnr-prefetch")
+    depth = max(1, int(prefetch_depth))
+    ex = ThreadPoolExecutor(max_workers=depth, thread_name_prefix="pnr-prefetch")
     try:
         def submit(item):
             i, vol = item
@@ -663,16 +677,19 @@ def reconstruction_batch(
                 _stack_front, vol, cfg, verbose=verbose, tracker=tracker
             )
 
-        nxt = next(it, None)
-        if nxt is None:
-            return
-        pending = submit(nxt)
-        while pending is not None:
-            i, vol, fut = pending
+        queue = deque()
+        for _ in range(depth):
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            queue.append(submit(nxt))
+        while queue:
+            i, vol, fut = queue.popleft()
             front = fut.result()
             nxt = next(it, None)
-            # queue the NEXT front before tracing the current stack
-            pending = submit(nxt) if nxt is not None else None
+            # keep the pipeline full before tracing the current stack
+            if nxt is not None:
+                queue.append(submit(nxt))
             yield reconstruction_func(
                 vol, cfg, verbose=verbose,
                 key=jax.random.fold_in(key, i),

@@ -89,8 +89,14 @@ def fetch_u8_sparse(arr, nonzero_cap: int = 1 << 22) -> np.ndarray:
         if n > nonzero_cap:
             return fetch_volume(arr)
         k = max(128, -(-n // 128) * 128)
-        idx_np = np.asarray(idx[:k])
-        val_np = np.asarray(val[:k])
+        idx_k, val_k = idx[:k], val[:k]
+        # issue both transfers before collecting either: the tunnel
+        # pipelines concurrent requests (same trick as fetch_volume),
+        # so this is one link round trip instead of two
+        idx_k.copy_to_host_async()
+        val_k.copy_to_host_async()
+        idx_np = np.asarray(idx_k)
+        val_np = np.asarray(val_k)
     except Exception:
         return fetch_volume(arr)
     out = np.zeros(arr.size, np.uint8)
