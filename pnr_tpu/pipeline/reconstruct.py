@@ -328,16 +328,15 @@ def _trace_and_commit_wave(
                 break  # needs more stages
         return False
 
-    while True:
-        capped = advance_commits(it_done)
-        if commit_ptr >= t_real or it_done >= ni or capped:
-            break
-        n_it = min(stage, ni - it_done)
-        iter_idx = jnp.arange(it_done, it_done + stage)
-        # dispatch every chunk's stage BEFORE fetching any: the fetch
-        # is the serialization point on remote runtimes, so queueing all
-        # launches first lets them overlap
-        pending = []
+    def dispatch_stage(it0):
+        """Launch iterations [it0, it0+stage) for every live chunk and
+        start their D2H transfers; returns the pending collection list.
+
+        Dispatching every chunk BEFORE fetching any and issuing all
+        copy_to_host_async up front lets the remote link pipeline the
+        transfers (see fetch_volume)."""
+        iter_idx = jnp.arange(it0, it0 + stage)
+        pend = []
         for c in range(nchunks):
             slc = slice(c * chunk, (c + 1) * chunk)
             if killed[slc].all():
@@ -346,7 +345,34 @@ def _trace_and_commit_wave(
                 field, keys_all[slc], carries[c], iter_idx, jnp.asarray(killed[slc])
             )
             carries[c] = carry
-            pending.append((slc, packed))
+            pend.append((slc, packed))
+        for _, packed in pend:
+            if hasattr(packed, "copy_to_host_async"):
+                packed.copy_to_host_async()
+        return pend
+
+    next_pending = None
+    next_it0 = None
+    while True:
+        capped = advance_commits(it_done)
+        if commit_ptr >= t_real or it_done >= ni or capped:
+            break
+        if next_pending is None or next_it0 != it_done:
+            next_pending = dispatch_stage(it_done)
+            next_it0 = it_done
+        pending = next_pending
+        n_it = min(stage, ni - it_done)
+        # software-pipeline the stage loop: launch stage k+1 BEFORE
+        # collecting stage k, so its device compute and D2H overlap the
+        # host-side commits below. Its kill mask is one stage stale —
+        # a pure economy (not correctness) cost: a trace whose commit
+        # stops during stage k still computes stage k+1 once; the
+        # commit wavefront and PRNG streams are unaffected.
+        if it_done + n_it < ni:
+            next_pending = dispatch_stage(it_done + n_it)
+            next_it0 = it_done + n_it
+        else:
+            next_pending = None
         for slc, packed in pending:
             est[slc, it_done : it_done + n_it] = np.asarray(packed)[:, :n_it]
         it_done += n_it
