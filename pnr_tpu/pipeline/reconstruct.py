@@ -693,6 +693,21 @@ def reconstruction_batch(
     from concurrent.futures import ThreadPoolExecutor
 
     depth = max(1, int(prefetch_depth))
+
+    def clamp_depth(vol, depth):
+        """Each in-flight front holds ~(3S+3)*4+2 bytes/voxel on device
+        (tube field maps + direction volumes + img/J8); keep the
+        concurrent fronts comfortably inside a 16 GB HBM budget."""
+        per_stack = vol.size * (len(cfg.sigmas) * 12 + 14)
+        while depth > 1 and depth * per_stack > 11 * (1 << 30):
+            depth -= 1
+        return depth
+
+    first = next(it, None)
+    if first is None:
+        return
+    first = (first[0], np.ascontiguousarray(first[1], np.uint8))
+    depth = clamp_depth(first[1], depth)
     ex = ThreadPoolExecutor(max_workers=depth, thread_name_prefix="pnr-prefetch")
     try:
         def submit(item):
@@ -703,8 +718,8 @@ def reconstruction_batch(
                 _stack_front, vol, cfg, verbose=verbose, tracker=tracker
             )
 
-        queue = deque()
-        for _ in range(depth):
+        queue = deque([submit(first)])
+        for _ in range(depth - 1):
             nxt = next(it, None)
             if nxt is None:
                 break

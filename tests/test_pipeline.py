@@ -292,6 +292,17 @@ class TestBatchDriver:
             np.testing.assert_array_equal(a.seeds_pos, b.seeds_pos)
             assert a.trace_count == b.trace_count
 
+    def test_prefetch_edge_cases(self):
+        """Empty input, generator input, depth > len(vols)."""
+        from pnr_tpu.pipeline import reconstruction_batch
+
+        assert list(reconstruction_batch([], CFG)) == []
+        # a generator (not a list) with depth larger than its length
+        gen_in = (tube_phantom(seed=31) for _ in range(2))
+        out = list(reconstruction_batch(gen_in, CFG, prefetch_depth=5))
+        assert len(out) == 2
+        assert all(len(r.tree) > 10 for r in out)
+
 
 class TestCommonDialog:
     """Terminal CommonDialog equivalent (nf_dialog.h:15-260 / the menu
