@@ -212,14 +212,20 @@ def _score_seeds(
     # the bucket set stays bounded (128..chunk) so compiles stay shared
     if n <= chunk:
         chunk = max(128, 1 << max(0, (n - 1).bit_length()))
+    # cache the jitted scorer on the tracker: a fresh jax.jit wrapper
+    # per call would re-trace the scoring graph for every stack
+    scored = getattr(tracker, "_seed_scorer", None)
+    if scored is None:
+        if engine is not None:
 
-        def fn(f, p, d):
-            c, _ = engine.eval_fused(f, p[:, None, :], d[:, None, :])
-            return c[:, 0], None
+            def fn(f, p, d):
+                c, _ = engine.eval_fused(f, p[:, None, :], d[:, None, :])
+                return c[:, 0], None
 
-        scored = jax.jit(fn)
-    else:
-        scored = jax.jit(tracker._zncc)
+            scored = jax.jit(fn)
+        else:
+            scored = jax.jit(tracker._zncc)
+        tracker._seed_scorer = scored
     for beg in range(0, n, chunk):
         end = min(beg + chunk, n)
         pad = chunk - (end - beg)
@@ -693,44 +699,55 @@ def reconstruction_batch(
     from concurrent.futures import ThreadPoolExecutor
 
     depth = max(1, int(prefetch_depth))
+    #: each stack's front holds ~(3S+3)*4+2 bytes/voxel on device (tube
+    #: field maps + direction volumes + img/J8); concurrent fronts plus
+    #: the currently-tracing stack must share a 16 GB chip
+    per_voxel = len(cfg.sigmas) * 12 + 14
+    budget = 11 * (1 << 30)
 
-    def clamp_depth(vol, depth):
-        """Each in-flight front holds ~(3S+3)*4+2 bytes/voxel on device
-        (tube field maps + direction volumes + img/J8); keep the
-        concurrent fronts comfortably inside a 16 GB HBM budget."""
-        per_stack = vol.size * (len(cfg.sigmas) * 12 + 14)
-        while depth > 1 and depth * per_stack > 11 * (1 << 30):
-            depth -= 1
-        return depth
-
-    first = next(it, None)
-    if first is None:
-        return
-    first = (first[0], np.ascontiguousarray(first[1], np.uint8))
-    depth = clamp_depth(first[1], depth)
     ex = ThreadPoolExecutor(max_workers=depth, thread_name_prefix="pnr-prefetch")
     try:
         def submit(item):
             i, vol = item
-            vol = np.ascontiguousarray(vol, np.uint8)
             tracker = get_tracker(vol)  # build on the main thread
             return i, vol, ex.submit(
                 _stack_front, vol, cfg, verbose=verbose, tracker=tracker
-            )
+            ), vol.size * per_voxel
 
-        queue = deque([submit(first)])
-        for _ in range(depth - 1):
-            nxt = next(it, None)
-            if nxt is None:
-                break
-            queue.append(submit(nxt))
-        while queue:
-            i, vol, fut = queue.popleft()
+        pending = next(it, None)
+        if pending is not None:
+            pending = (pending[0], np.ascontiguousarray(pending[1], np.uint8))
+        queue = deque()
+
+        def topup(current_bytes):
+            """Prefetch ahead while the in-flight fronts (queued + the
+            stack currently tracing) fit the device budget; sized per
+            VOLUME, so heterogeneous batches clamp on the big stacks.
+            With nothing else in flight the next front always submits
+            (an over-budget single stack can't do better)."""
+            nonlocal pending
+            while pending is not None and len(queue) < depth:
+                nbytes = pending[1].size * per_voxel
+                used = current_bytes + sum(q[3] for q in queue)
+                if (queue or current_bytes) and used + nbytes > budget:
+                    break
+                queue.append(submit(pending))
+                nxt = next(it, None)
+                pending = (
+                    (nxt[0], np.ascontiguousarray(nxt[1], np.uint8))
+                    if nxt is not None else None
+                )
+
+        topup(0)
+        while queue or pending is not None:
+            if not queue:
+                # the previous stack's device buffers are freed once its
+                # back half returned; an over-budget front submits here
+                topup(0)
+            i, vol, fut, nbytes = queue.popleft()
             front = fut.result()
-            nxt = next(it, None)
             # keep the pipeline full before tracing the current stack
-            if nxt is not None:
-                queue.append(submit(nxt))
+            topup(nbytes)
             yield reconstruction_func(
                 vol, cfg, verbose=verbose,
                 key=jax.random.fold_in(key, i),

@@ -292,6 +292,41 @@ class TestBatchDriver:
             np.testing.assert_array_equal(a.seeds_pos, b.seeds_pos)
             assert a.trace_count == b.trace_count
 
+    def test_score_seeds_paths(self):
+        """_score_seeds must use the patch engine for BOTH small and
+        >chunk seed counts (same values), and must fall back to the
+        gather zncc when the tracker has no patch engine."""
+        import jax.numpy as jnp
+
+        from pnr_tpu.pipeline.reconstruct import _score_seeds
+        from pnr_tpu.smc.tracker import BatchedTracker
+
+        vol = tube_phantom(seed=41)
+        tracker = BatchedTracker(CFG, is2d=False)
+        field = tracker.prepare_field(jnp.asarray(vol))
+        rng = np.random.default_rng(0)
+        n = 1500  # > the 1024 engine chunk
+        pos = np.stack(
+            [
+                rng.uniform(5, vol.shape[2] - 5, n),
+                rng.uniform(5, vol.shape[1] - 5, n),
+                rng.uniform(2, vol.shape[0] - 2, n),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        corr_big = _score_seeds(field, pos, d, tracker)
+        corr_small = _score_seeds(field, pos[:200], d[:200], tracker)
+        np.testing.assert_allclose(corr_big[:200], corr_small, atol=2e-5)
+
+        # engine-less tracker (PNR_TPU_EXACT_ENGINE=0 equivalent)
+        bare = BatchedTracker(CFG, is2d=False)
+        bare._patch_engine = None
+        corr_gather = _score_seeds(jnp.asarray(vol), pos[:64], d[:64], bare)
+        assert corr_gather.shape == (64,)
+        assert np.isfinite(corr_gather).all()
+
     def test_prefetch_edge_cases(self):
         """Empty input, generator input, depth > len(vols)."""
         from pnr_tpu.pipeline import reconstruction_batch
