@@ -287,12 +287,19 @@ def _trace_and_commit_wave(
     carries = []
     # packed estimate buffer: [..., 0:3]=pos, 3:6=dir, 6=sig, 7=corr, 8=valid
     est = np.zeros((tpad, ni, 9), np.float32)
+    init_pend = []
     for c in range(nchunks):
         slc = slice(c * chunk, (c + 1) * chunk)
         carry, est0 = tracker._trace_init(
             field, jnp.asarray(sp[slc]), jnp.asarray(sd[slc]), keys_all[slc]
         )
         carries.append(carry)
+        init_pend.append((slc, est0))
+    for _, est0 in init_pend:
+        # issue all chunks' D2H before collecting any (see dispatch_stage)
+        if hasattr(est0, "copy_to_host_async"):
+            est0.copy_to_host_async()
+    for slc, est0 in init_pend:
         est[slc, 0] = np.asarray(est0)
     est_pos = est[:, :, 0:3]
     est_dir = est[:, :, 3:6]
