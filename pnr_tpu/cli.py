@@ -41,7 +41,11 @@ Output SWC is named automatically from the input image file name."""
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pnr_tpu", add_help=False)
-    ap.add_argument("-i", dest="image", required=False)
+    ap.add_argument(
+        "-i", dest="images", nargs="+", default=None,
+        help="input image(s); several stream through the prefetch-"
+        "pipelined batch driver with one _Advantra.swc per input",
+    )
     ap.add_argument("-p", dest="params", nargs="*", default=None)
     ap.add_argument("-o", dest="output", default=None)
     ap.add_argument("--save-midres", action="store_true")
@@ -77,9 +81,21 @@ def main(argv=None) -> int:
     ap.add_argument("-h", "--help", action="store_true")
     args = ap.parse_args(argv)
 
-    if args.help or not args.image:
+    if args.help or not args.images:
         print_help_params()
         return 0 if args.help else 1
+    args.image = args.images[0]
+    if len(args.images) > 1:
+        for bad, why in (
+            (args.find_maxima, "--find-maxima"),
+            (args.checkpoint, "--checkpoint"),
+            (args.mesh, "--mesh"),
+            (args.output, "-o"),
+            (args.save_midres, "--save-midres"),
+        ):
+            if bad:
+                sys.stderr.write(f"{why} takes a single input image\n")
+                return 1
 
     if args.interactive:
         from pnr_tpu.ui import prompt_parameters
@@ -118,6 +134,24 @@ def main(argv=None) -> int:
         ):
             print(f"{k} = {getattr(cfg, k)}")
         print("-------------------------------------------------")
+
+    if len(args.images) > 1:
+        # stream every stack through the serving pipeline (shared
+        # compiles + prefetched front halves), one SWC per input
+        from pnr_tpu.pipeline.reconstruct import reconstruction_batch
+
+        vols = (load_volume(p) for p in args.images)
+        for path, result in zip(
+            args.images, reconstruction_batch(vols, cfg, verbose=verbose)
+        ):
+            out = path + "_Advantra.swc"
+            save_nodelist(
+                result.tree, out, ntype=-1, sig2r=1.0, name="Advantra",
+                comment=cfg.provenance_comment(),
+            )
+            if verbose:
+                print(f"wrote {out} ({len(result.tree) - 1} nodes)")
+        return 0
 
     vol = load_volume(args.image)
 

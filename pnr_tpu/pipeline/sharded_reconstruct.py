@@ -540,6 +540,11 @@ def _trace_and_commit_wave_sharded(
             vs, state, jnp.arange(it_done, it_done + stage_iters),
             jnp.asarray(kill),
         )
+        for a in (packed, ids_j):
+            # issue both D2H transfers before collecting either (the
+            # link pipelines concurrent requests — see fetch_volume)
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
         pk = np.asarray(packed)
         ids_cur = np.asarray(ids_j)
         for lane in range(lanes_total):

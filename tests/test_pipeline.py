@@ -248,6 +248,29 @@ class TestCliMesh:
         assert os.path.exists(img + "_Advantra.swc")
 
 
+class TestCliBatch:
+    def test_cli_multiple_images_stream_batch(self, tmp_path):
+        """Several -i inputs stream through the batch driver, one SWC
+        each; single-image-only flags are rejected."""
+        import os
+
+        from pnr_tpu.cli import main
+        from pnr_tpu.io.volume import save_volume
+
+        imgs = []
+        for k in range(2):
+            p = str(tmp_path / f"t{k}.tif")
+            save_volume(p, tube_phantom(seed=50 + k))
+            imgs.append(p)
+        params = ["2,3", "0", "10", "0.5", "2", "2", "40", "16", "2", "4", "1"]
+        rc = main(["-i", *imgs, "-p", *params, "--zncc-mode", "tube", "--quiet"])
+        assert rc == 0
+        for p in imgs:
+            assert os.path.exists(p + "_Advantra.swc")
+        rc = main(["-i", *imgs, "-p", *params, "--mesh", "8", "--quiet"])
+        assert rc == 1  # --mesh takes a single input
+
+
 class TestBatchDriver:
     def test_batch_matches_individual_and_reuses_tracker(self):
         """reconstruction_batch shares one tracker across same-shaped
