@@ -124,6 +124,62 @@ class TestBranchingNeuronExact:
         assert score.f1 > 0.85, f"exact-mode f1 too low: {score}"
 
 
+def crossing_tubes_phantom(shape=(16, 80, 96), radius=2.2, zdist=2.0, seed=9):
+    """Two straight neurites crossing in the xy plane (~45 degrees) —
+    the intersection stresses density suppression and direction priors
+    (a trace must pass straight through the other tube's bright blob).
+
+    Returns (volume uint8, gold SWC rows: two independent polylines)."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    # tube A: from (10, 20) to (86, 60); tube B: from (10, 60) to (86, 20)
+    for t in np.linspace(0, 1, 70):
+        pts.append((10 + 76 * t, 20 + 40 * t, 8.0))
+    for t in np.linspace(0, 1, 70):
+        pts.append((10 + 76 * t, 60 - 40 * t, 8.0))
+    pts = np.asarray(pts)
+
+    z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    vol = np.zeros(shape)
+    for px, py, pz in pts:
+        d2 = (x - px) ** 2 + (y - py) ** 2 + ((z - pz) * zdist) ** 2
+        np.maximum(vol, np.exp(-d2 / (2 * radius**2)), out=vol)
+    intensity = 190.0 * (0.75 + 0.25 * np.sin(x / 5.0))
+    vol = np.clip(vol * intensity + rng.normal(0, 5, shape), 0, 255).astype(np.uint8)
+
+    gold = []
+    for i, (px, py, pz) in enumerate(pts, start=1):
+        parent = -1 if i in (1, 71) else i - 1
+        gold.append([i, 2, px, py, pz, radius, parent])
+    return vol, np.asarray(gold, np.float64)
+
+
+class TestCrossingTubes:
+    """Intersection handling: both neurites must be recovered through
+    the crossing (the trace that arrives second must pass straight
+    through the already-suppressed crossing region or link into it)."""
+
+    def test_crossing_quality(self, tmp_path):
+        vol, gold = crossing_tubes_phantom()
+        score, res = _score(vol, gold, CFG, tmp_path)
+        assert score.recall > 0.8, f"crossing recall too low: {score}"
+        assert score.precision > 0.85, f"crossing precision too low: {score}"
+        # each arm individually covered (no arm lost to suppression)
+        tree_xyz = np.stack(
+            [
+                np.asarray(res.tree.x[1:]),
+                np.asarray(res.tree.y[1:]),
+                np.asarray(res.tree.z[1:]),
+            ],
+            axis=-1,
+        )
+        for name, sel in (("tubeA", gold[:70]), ("tubeB", gold[70:])):
+            gp = sel[:, 2:5]
+            d = np.linalg.norm(tree_xyz[:, None, :] - gp[None, :, :], axis=-1)
+            covered = (d.min(axis=0) < 4.0).mean()
+            assert covered > 0.75, f"{name} coverage {covered:.2f}"
+
+
 class TestNoisyPhantom:
     """Larger, noisier phantom (2x the noise, dimmer tube) — the
     regression surface for seed scoring + SMC robustness."""
