@@ -297,12 +297,15 @@ def bench_reference_swc_f1():
 
 
 def bench_quality():
-    """Branching-phantom reconstruction F1 vs ground truth."""
+    """Phantom-battery reconstruction F1 vs ground truth (branching
+    neuron + crossing tubes)."""
     import sys
 
     sys.path.insert(0, ".")
     try:
-        from tests.test_phantom_neuron import CFG, branching_neuron_phantom
+        from tests.test_phantom_neuron import (
+            CFG, branching_neuron_phantom, crossing_tubes_phantom,
+        )
     except ImportError:
         return None
     import tempfile
@@ -311,14 +314,22 @@ def bench_quality():
     from pnr_tpu.pipeline import reconstruction_func
     from pnr_tpu.utils.swc_compare import compare_swc
 
-    vol, gold = branching_neuron_phantom()
-    res = reconstruction_func(vol, CFG, verbose=False)
-    p = tempfile.mktemp(suffix=".swc")
-    save_nodelist(res.tree, p)
-    # density-invariant scoring (resample both sides to 1.0 arclength;
-    # raw one-to-one matching understates recall by the node-count ratio)
-    s = compare_swc(read_swc(p), gold, dist=4.0, resample=1.0)
-    return {"f1": round(s.f1, 3), "precision": round(s.precision, 3), "recall": round(s.recall, 3)}
+    out = {}
+    for name, maker in (
+        ("", branching_neuron_phantom), ("crossing_", crossing_tubes_phantom)
+    ):
+        vol, gold = maker()
+        res = reconstruction_func(vol, CFG, verbose=False)
+        p = tempfile.mktemp(suffix=".swc")
+        save_nodelist(res.tree, p)
+        # density-invariant scoring (resample both sides to 1.0
+        # arclength; raw one-to-one matching understates recall by the
+        # node-count ratio)
+        s = compare_swc(read_swc(p), gold, dist=4.0, resample=1.0)
+        out[name + "f1"] = round(s.f1, 3)
+        out[name + "precision"] = round(s.precision, 3)
+        out[name + "recall"] = round(s.recall, 3)
+    return out
 
 
 def main():
