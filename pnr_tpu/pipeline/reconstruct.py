@@ -505,6 +505,11 @@ def _stack_front(
     zz, yy, xx = np.nonzero(mask)
     pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
     dirs = decode_directions_device(vx, vy, vz, pos)
+    if not cfg.save_midres:
+        # the direction volumes are only re-read for the midres dump;
+        # dropping them here frees their device buffers while this
+        # front waits (in-flight prefetched fronts share the HBM)
+        vx = vy = vz = None
     tm.stop()
     if verbose:
         print(f"{len(pos) / 1000.0}k seeds")
