@@ -154,8 +154,10 @@ def _corr_from_sums(model_arrays, s1, s2, s3):
 class PatchEngine(NamedTuple):
     """Per-trace-patch tube ZNCC evaluators (see make_tube_patch_engine).
 
-    extract(maps, center_xyz (T,3)) -> (patches, corner_zyx (T,3))
-    corr(vol_shape, patches, corner, pos (T,N,3), dirs) -> (corr, sig)
+    extract(maps, center_xyz (T,3)) -> (patches, corners) — tuples with
+        one (T, 3*gs, pz, py, px) patch tensor and one (T, 3) zyx corner
+        per sigma GROUP (contiguous sigmas sharing window dims)
+    corr(vol_shape, patches, corners, pos (T,N,3), dirs) -> (corr, sig)
     eval_fused(maps, pos (T,N,3), dirs) -> (corr, sig) — corner derived
         from the cloud mean; on TPU the patch never touches HBM.
     """
@@ -165,7 +167,9 @@ class PatchEngine(NamedTuple):
     eval_fused: Callable
 
 
-def make_tube_patch_engine(model: TubeZnccModel, step: float) -> PatchEngine:
+def make_tube_patch_engine(
+    model: TubeZnccModel, step: float, zdist: float = 1.0
+) -> PatchEngine:
     """Per-trace-patch tube ZNCC: hat-weight matmuls instead of gathers.
 
     XLA:TPU lowers element gathers to a serial loop (~0.2M tube queries/s
@@ -185,9 +189,21 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float) -> PatchEngine:
     that only affects particles >(3*step + margin) from the cloud
     mean, which carry negligible weight by construction.
 
+    Window sizing is PER SIGMA and PER AXIS: the template line extent
+    is v2 = round(1*sigma) per scale, and the particle cloud's z
+    spread is 1/zdist of its xy spread (the prior offset table scales
+    dz by 1/zdist, smc/priors.py). Sizing every window for sigma_max
+    in all three axes — the naive choice — triples the materialized
+    patch traffic at the reference config (sigmas 2,4,6, zdist 2),
+    and patch extraction is ~70% of the measured tracer iteration.
+    Contiguous sigmas whose windows agree are grouped into one slice
+    and one MXU contraction; `extract`/`corr` carry one patch tensor
+    per group.
+
     Returns (extract, corr):
-      extract(maps, center_xyz (T,3)) -> (patches, corner_zyx (T,3))
-      corr(vol_shape, patches, corner, pos (T,N,3), dirs (T,N,3))
+      extract(maps, center_xyz (T,3)) -> (patches, corners) per-group
+          tuples (see PatchEngine)
+      corr(vol_shape, patches, corners, pos (T,N,3), dirs (T,N,3))
           -> (corr (T,N), sig (T,N))
     """
     sigmas = model.sigmas
@@ -208,13 +224,20 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float) -> PatchEngine:
         jnp.asarray(model.corrc),
         jnp.asarray(np.asarray(sigmas, np.float32)),
     )
-    v2max = int(math.ceil(max(float(v.max()) for v in model.v_grids)))
+    v2_per_sigma = [int(math.ceil(float(v.max()))) for v in model.v_grids]
+    v2max = max(v2_per_sigma)
     # cloud allowance 3*step around the per-iteration mean + line extent
     half = int(math.ceil(3.0 * float(step))) + v2max + 1
+    cloud_xy = int(math.ceil(3.0 * float(step)))
+    cloud_z = int(math.ceil(3.0 * float(step) / float(zdist)))
+
+    def _ext(h_):
+        return -(-(2 * h_ + 2) // 8) * 8
 
     def _dims(maps_shape):
+        """sigma_max window in every axis — the fused-DMA path's sizing."""
         c, l, h, w = maps_shape
-        ext = -(-(2 * half + 2) // 8) * 8
+        ext = _ext(half)
 
         def fit(d):
             return int(min(ext, d))
@@ -222,44 +245,67 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float) -> PatchEngine:
         pz = 1 if l == 1 else fit(l)
         return pz, fit(h), fit(w)
 
-    def _corners(maps_shape, center):
+    def _groups(maps_shape):
+        """Contiguous sigma runs sharing (pz, py, px) window dims."""
         c, l, h, w = maps_shape
-        pz, py, px = _dims(maps_shape)
+        dims = []
+        for v2 in v2_per_sigma:
+            ez = _ext(cloud_z + v2 + 1)
+            exy = _ext(cloud_xy + v2 + 1)
+            pz = 1 if l == 1 else int(min(ez, l))
+            dims.append((pz, int(min(exy, h)), int(min(exy, w))))
+        groups = []
+        g0 = 0
+        for i in range(1, s_count + 1):
+            if i == s_count or dims[i] != dims[g0]:
+                groups.append((g0, i, dims[g0]))
+                g0 = i
+        return groups
+
+    def _corners(maps_shape, center, pdims):
+        c, l, h, w = maps_shape
+        pz, py, px = pdims
         cx = jnp.clip(jnp.round(center[:, 0]).astype(jnp.int32) - px // 2, 0, w - px)
         cy = jnp.clip(jnp.round(center[:, 1]).astype(jnp.int32) - py // 2, 0, h - py)
         cz = jnp.clip(jnp.round(center[:, 2]).astype(jnp.int32) - pz // 2, 0, l - pz)
         return jnp.stack([cz, cy, cx], axis=-1)  # (T, 3) zyx
 
     def extract(maps, center):
-        c = maps.shape[0]
-        pz, py, px = _dims(maps.shape)
-        corner = _corners(maps.shape, center)
+        patches, corners = [], []
+        for g0, g1, (pz, py, px) in _groups(maps.shape):
+            corner = _corners(maps.shape, center, (pz, py, px))
+            nch = 3 * (g1 - g0)
 
-        def slice_one(czyx):
-            return jax.lax.dynamic_slice(
-                maps, (0, czyx[0], czyx[1], czyx[2]), (c, pz, py, px)
-            )
+            def slice_one(czyx, _c0=3 * g0, _n=nch, _d=(pz, py, px)):
+                return jax.lax.dynamic_slice(
+                    maps, (_c0, czyx[0], czyx[1], czyx[2]), (_n,) + _d
+                )
 
-        patches = jax.vmap(slice_one)(corner)  # (T, 3S, pz, py, px)
-        return patches, corner
+            patches.append(jax.vmap(slice_one)(corner))  # (T, 3*gs, pz, py, px)
+            corners.append(corner)
+        return tuple(patches), tuple(corners)
 
     def _hat(rel, pdim):
         # rel (..., M) in [0, pdim-1] -> weights (..., M, pdim), 2 taps/row
         i = jnp.arange(pdim, dtype=jnp.float32)
         return jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - i))
 
-    def _rel_coords(vol_shape, pdims, corner, pos, dirs):
+    def _rel_coords(vol_shape, pdims, corner, pos, dirs, g0=0, g1=None):
         """Sample points p + v*dir in patch-relative clamped coords.
 
-        Returns (rz, ry, rx), each (T, S, M) with M = N*NV."""
+        Returns (rz, ry, rx), each (T, GS, M) for sigmas [g0, g1) with
+        M = N*NV."""
+        if g1 is None:
+            g1 = s_count
+        gs = g1 - g0
         l, h, w = vol_shape
         pz, py, px = pdims
         t, n = pos.shape[:2]
         pts = (
             pos[:, :, None, None, :]
-            + vgrid_j[None, None, :, :, None] * dirs[:, :, None, None, :]
+            + vgrid_j[None, None, g0:g1, :, None] * dirs[:, :, None, None, :]
         )
-        pts = jnp.moveaxis(pts, 2, 1).reshape(t, s_count, n * nv, 3)
+        pts = jnp.moveaxis(pts, 2, 1).reshape(t, gs, n * nv, 3)
         czf = corner[:, 0].astype(jnp.float32)[:, None, None]
         cyf = corner[:, 1].astype(jnp.float32)[:, None, None]
         cxf = corner[:, 2].astype(jnp.float32)[:, None, None]
@@ -301,7 +347,7 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float) -> PatchEngine:
         if not (mosaic_available() and fits_fused(maps.shape, pdims, m, s_count)):
             patches, corner = extract(maps, center)
             return corr(tuple(maps.shape[1:4]), patches, corner, pos, dirs)
-        corner = _corners(maps.shape, center)
+        corner = _corners(maps.shape, center, pdims)
         rz, ry, rx = _rel_coords(tuple(maps.shape[1:4]), pdims, corner, pos, dirs)
         mpad = _roundup(max(m, 8), 8)
         rel = jnp.stack([rz, ry, rx, jnp.zeros_like(rx)], axis=-1)
@@ -313,48 +359,60 @@ def make_tube_patch_engine(model: TubeZnccModel, step: float) -> PatchEngine:
         return _finish(v, t, n)
 
     def corr(vol_shape, patches, corner, pos, dirs):
-        t, c3s, pz, py, px = patches.shape
-        n = pos.shape[1]
-        m = n * nv
-        pat = patches.reshape(t, s_count, 3, pz, py, px)
-        rz, ry, rx = _rel_coords(vol_shape, (pz, py, px), corner, pos, dirs)
-
         from pnr_tpu.ops.pallas_conv import mosaic_available
         from pnr_tpu.ops.pallas_sample import fits, hat_sample_pallas, _roundup
 
-        pat_shape = (t, s_count, 3, pz, py, px)
-        if mosaic_available() and fits(pat_shape, m):
-            # fused Pallas kernel: hat weights built in VMEM, one MXU
-            # dot per map channel — no HBM weight matrix
-            mpad = _roundup(max(m, 8), 8)
-            rel = jnp.stack([rz, ry, rx, jnp.zeros_like(rx)], axis=-1)
-            rel = jnp.pad(rel, ((0, 0), (0, 0), (0, mpad - m), (0, 0)))
-            out = hat_sample_pallas(pat, rel)
-            v = out[:, :, :m, :3]
-        else:
-            # XLA path: combine the z and y hats into one (M, pz*py)
-            # weight matrix so the contraction is ONE well-shaped MXU
-            # matmul per (trace, sigma) — (M, pz*py) @ (pz*py, 3*px).
-            # Separate per-axis contractions make K<=32 matmuls that
-            # waste the systolic array (measured 1.7x SLOWER than the
-            # gather path on v5e). HIGH precision = bf16x3 passes: the
-            # sums are all-positive hat-weighted map values, no
-            # cancellation inside the matmul (the delicate s3 - s2^2/N
-            # happens later in f32).
-            wz = _hat(rz, pz)  # (T, S, M, pz)
-            wy = _hat(ry, py)
-            wx = _hat(rx, px)
-            hp = jax.lax.Precision.HIGH
-            wzy = (wz[..., :, None] * wy[..., None, :]).reshape(
-                t, s_count, m, pz * py
+        if not isinstance(patches, (tuple, list)):
+            patches, corner = (patches,), (corner,)
+        n = pos.shape[1]
+        m = n * nv
+        t = pos.shape[0]
+        vs = []
+        g0 = 0
+        for pat_g, cor_g in zip(patches, corner):
+            _, c3g, pz, py, px = pat_g.shape
+            gs = c3g // 3
+            pat = pat_g.reshape(t, gs, 3, pz, py, px)
+            rz, ry, rx = _rel_coords(
+                vol_shape, (pz, py, px), cor_g, pos, dirs, g0, g0 + gs
             )
-            a = jnp.einsum(
-                "tsmq,tscqx->tsmcx",
-                wzy,
-                pat.reshape(t, s_count, 3, pz * py, px),
-                precision=hp,
-            )
-            v = jnp.einsum("tsmx,tsmcx->tsmc", wx, a, precision=hp)
+
+            pat_shape = (t, gs, 3, pz, py, px)
+            if mosaic_available() and fits(pat_shape, m):
+                # fused Pallas kernel: hat weights built in VMEM, one
+                # MXU dot per map channel — no HBM weight matrix
+                mpad = _roundup(max(m, 8), 8)
+                rel = jnp.stack([rz, ry, rx, jnp.zeros_like(rx)], axis=-1)
+                rel = jnp.pad(rel, ((0, 0), (0, 0), (0, mpad - m), (0, 0)))
+                out = hat_sample_pallas(pat, rel)
+                v = out[:, :, :m, :3]
+            else:
+                # XLA path: combine the z and y hats into one (M, pz*py)
+                # weight matrix so the contraction is ONE well-shaped MXU
+                # matmul per (trace, sigma) — (M, pz*py) @ (pz*py, 3*px).
+                # Separate per-axis contractions make K<=32 matmuls that
+                # waste the systolic array (measured 1.7x SLOWER than the
+                # gather path on v5e). HIGH precision = bf16x3 passes: the
+                # sums are all-positive hat-weighted map values, no
+                # cancellation inside the matmul (the delicate s3 - s2^2/N
+                # happens later in f32).
+                wz = _hat(rz, pz)  # (T, GS, M, pz)
+                wy = _hat(ry, py)
+                wx = _hat(rx, px)
+                hp = jax.lax.Precision.HIGH
+                wzy = (wz[..., :, None] * wy[..., None, :]).reshape(
+                    t, gs, m, pz * py
+                )
+                a = jnp.einsum(
+                    "tsmq,tscqx->tsmcx",
+                    wzy,
+                    pat.reshape(t, gs, 3, pz * py, px),
+                    precision=hp,
+                )
+                v = jnp.einsum("tsmx,tsmcx->tsmc", wx, a, precision=hp)
+            vs.append(v)
+            g0 += gs
+        v = vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=1)
         return _finish(v, t, n)
 
     return PatchEngine(extract=extract, corr=corr, eval_fused=eval_fused)

@@ -90,7 +90,7 @@ class BatchedTracker:
             # gather-free per-trace-patch engine for the wave hot loop;
             # the global gather fn above stays for scattered queries
             # (seed scoring) where there is no cluster structure
-            self._patch_engine = make_tube_patch_engine(model, cfg.step)
+            self._patch_engine = make_tube_patch_engine(model, cfg.step, cfg.zdist)
             self._prepare_field = jax.jit(lambda im: build_tube_maps(im, model))
             self._field_is_maps = True
         else:
