@@ -248,20 +248,28 @@ def _exact_kernel(
             rx = jnp.clip(rxp + tv * ndx + tu * ux + tw * wxv, 0.0, xhi)
 
             vbar, wbar = centers[s][b]
+            # A constant pl.ds start (window covers the whole patch on
+            # small volumes) trips a pytree-flattening bug in the Mosaic
+            # load lowering ("Too many leaves for PyTreeDef") — use a
+            # STATIC full slice there and keep pl.ds for real windows.
             if zw >= pz:
                 z0 = jnp.int32(0)
+                idx_z = slice(None)
             else:
                 c0 = rzp_s + ndz_s * vbar + wzv_s * wbar
                 z0f = c0 - (zw - 1) * 0.5
                 z0 = jnp.clip(jnp.floor(z0f).astype(jnp.int32), 0, pz - zw)
+                idx_z = pl.ds(z0, zw)
             if yw >= py:
                 y0 = jnp.int32(0)
+                idx_y = slice(None)
             else:
                 yc = ryp_s + ndy_s * vbar + wyv_s * wbar
                 y0f = yc - (yw - 1) * 0.5
                 y0 = jnp.clip(jnp.floor(y0f).astype(jnp.int32), 0, py - yw)
+                idx_y = pl.ds(y0, yw)
 
-            win = pat_ref[0, pl.ds(z0, zw), pl.ds(y0, yw)].reshape(zw * yw, px)
+            win = pat_ref[0, idx_z, idx_y].reshape(zw * yw, px)
             # f32 transpose + cast: measured faster than bf16-first
             # transpose (packed-sublane shuffles) AND than a dim-0
             # dot_general contraction (Mosaic re-transposes internally)
