@@ -13,14 +13,15 @@ results.
 
 Grid: one program per trace (iotas shared across the sigma groups;
 per-sigma patches selected on a leading block dim — no lane-offset
-relayouts). The patch arrives channel-packed
-as (q = pz*py, 3*px) — all three maps of the sigma side by side in the
-lane dimension, so the contraction is ONE (M, q) @ (q, 3*px) MXU dot
-(a per-channel (q, px) dot leaves the systolic array 25% utilized).
-Per program:
+relayouts). The patch arrives channel-packed X-MAJOR as
+(q = pz*py, 3*px) with lane index 3*x + c — the layout
+`build_tube_maps_packed` stores, so the extract slice IS the MXU
+operand and no per-iteration transpose exists anywhere. The
+contraction is ONE (M, q) @ (q, 3*px) MXU dot (a per-channel (q, px)
+dot leaves the systolic array 25% utilized). Per program:
   W[m, q]    = hat(rz[m] - q//py) * hat(ry[m] - q%py)    (VPU build)
   A          = W @ patch                                  (MXU)
-  out[m, c]  = sum_d A[m, d] * hat(rx[m] - d%px) * [d//px == c]
+  out[m, c]  = sum_d A[m, d] * hat(rx[m] - d//3) * [d%3 == c]
 
 Constraints: py % 8 == 0 when pz > 1 (so the caller's (pz, py) merge
 is layout-free) and the W block must fit VMEM; callers gate on
@@ -45,13 +46,13 @@ def _roundup(v: int, m: int) -> int:
 
 
 def fits(patch_shape, m: int) -> bool:
-    """Can this (T, S, 3, pz, py, px) patch batch run through the kernel?"""
-    _, s, c, pz, py, px = patch_shape
-    if c != 3 or (pz > 1 and py % 8 != 0):
+    """Can this (T, S, pz, py, 3*px) packed patch batch run the kernel?"""
+    _, s, pz, py, px3 = patch_shape
+    if px3 % 3 != 0 or (pz > 1 and py % 8 != 0):
         return False
     q = pz * py
     mpad = _roundup(max(m, 8), 8)
-    lanes = _roundup(3 * px, 128)
+    lanes = _roundup(px3, 128)
     # per-program: all S sigma patches + one live W (f32 + bf16 hi/lo
     # + iotas) + the (Mpad, lanes) temporaries
     vmem = 4 * (s * q * lanes + mpad * q * 3 + 4 * mpad * lanes)
@@ -63,12 +64,13 @@ def _kernel(rel_ref, pat_ref, out_ref, *, pz: int, py: int, px: int, n_sigma: in
     rel_all = rel_ref[0]  # (S*Mpad, 4): rz, ry, rx, pad
     mpad = rel_all.shape[0] // n_sigma
 
-    # iotas shared across the sigma groups (one program per trace)
+    # iotas shared across the sigma groups (one program per trace);
+    # lanes are x-major channel-packed: d = 3*x + c
     qi = jax.lax.broadcasted_iota(jnp.int32, (mpad, q), 1)
     zi = (qi // py).astype(jnp.float32)
     yi = (qi % py).astype(jnp.float32)
     di = jax.lax.broadcasted_iota(jnp.int32, (mpad, 3 * px), 1)
-    xi3 = (di % px).astype(jnp.float32)
+    xi3 = (di // 3).astype(jnp.float32)
 
     for s in range(n_sigma):
         rel = rel_all[s * mpad : (s + 1) * mpad]
@@ -104,7 +106,7 @@ def _kernel(rel_ref, pat_ref, out_ref, *, pz: int, py: int, px: int, n_sigma: in
         aw = a * wx3
         for c in range(3):
             out_ref[0, s * mpad : (s + 1) * mpad, c : c + 1] = jnp.sum(
-                jnp.where(di // px == c, aw, 0.0), axis=1, keepdims=True
+                jnp.where(di % 3 == c, aw, 0.0), axis=1, keepdims=True
             )
 
 
@@ -121,9 +123,9 @@ def fits_fused(maps_shape, pdims, m_per_sigma: int, n_sigma: int) -> bool:
     """Can the fused-DMA kernel run this config?"""
     if not _FUSED_ENABLED:
         return False
-    c, l, h, w = maps_shape
+    s, l, h, w3 = maps_shape
     pz, py, px = pdims
-    if c != 3 * n_sigma or (pz > 1 and py % 8 != 0):
+    if s != n_sigma or (pz > 1 and py % 8 != 0):
         return False
     q = pz * py
     mpad = _roundup(max(m_per_sigma, 8), 8)
@@ -144,20 +146,21 @@ def _fused_kernel(
     ti = pl.program_id(0)
     nt = pl.num_programs(0)
 
-    def dma(slot, t_idx, s, c):
+    def dma(slot, t_idx, s):
+        # packed maps: the x window [cx, cx+px) is the contiguous lane
+        # run [3cx, 3cx+3px) — one copy fetches all three channels
         cz = corner_ref[t_idx, 0]
         cy = corner_ref[t_idx, 1]
         cx = corner_ref[t_idx, 2]
         return pltpu.make_async_copy(
-            maps_ref.at[3 * s + c, pl.ds(cz, pz), pl.ds(cy, py), pl.ds(cx, px)],
-            patch_sc.at[slot, s, :, :, pl.ds(c * px, px)],
-            sems.at[slot, s, c],
+            maps_ref.at[s, pl.ds(cz, pz), pl.ds(cy, py), pl.ds(3 * cx, 3 * px)],
+            patch_sc.at[slot, s],
+            sems.at[slot, s],
         )
 
     def start_all(slot, t_idx):
         for s in range(n_sigma):
-            for c in range(3):
-                dma(slot, t_idx, s, c).start()
+            dma(slot, t_idx, s).start()
 
     # double buffering: program t computes on the patch its predecessor
     # prefetched and starts the DMA for t+1
@@ -171,15 +174,14 @@ def _fused_kernel(
 
     slot = ti % 2
     for s in range(n_sigma):
-        for c in range(3):
-            dma(slot, ti, s, c).wait()
+        dma(slot, ti, s).wait()
 
     rel = rel_ref[0]  # (n_sigma * Mpad, 4)
     qi = jax.lax.broadcasted_iota(jnp.int32, (mpad, q), 1)
     zi = (qi // py).astype(jnp.float32)
     yi = (qi % py).astype(jnp.float32)
     di = jax.lax.broadcasted_iota(jnp.int32, (mpad, 3 * px), 1)
-    xi3 = (di % px).astype(jnp.float32)
+    xi3 = (di // 3).astype(jnp.float32)
 
     for s in range(n_sigma):
         rels = rel[s * mpad : (s + 1) * mpad]
@@ -198,7 +200,7 @@ def _fused_kernel(
         aw = a * jnp.maximum(0.0, 1.0 - jnp.abs(rx - xi3))
         for c in range(3):
             out_ref[0, s * mpad : (s + 1) * mpad, c : c + 1] = jnp.sum(
-                jnp.where(di // px == c, aw, 0.0), axis=1, keepdims=True
+                jnp.where(di % 3 == c, aw, 0.0), axis=1, keepdims=True
             )
 
 
@@ -211,17 +213,18 @@ def hat_sample_fused(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused-DMA variant: slices each trace's patch straight out of the
-    planar map stack inside the kernel (double-buffered across the
-    trace grid) — no XLA-side patch materialization or transpose.
+    packed map stack inside the kernel (double-buffered across the
+    trace grid) — no XLA-side patch materialization.
 
-    maps (3S, l, h, w) f32, corners (T, 3) int32 (z, y, x window
-    origins, pre-clamped to [0, dim - pdim]), rel (T, S*Mpad, 4) f32
+    maps (S, l, h, 3*w) f32 x-major channel-packed
+    (build_tube_maps_packed), corners (T, 3) int32 (z, y, x window
+    origins in VOLUME units, pre-clamped to [0, dim - pdim]),
+    rel (T, S*Mpad, 4) f32
     -> (T, S*Mpad, 4) f32 with columns [v_m1, v_m2, v_m3, garbage].
     """
-    c3s, l, h, w = maps.shape
+    n_sigma, l, h, w3 = maps.shape
     pz, py, px = pdims
     t = corners.shape[0]
-    n_sigma = c3s // 3
     smpad = rel.shape[1]
     mpad = smpad // n_sigma
     assert mpad % 8 == 0 and mpad * n_sigma == smpad
@@ -247,7 +250,7 @@ def hat_sample_fused(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, n_sigma, pz, py, 3 * px), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, n_sigma, 3)),
+            pltpu.SemaphoreType.DMA((2, n_sigma)),
         ],
     )
     return pl.pallas_call(
@@ -262,18 +265,19 @@ def hat_sample_fused(
 def hat_sample_pallas(
     patches: jax.Array, rel: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """patches (T, S, 3, pz, py, px) f32, rel (T, S, Mpad, 4) f32
-    (columns rz, ry, rx in patch-relative coordinates, already clamped)
+    """patches (T, S, pz, py, 3*px) f32 x-major channel-packed (lane
+    3*x + c, the layout `extract` slices off `build_tube_maps_packed`),
+    rel (T, S, Mpad, 4) f32 (columns rz, ry, rx in patch-relative
+    coordinates, already clamped)
     -> (T, S, Mpad, 4) f32 with columns [v_m1, v_m2, v_m3, garbage]."""
-    t, s, c, pz, py, px = patches.shape
+    t, s, pz, py, px3 = patches.shape
+    px = px3 // 3
     mpad = rel.shape[2]
-    assert mpad % 8 == 0
+    assert px3 % 3 == 0 and mpad % 8 == 0
 
-    # channel-pack: (..., 3, pz, py, px) -> (..., q, 3*px); the reshape
-    # after the transpose is a pure view (C-order), so this is one copy
-    pat2 = jnp.transpose(patches, (0, 1, 3, 4, 2, 5)).reshape(
-        t, s, pz * py, 3 * px
-    )
+    # (pz, py, 3px) -> (q, 3px) is a pure view: NO transpose, no copy —
+    # the packed map layout already interleaves channels in the lanes
+    pat2 = patches.reshape(t, s, pz * py, 3 * px)
     rel2 = rel.reshape(t, s * mpad, 4)
 
     kern = functools.partial(_kernel, pz=pz, py=py, px=px, n_sigma=s)

@@ -107,18 +107,11 @@ def _box_filter(vol: jax.Array, half: int, is2d: bool) -> jax.Array:
     return v
 
 
-def build_tube_maps(img: jax.Array, model: TubeZnccModel) -> jax.Array:
-    """Precompute the (3*S, Z, Y, X) planar map stack for a uint8 volume.
-
-    Dense separable convolutions — the once-per-volume cost that buys
-    ~100x fewer gathers per tracker query. Maps are PLANAR: measured on
-    TPU, three (1,2)-pair gathers beat one interleaved (1,6)-slice
-    gather 7x, and a trailing channel axis would be lane-tiled to 128
-    and waste 42x memory.
-    """
+def _tube_map_planes(img: jax.Array, model: TubeZnccModel):
+    """Per-sigma (M1, M2, M3) map volumes — the dense separable
+    convolutions that buy ~100x fewer gathers per tracker query."""
     f = img.astype(jnp.float32)
     f2 = f * f
-    per_sig = []
     for i, sig in enumerate(model.sigmas):
         k1 = model.gauss_kernels[i]
         m1 = conv1d_along_axis(f, k1, axis=2)
@@ -128,8 +121,42 @@ def build_tube_maps(img: jax.Array, model: TubeZnccModel) -> jax.Array:
         bh = model.box_half[i]
         m2 = _box_filter(f, bh, model.is2d)
         m3 = _box_filter(f2, bh, model.is2d)
+        yield m1, m2, m3
+
+
+def build_tube_maps(img: jax.Array, model: TubeZnccModel) -> jax.Array:
+    """Precompute the (3*S, Z, Y, X) planar map stack for a uint8 volume.
+
+    Maps are PLANAR: measured on TPU, three (1,2)-pair gathers beat one
+    interleaved (1,6)-slice gather 7x, and a trailing channel axis
+    would be lane-tiled to 128 and waste 42x memory. This is the layout
+    the global gather formulation (`make_tube_zncc_fn`) consumes; the
+    patch engine consumes `build_tube_maps_packed`.
+    """
+    per_sig = []
+    for m1, m2, m3 in _tube_map_planes(img, model):
         per_sig += [m1, m2, m3]
     return jnp.stack(per_sig)  # (3S, Z, Y, X)
+
+
+def build_tube_maps_packed(img: jax.Array, model: TubeZnccModel) -> jax.Array:
+    """The (S, Z, Y, 3*X) x-major channel-interleaved map stack.
+
+    Lane index 3*x + c holds map channel c at column x. This is the
+    layout the patch engine consumes: one dynamic_slice per trace
+    yields the (pz*py, 3*px) operand the hat-contraction MXU dot wants
+    directly, removing the per-iteration channel-pack transpose (a
+    full read+write of every patch byte — measured ~40% of the tracer
+    stage at the reference config). Interleaving into the LANE axis
+    keeps the tile padding free (contrast a trailing size-3 channel
+    axis, which lane-tiles to 128 and wastes 42x memory). Built as a
+    per-sigma stack(..., axis=-1).reshape — the same single copy the
+    planar `build_tube_maps` stack costs."""
+    per_sig = []
+    for m1, m2, m3 in _tube_map_planes(img, model):
+        z, y, x = m1.shape
+        per_sig.append(jnp.stack([m1, m2, m3], axis=-1).reshape(z, y, 3 * x))
+    return jnp.stack(per_sig)  # (S, Z, Y, 3X)
 
 
 def _corr_from_sums(model_arrays, s1, s2, s3):
@@ -154,10 +181,15 @@ def _corr_from_sums(model_arrays, s1, s2, s3):
 class PatchEngine(NamedTuple):
     """Per-trace-patch tube ZNCC evaluators (see make_tube_patch_engine).
 
+    All functions consume the PACKED map stack (S, Z, Y, 3X) from
+    `build_tube_maps_packed` (lane 3*x + c = channel c at column x).
+
     extract(maps, center_xyz (T,3)) -> (patches, corners) — tuples with
-        one (T, 3*gs, pz, py, px) patch tensor and one (T, 3) zyx corner
-        per sigma GROUP (contiguous sigmas sharing window dims)
+        one (T, gs, pz, py, 3*px) channel-packed patch tensor and one
+        (T, 3) zyx corner per sigma GROUP (contiguous sigmas sharing
+        window dims)
     corr(vol_shape, patches, corners, pos (T,N,3), dirs) -> (corr, sig)
+        with vol_shape the TRUE (Z, Y, X) volume dims
     eval_fused(maps, pos (T,N,3), dirs) -> (corr, sig) — corner derived
         from the cloud mean; on TPU the patch never touches HBM.
     """
@@ -234,9 +266,14 @@ def make_tube_patch_engine(
     def _ext(h_):
         return -(-(2 * h_ + 2) // 8) * 8
 
-    def _dims(maps_shape):
+    def _vol_dims(maps_shape):
+        """True (l, h, w) volume dims from the packed (S, l, h, 3w) stack."""
+        s, l, h, w3 = maps_shape
+        return l, h, w3 // 3
+
+    def _dims(vol_dims):
         """sigma_max window in every axis — the fused-DMA path's sizing."""
-        c, l, h, w = maps_shape
+        l, h, w = vol_dims
         ext = _ext(half)
 
         def fit(d):
@@ -245,9 +282,9 @@ def make_tube_patch_engine(
         pz = 1 if l == 1 else fit(l)
         return pz, fit(h), fit(w)
 
-    def _groups(maps_shape):
+    def _groups(vol_dims):
         """Contiguous sigma runs sharing (pz, py, px) window dims."""
-        c, l, h, w = maps_shape
+        l, h, w = vol_dims
         dims = []
         for v2 in v2_per_sigma:
             ez = _ext(cloud_z + v2 + 1)
@@ -262,8 +299,8 @@ def make_tube_patch_engine(
                 g0 = i
         return groups
 
-    def _corners(maps_shape, center, pdims):
-        c, l, h, w = maps_shape
+    def _corners(vol_dims, center, pdims):
+        l, h, w = vol_dims
         pz, py, px = pdims
         cx = jnp.clip(jnp.round(center[:, 0]).astype(jnp.int32) - px // 2, 0, w - px)
         cy = jnp.clip(jnp.round(center[:, 1]).astype(jnp.int32) - py // 2, 0, h - py)
@@ -271,17 +308,21 @@ def make_tube_patch_engine(
         return jnp.stack([cz, cy, cx], axis=-1)  # (T, 3) zyx
 
     def extract(maps, center):
+        """Per-group channel-packed patches straight off the packed maps:
+        the x window [cx, cx+px) is the contiguous lane run
+        [3cx, 3cx+3px) — the slice IS the (pz*py, 3px) MXU operand."""
+        vdims = _vol_dims(maps.shape)
         patches, corners = [], []
-        for g0, g1, (pz, py, px) in _groups(maps.shape):
-            corner = _corners(maps.shape, center, (pz, py, px))
-            nch = 3 * (g1 - g0)
+        for g0, g1, (pz, py, px) in _groups(vdims):
+            corner = _corners(vdims, center, (pz, py, px))
+            gs = g1 - g0
 
-            def slice_one(czyx, _c0=3 * g0, _n=nch, _d=(pz, py, px)):
+            def slice_one(czyx, _g0=g0, _gs=gs, _d=(pz, py, 3 * px)):
                 return jax.lax.dynamic_slice(
-                    maps, (_c0, czyx[0], czyx[1], czyx[2]), (_n,) + _d
+                    maps, (_g0, czyx[0], czyx[1], 3 * czyx[2]), (_gs,) + _d
                 )
 
-            patches.append(jax.vmap(slice_one)(corner))  # (T, 3*gs, pz, py, px)
+            patches.append(jax.vmap(slice_one)(corner))  # (T, gs, pz, py, 3px)
             corners.append(corner)
         return tuple(patches), tuple(corners)
 
@@ -329,7 +370,7 @@ def make_tube_patch_engine(
         return _corr_from_sums(model_arrays, s1, s2, s3)
 
     def eval_fused(maps, pos, dirs):
-        """Particle evaluation straight from the planar map stack: the
+        """Particle evaluation straight from the packed map stack: the
         Pallas fused-DMA kernel slices each trace's patch in-kernel
         (double-buffered) — nothing is materialized in HBM. Falls back
         to extract + corr where Mosaic is unavailable."""
@@ -342,13 +383,14 @@ def make_tube_patch_engine(
 
         t, n = pos.shape[:2]
         center = jnp.mean(pos, axis=1)
-        pdims = _dims(maps.shape)
+        vdims = _vol_dims(maps.shape)
+        pdims = _dims(vdims)
         m = n * nv
         if not (mosaic_available() and fits_fused(maps.shape, pdims, m, s_count)):
             patches, corner = extract(maps, center)
-            return corr(tuple(maps.shape[1:4]), patches, corner, pos, dirs)
-        corner = _corners(maps.shape, center, pdims)
-        rz, ry, rx = _rel_coords(tuple(maps.shape[1:4]), pdims, corner, pos, dirs)
+            return corr(vdims, patches, corner, pos, dirs)
+        corner = _corners(vdims, center, pdims)
+        rz, ry, rx = _rel_coords(vdims, pdims, corner, pos, dirs)
         mpad = _roundup(max(m, 8), 8)
         rel = jnp.stack([rz, ry, rx, jnp.zeros_like(rx)], axis=-1)
         rel = jnp.pad(rel, ((0, 0), (0, 0), (0, mpad - m), (0, 0)))
@@ -370,21 +412,22 @@ def make_tube_patch_engine(
         vs = []
         g0 = 0
         for pat_g, cor_g in zip(patches, corner):
-            _, c3g, pz, py, px = pat_g.shape
-            gs = c3g // 3
-            pat = pat_g.reshape(t, gs, 3, pz, py, px)
+            # channel-packed (T, gs, pz, py, 3*px): lane 3*x + c
+            _, gs, pz, py, px3 = pat_g.shape
+            px = px3 // 3
             rz, ry, rx = _rel_coords(
                 vol_shape, (pz, py, px), cor_g, pos, dirs, g0, g0 + gs
             )
 
-            pat_shape = (t, gs, 3, pz, py, px)
-            if mosaic_available() and fits(pat_shape, m):
+            if mosaic_available() and fits(pat_g.shape, m):
                 # fused Pallas kernel: hat weights built in VMEM, one
-                # MXU dot per map channel — no HBM weight matrix
+                # MXU dot per sigma — the packed patch slice is already
+                # the (pz*py, 3px) operand, no transpose, no HBM weight
+                # matrix
                 mpad = _roundup(max(m, 8), 8)
                 rel = jnp.stack([rz, ry, rx, jnp.zeros_like(rx)], axis=-1)
                 rel = jnp.pad(rel, ((0, 0), (0, 0), (0, mpad - m), (0, 0)))
-                out = hat_sample_pallas(pat, rel)
+                out = hat_sample_pallas(pat_g, rel)
                 v = out[:, :, :m, :3]
             else:
                 # XLA path: combine the z and y hats into one (M, pz*py)
@@ -404,12 +447,12 @@ def make_tube_patch_engine(
                     t, gs, m, pz * py
                 )
                 a = jnp.einsum(
-                    "tsmq,tscqx->tsmcx",
+                    "tsmq,tsqxc->tsmxc",
                     wzy,
-                    pat.reshape(t, gs, 3, pz * py, px),
+                    pat_g.reshape(t, gs, pz * py, px, 3),
                     precision=hp,
                 )
-                v = jnp.einsum("tsmx,tsmcx->tsmc", wx, a, precision=hp)
+                v = jnp.einsum("tsmx,tsmxc->tsmc", wx, a, precision=hp)
             vs.append(v)
             g0 += gs
         v = vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=1)

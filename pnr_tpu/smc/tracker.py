@@ -77,10 +77,11 @@ class BatchedTracker:
         self.is2d = is2d
         self.tables: PriorTables = build_prior_tables(cfg.step, cfg.kappa, cfg.zdist, is2d)
         self.templates = ZnccTemplates(cfg.sigmas, is2d)
+        self._field_packed = False
         if cfg.zncc_mode == "tube":
             from pnr_tpu.ops.zncc_fast import (
                 TubeZnccModel,
-                build_tube_maps,
+                build_tube_maps_packed,
                 make_tube_patch_engine,
                 make_tube_zncc_fn,
             )
@@ -89,10 +90,16 @@ class BatchedTracker:
             self._zncc = make_tube_zncc_fn(model)
             # gather-free per-trace-patch engine for the wave hot loop;
             # the global gather fn above stays for scattered queries
-            # (seed scoring) where there is no cluster structure
+            # (seed scoring) where there is no cluster structure. The
+            # field is the PACKED (S, Z, Y, 3X) map stack — extract
+            # slices are the MXU operands directly (no per-iteration
+            # channel-pack transpose).
             self._patch_engine = make_tube_patch_engine(model, cfg.step, cfg.zdist)
-            self._prepare_field = jax.jit(lambda im: build_tube_maps(im, model))
+            self._prepare_field = jax.jit(
+                lambda im: build_tube_maps_packed(im, model)
+            )
             self._field_is_maps = True
+            self._field_packed = True
         else:
             self._zncc = make_zncc_fn(self.templates)
             import os
@@ -159,6 +166,7 @@ class BatchedTracker:
         w_flat = w_tab.reshape(-1)  # (D*S,)
         zncc = self._zncc
         field_is_maps = self._field_is_maps
+        field_packed = self._field_packed
 
         def in_bounds(cpos, shape_zyx):
             l, h, w = shape_zyx
@@ -183,18 +191,18 @@ class BatchedTracker:
                 center = jnp.mean(pos, axis=1)
                 patches, corner = engine.extract(img, center)
                 corr, sig = engine.corr(
-                    tuple(img.shape[-3:]), patches, corner, pos, dirs
+                    _shape_of(img), patches, corner, pos, dirs
                 )
                 return corr, sig, (patches, corner)
 
             def zncc_center(img, ctx, cpos, cdir):
                 # the centroid lies in the particle hull — same patch
                 # (a separate tight per-centroid extract measured SLOWER:
-                # the second vmapped dynamic_slice costs more than the
-                # CSE-shared patch transpose)
+                # the second vmapped dynamic_slice costs more than
+                # re-reading the CSE-shared patch)
                 patches, corner = ctx
                 c, s = engine.corr(
-                    tuple(img.shape[-3:]), patches, corner,
+                    _shape_of(img), patches, corner,
                     cpos[:, None, :], cdir[:, None, :],
                 )
                 return c[:, 0], s[:, 0]
@@ -218,8 +226,10 @@ class BatchedTracker:
 
         def _shape_of(img):
             # the field is (Z, Y, X) in legacy exact mode, (1, Z, Y, X)
-            # with the exact patch engine, (3S, Z, Y, X) in tube mode
-            return tuple(img.shape[-3:])
+            # with the exact patch engine, (S, Z, Y, 3X) packed in tube
+            # mode — the lane dim folds three channels per column there
+            l, h, w = img.shape[-3:]
+            return (l, h, w // 3) if field_packed else (l, h, w)
 
         def _uniforms(keys, step, shape):
             ks = jax.vmap(lambda k: jax.random.fold_in(k, step))(keys)

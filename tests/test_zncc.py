@@ -209,14 +209,26 @@ class TestTubePatchEngine:
         model = TubeZnccModel(sigmas, is2d=False)
         maps = build_tube_maps(jnp.asarray(img), model)
         gfn = make_tube_zncc_fn(model)
-        from pnr_tpu.ops.zncc_fast import make_tube_patch_engine
+        from pnr_tpu.ops.zncc_fast import (
+            build_tube_maps_packed,
+            make_tube_patch_engine,
+        )
 
+        packed = build_tube_maps_packed(jnp.asarray(img), model)
         engine = make_tube_patch_engine(model, step=2.0)
         extract, corr = engine.extract, engine.corr
-        return img, maps, gfn, extract, corr
+        return img, maps, packed, gfn, extract, corr
+
+    def test_packed_maps_interleave(self, setup):
+        """packed[s, z, y, 3x+c] == planar[3s+c, z, y, x]."""
+        img, maps, packed, gfn, extract, corr = setup
+        s3, l, h, w = maps.shape
+        m = np.asarray(maps).reshape(s3 // 3, 3, l, h, w)
+        want = np.moveaxis(m, 1, -1).reshape(s3 // 3, l, h, 3 * w)
+        np.testing.assert_array_equal(np.asarray(packed), want)
 
     def test_matches_global_tube_zncc(self, setup, rng):
-        img, maps, gfn, extract, corr = setup
+        img, maps, packed, gfn, extract, corr = setup
         t, n = 6, 15
         centers = np.stack(
             [rng.uniform(15, 80, t), rng.uniform(15, 48, t), rng.uniform(6, 18, t)],
@@ -226,9 +238,9 @@ class TestTubePatchEngine:
         d = rng.normal(size=(t, n, 3)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         c_ref, s_ref = gfn(maps, jnp.asarray(pos.reshape(-1, 3)), jnp.asarray(d.reshape(-1, 3)))
-        patches, corner = extract(maps, jnp.asarray(centers))
+        patches, corner = extract(packed, jnp.asarray(centers))
         c_new, s_new = corr(
-            tuple(maps.shape[1:4]), patches, corner, jnp.asarray(pos), jnp.asarray(d)
+            img.shape, patches, corner, jnp.asarray(pos), jnp.asarray(d)
         )
         np.testing.assert_allclose(
             np.asarray(c_new), np.asarray(c_ref).reshape(t, n), atol=2e-5
@@ -237,15 +249,15 @@ class TestTubePatchEngine:
 
     def test_edge_clamping_matches(self, setup, rng):
         """Points near the volume edge: both paths clamp to the bounds."""
-        img, maps, gfn, extract, corr = setup
+        img, maps, packed, gfn, extract, corr = setup
         centers = np.asarray([[2.0, 2.0, 1.0], [94.0, 62.0, 22.0]], np.float32)
         pos = centers[:, None, :] + rng.uniform(-2, 2, (2, 8, 3)).astype(np.float32)
         d = rng.normal(size=(2, 8, 3)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         c_ref, _ = gfn(maps, jnp.asarray(pos.reshape(-1, 3)), jnp.asarray(d.reshape(-1, 3)))
-        patches, corner = extract(maps, jnp.asarray(centers))
+        patches, corner = extract(packed, jnp.asarray(centers))
         c_new, _ = corr(
-            tuple(maps.shape[1:4]), patches, corner, jnp.asarray(pos), jnp.asarray(d)
+            img.shape, patches, corner, jnp.asarray(pos), jnp.asarray(d)
         )
         np.testing.assert_allclose(
             np.asarray(c_new), np.asarray(c_ref).reshape(2, 8), atol=2e-5
@@ -260,13 +272,15 @@ class TestHatSamplePallas:
 
         t, s, pz, py, px, m = 2, 2, 8, 16, 24, 11
         pat = rng.normal(size=(t, s, 3, pz, py, px)).astype(np.float32)
+        # x-major channel-packed lanes: 3*x + c (build_tube_maps_packed)
+        packed = np.moveaxis(pat, 2, -1).reshape(t, s, pz, py, 3 * px)
         mpad = _roundup(m, 8)
         rel = np.zeros((t, s, mpad, 4), np.float32)
         rel[:, :, :m, 0] = rng.uniform(0, pz - 1.001, (t, s, m))
         rel[:, :, :m, 1] = rng.uniform(0, py - 1.001, (t, s, m))
         rel[:, :, :m, 2] = rng.uniform(0, px - 1.001, (t, s, m))
         out = np.asarray(
-            hat_sample_pallas(jnp.asarray(pat), jnp.asarray(rel), interpret=True)
+            hat_sample_pallas(jnp.asarray(packed), jnp.asarray(rel), interpret=True)
         )
         for ti in range(t):
             for si in range(s):
@@ -295,6 +309,10 @@ class TestHatSamplePallas:
         t, s, pz, py, px, m = 3, 2, 8, 16, 24, 11
         l, h, w = 20, 40, 64
         maps = rng.normal(size=(3 * s, l, h, w)).astype(np.float32)
+        # packed layout (S, l, h, 3w), lane 3*x + c
+        maps_p = np.moveaxis(maps.reshape(s, 3, l, h, w), 1, -1).reshape(
+            s, l, h, 3 * w
+        )
         corners = np.stack(
             [
                 rng.integers(0, l - pz, t),
@@ -311,7 +329,7 @@ class TestHatSamplePallas:
 
         out_f = np.asarray(
             hat_sample_fused(
-                jnp.asarray(maps),
+                jnp.asarray(maps_p),
                 jnp.asarray(corners),
                 jnp.asarray(rel.reshape(t, s * mpad, 4)),
                 (pz, py, px),
@@ -321,10 +339,10 @@ class TestHatSamplePallas:
 
         patches = np.stack(
             [
-                maps[:, cz : cz + pz, cy : cy + py, cx : cx + px]
+                maps_p[:, cz : cz + pz, cy : cy + py, 3 * cx : 3 * (cx + px)]
                 for cz, cy, cx in corners
             ]
-        ).reshape(t, s, 3, pz, py, px)
+        )  # (t, s, pz, py, 3px) packed
         out_p = np.asarray(
             hat_sample_pallas(jnp.asarray(patches), jnp.asarray(rel), interpret=True)
         )
