@@ -99,6 +99,19 @@ class PNRConfig:
     #: it on. Falls back automatically off-TPU / when no tile geometry
     #: fits VMEM.
     fused_frangi: bool = True
+    #: Tube mode: how many consecutive SMC iterations one per-trace
+    #: patch extraction feeds (smc/tracker one_iter). The engine widens
+    #: its windows by (patch_reuse-1)*step so the clamping contract
+    #: holds against the stale corner; correlation values for in-window
+    #: samples are identical to patch_reuse=1 — only far outliers
+    #: (negligible weight by construction) clamp differently.
+    #: Measured on v5e: NO win (929k updates/s at 1 vs 877k at 2 at the
+    #: reference config) — the hat-sample kernel re-reads the whole
+    #: patch every iteration, so reuse only removes the (smaller) write
+    #: side while widening every read. Kept as a knob for runtimes
+    #: where extraction launches, not bytes, dominate. 1 = extract
+    #: every iteration (the strict formulation, default).
+    patch_reuse: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "sigmas", tuple(sorted(float(s) for s in self.sigmas)))
@@ -124,6 +137,8 @@ class PNRConfig:
             raise ValueError("vol can be 1,5,9,11,19,27")
         if self.zncc_mode not in ("exact", "tube"):
             raise ValueError("zncc_mode must be 'exact' or 'tube'")
+        if self.patch_reuse < 1:
+            raise ValueError("patch_reuse out of range")
 
     @classmethod
     def from_cli_params(cls, params: Sequence[str]) -> "PNRConfig":

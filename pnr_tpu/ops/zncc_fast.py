@@ -200,7 +200,7 @@ class PatchEngine(NamedTuple):
 
 
 def make_tube_patch_engine(
-    model: TubeZnccModel, step: float, zdist: float = 1.0
+    model: TubeZnccModel, step: float, zdist: float = 1.0, reuse: int = 1
 ) -> PatchEngine:
     """Per-trace-patch tube ZNCC: hat-weight matmuls instead of gathers.
 
@@ -258,10 +258,15 @@ def make_tube_patch_engine(
     )
     v2_per_sigma = [int(math.ceil(float(v.max()))) for v in model.v_grids]
     v2max = max(v2_per_sigma)
-    # cloud allowance 3*step around the per-iteration mean + line extent
-    half = int(math.ceil(3.0 * float(step))) + v2max + 1
-    cloud_xy = int(math.ceil(3.0 * float(step)))
-    cloud_z = int(math.ceil(3.0 * float(step) / float(zdist)))
+    # cloud allowance 3*step around the extraction-time mean + line
+    # extent; one extraction may feed `reuse` consecutive iterations
+    # (smc/tracker one_iter), during which the cloud drifts up to
+    # (reuse-1)*step (transition offsets are step-length) — widen the
+    # window so the contract holds against the stale corner
+    allowance = (2.0 + max(1, int(reuse))) * float(step)
+    half = int(math.ceil(allowance)) + v2max + 1
+    cloud_xy = int(math.ceil(allowance))
+    cloud_z = int(math.ceil(allowance / float(zdist)))
 
     def _ext(h_):
         return -(-(2 * h_ + 2) // 8) * 8

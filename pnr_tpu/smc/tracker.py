@@ -94,7 +94,9 @@ class BatchedTracker:
             # field is the PACKED (S, Z, Y, 3X) map stack — extract
             # slices are the MXU operands directly (no per-iteration
             # channel-pack transpose).
-            self._patch_engine = make_tube_patch_engine(model, cfg.step, cfg.zdist)
+            self._patch_engine = make_tube_patch_engine(
+                model, cfg.step, cfg.zdist, reuse=cfg.patch_reuse
+            )
             self._prepare_field = jax.jit(
                 lambda im: build_tube_maps_packed(im, model)
             )
@@ -182,6 +184,15 @@ class BatchedTracker:
             corr, sig = zncc(img, pos.reshape(t * p, 3), dirs.reshape(t * p, 3))
             return corr.reshape(t, p), sig.reshape(t, p)
 
+        # tube mode: one patch extraction feeds `patch_reuse` consecutive
+        # iterations (the engine's window allowance grows by
+        # (reuse-1)*step to cover the cloud's drift from the stale
+        # corner). The exact engine sizes its windows for a single
+        # iteration, so it stays at 1.
+        reuse = (
+            max(1, int(cfg.patch_reuse)) if cfg.zncc_mode == "tube" else 1
+        )
+
         if self._patch_engine is not None:
             engine = self._patch_engine
 
@@ -194,6 +205,10 @@ class BatchedTracker:
                     _shape_of(img), patches, corner, pos, dirs
                 )
                 return corr, sig, (patches, corner)
+
+            def eval_with_ctx(img, ctx, pos, dirs):
+                patches, corner = ctx
+                return engine.corr(_shape_of(img), patches, corner, pos, dirs)
 
             def zncc_center(img, ctx, cpos, cdir):
                 # the centroid lies in the particle hull — same patch
@@ -212,6 +227,9 @@ class BatchedTracker:
             def eval_particles(img, pos, dirs):
                 corr, sig = flat_zncc(img, pos, dirs)
                 return corr, sig, None
+
+            def eval_with_ctx(img, ctx, pos, dirs):  # reuse==1: never hit
+                return flat_zncc(img, pos, dirs)
 
             def zncc_center(img, ctx, cpos, cdir):
                 return zncc(img, cpos, cdir)
@@ -299,7 +317,11 @@ class BatchedTracker:
             t = carry[0].shape[0]
             carry = carry[:5] + (carry[5] & ~kill,)
 
-            def body(carry, i):
+            def one_iter(carry, i, ctx):
+                """One SMC iteration. With ctx=None a fresh per-trace
+                patch is extracted after the transition (the start of a
+                reuse group); otherwise the group's patch is reused —
+                the engine's window allowance covers the cloud drift."""
                 pos, dirs, wgt, resampled, res_idx, alive = carry
                 u1 = _uniforms(keys, 2 * i, (t, npart))
                 res_u = _uniforms(keys, 2 * i + 1, (t,))
@@ -328,7 +350,10 @@ class BatchedTracker:
                 new_dir = u_tab[s].reshape(t, npart, 3)
                 prior = w_flat[vi * sz + s].reshape(t, npart)
 
-                corr, _, ctx = eval_particles(img, new_pos, new_dir)
+                if ctx is None:
+                    corr, _, ctx = eval_particles(img, new_pos, new_dir)
+                else:
+                    corr, _ = eval_with_ctx(img, ctx, new_pos, new_dir)
                 lhood = jnp.exp(kc * corr)
                 prev_w = jnp.where(resampled[:, None], 1.0 / npart, wgt)
                 wnew = prev_w * (prior / jnp.sum(prior, axis=1, keepdims=True)) * lhood
@@ -352,10 +377,38 @@ class BatchedTracker:
                 res_idx_new = jnp.clip(ridx, 0, npart - 1)
 
                 carry_new = (new_pos, new_dir, wnew, resampled_new, res_idx_new, alive_new)
-                return carry_new, (cpos, cdir, csig, ccorr, alive_new)
+                return carry_new, (cpos, cdir, csig, ccorr, alive_new), ctx
 
-            carry, ests = jax.lax.scan(body, carry, iter_idx)
-            # scan stacks along axis 0 (iterations); move to (T, STAGE, ...)
+            def body_group(carry, ivec):
+                # one extraction feeds this whole (statically unrolled)
+                # group of iterations; the patch never enters the scan
+                # carry — it lives only inside the group's graph
+                ests = []
+                ctx = None
+                for j in range(ivec.shape[0]):
+                    carry, est, ctx = one_iter(carry, ivec[j], ctx)
+                    ests.append(est)
+                return carry, tuple(jnp.stack(e, 0) for e in zip(*ests))
+
+            n_it = int(iter_idx.shape[0])
+            kr = max(1, min(reuse, n_it))
+            g, rem = divmod(n_it, kr)
+            parts = []
+            if g:
+                carry, em = jax.lax.scan(
+                    body_group, carry, iter_idx[: g * kr].reshape(g, kr)
+                )
+                # (g, kr, T, ...) -> (g*kr, T, ...)
+                parts.append(tuple(e.reshape((g * kr,) + e.shape[2:]) for e in em))
+            if rem:
+                carry, er = body_group(carry, iter_idx[g * kr :])
+                parts.append(er)
+            ests = (
+                parts[0]
+                if len(parts) == 1
+                else tuple(jnp.concatenate(es, 0) for es in zip(*parts))
+            )
+            # stacked along axis 0 (iterations); move to (T, STAGE, ...)
             # and pack into one (T, STAGE, 9) buffer (single host fetch)
             cpos, cdir, csig, ccorr, ok = (jnp.moveaxis(e, 0, 1) for e in ests)
             packed = jnp.concatenate(

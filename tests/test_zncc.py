@@ -247,6 +247,28 @@ class TestTubePatchEngine:
         )
         assert (np.asarray(s_new) == np.asarray(s_ref).reshape(t, n)).mean() > 0.99
 
+    def test_reuse_windows_match_gather(self, setup, rng):
+        """reuse>1 widens the windows; in-window samples stay exact."""
+        img, maps, packed, gfn, extract, corr = setup
+        from pnr_tpu.ops.zncc_fast import TubeZnccModel, make_tube_patch_engine
+
+        model = TubeZnccModel((2.0, 3.0), is2d=False)
+        eng = make_tube_patch_engine(model, step=2.0, reuse=3)
+        t, n = 4, 9
+        centers = np.stack(
+            [rng.uniform(15, 80, t), rng.uniform(15, 48, t), rng.uniform(6, 18, t)],
+            -1,
+        ).astype(np.float32)
+        pos = centers[:, None, :] + rng.uniform(-4, 4, (t, n, 3)).astype(np.float32)
+        d = rng.normal(size=(t, n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        c_ref, _ = gfn(maps, jnp.asarray(pos.reshape(-1, 3)), jnp.asarray(d.reshape(-1, 3)))
+        patches, corner = eng.extract(packed, jnp.asarray(centers))
+        c_new, _ = eng.corr(img.shape, patches, corner, jnp.asarray(pos), jnp.asarray(d))
+        np.testing.assert_allclose(
+            np.asarray(c_new), np.asarray(c_ref).reshape(t, n), atol=2e-5
+        )
+
     def test_edge_clamping_matches(self, setup, rng):
         """Points near the volume edge: both paths clamp to the bounds."""
         img, maps, packed, gfn, extract, corr = setup
