@@ -53,6 +53,20 @@ def save_volume(path: str, vol: np.ndarray) -> None:
         raise ValueError(f"unsupported volume format: {path}")
 
 
+def as_u8_volume(vol: np.ndarray) -> np.ndarray:
+    """Coerce an array to a contiguous (Z, Y, X) uint8 volume.
+
+    uint8 passes through untouched; wider dtypes are min-max normalized
+    to [0, 255] (a plain cast would wrap around — the reference plugin
+    only ever sees V3D uint8 buffers, but a framework-level API must
+    accept what users hand it deterministically). 2-D arrays gain a
+    singleton leading Z axis (the reference's P==1 convention)."""
+    vol = np.asarray(vol)
+    if vol.ndim == 2:
+        vol = vol[None]
+    return np.ascontiguousarray(_to_u8(vol))
+
+
 def _to_u8(vol: np.ndarray) -> np.ndarray:
     if vol.dtype == np.uint8:
         return vol

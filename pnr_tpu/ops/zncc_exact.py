@@ -496,7 +496,11 @@ def make_exact_patch_engine(
         l, h, w = field_shape[-3:]
         half_xy = allow + bank.reach_xy
         half_z = allow + bank.reach_z
-        py = min(_roundup(2 * half_xy + 2, 8), _roundup(h, 8))
+        # py must never exceed h (the extract dynamic_slice would be out
+        # of range); on sub-8-aligned tiny volumes py == h breaks the
+        # Pallas kernel's py % 8 == 0 contract and fits_exact() routes
+        # to the XLA fallback instead — correct, and cheap at that size
+        py = min(_roundup(2 * half_xy + 2, 8), h)
         px = min(2 * half_xy + 2, w)
         pz = 1 if l == 1 else min(2 * half_z + 2, l)
         return pz, py, px

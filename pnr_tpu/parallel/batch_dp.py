@@ -36,6 +36,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from pnr_tpu.config import PNRConfig
+from pnr_tpu.io.volume import as_u8_volume
 from pnr_tpu.graph.build import TraceCommitter
 from pnr_tpu.graph.nodes import NodeList
 from pnr_tpu.pipeline.reconstruct import (
@@ -144,7 +145,7 @@ def reconstruction_batch_dp(
     from pnr_tpu.seeds.extract import decode_directions_device, max_points_device, max_points_host
     from pnr_tpu.smc.tracker import BatchedTracker
 
-    vols = [np.ascontiguousarray(v, np.uint8) for v in vols]
+    vols = [as_u8_volume(v) for v in vols]
     n_dev = int(mesh.devices.size)
     if not vols:
         return []
@@ -433,7 +434,7 @@ def reconstruction_batch_sharded(
 
     from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
 
-    vols = [np.ascontiguousarray(v, np.uint8) for v in vols]
+    vols = [as_u8_volume(v) for v in vols]
     if not vols:
         return []
     n_dev = int(mesh.devices.size)

@@ -29,6 +29,7 @@ import numpy as np
 
 from pnr_tpu import native
 from pnr_tpu.config import PNRConfig
+from pnr_tpu.io.volume import as_u8_volume
 from pnr_tpu.graph.build import TraceCommitter
 from pnr_tpu.graph.nodes import AXON, SOMA, NodeList
 from pnr_tpu.graph.refine import group1, interpolate_nodelist, non_blurring
@@ -425,7 +426,7 @@ def _stack_front(
 
     Pure function of (vol, cfg): no PRNG, no mutable trace state — safe
     to run in a worker thread ahead of the consuming back half."""
-    vol = np.ascontiguousarray(vol, np.uint8)
+    vol = as_u8_volume(vol)
     is2d = vol.shape[0] == 1
     tm = _StageTimer(verbose)
 
@@ -568,7 +569,7 @@ def reconstruction_func(
     profile_dir = os.environ.get("PNR_TPU_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    vol = np.ascontiguousarray(vol, np.uint8)
+    vol = as_u8_volume(vol)
     if key is None:
         key = jax.random.key(cfg.seed)
 
@@ -699,7 +700,7 @@ def reconstruction_batch(
     it = enumerate(vols)
     if not prefetch:
         for i, vol in it:
-            vol = np.ascontiguousarray(vol, np.uint8)
+            vol = as_u8_volume(vol)
             yield reconstruction_func(
                 vol, cfg, verbose=verbose,
                 key=jax.random.fold_in(key, i),
@@ -728,7 +729,7 @@ def reconstruction_batch(
 
         pending = next(it, None)
         if pending is not None:
-            pending = (pending[0], np.ascontiguousarray(pending[1], np.uint8))
+            pending = (pending[0], as_u8_volume(pending[1]))
         queue = deque()
 
         def topup(current_bytes):
@@ -746,7 +747,7 @@ def reconstruction_batch(
                 queue.append(submit(pending))
                 nxt = next(it, None)
                 pending = (
-                    (nxt[0], np.ascontiguousarray(nxt[1], np.uint8))
+                    (nxt[0], as_u8_volume(nxt[1]))
                     if nxt is not None else None
                 )
 

@@ -49,6 +49,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from pnr_tpu.config import PNRConfig
+from pnr_tpu.io.volume import as_u8_volume
 from pnr_tpu.graph.build import TraceCommitter
 from pnr_tpu.graph.nodes import SOMA, NodeList
 from pnr_tpu.parallel.halo import halo_exchange_z
@@ -257,7 +258,7 @@ def reconstruction_func_sharded(
     it cannot shard over Y; one slice gather is the same O(Y*X) the
     host already holds as the input.
     """
-    vol = np.ascontiguousarray(vol, np.uint8)
+    vol = as_u8_volume(vol)
     n_dev = int(mesh.devices.size)
     is2d = vol.shape[0] == 1
     ci = 1 if is2d else 2  # the sharded coordinate in (x, y, z)

@@ -379,6 +379,46 @@ class TestShardedReconstruction:
         s = compare_swc(read_swc(pb), read_swc(pa), dist=3.0, resample=1.0)
         assert s.f1 > 0.85, f"sharded vs single-device SWC mismatch: {s}"
 
+    def test_exact_mode_matches_single_device_swc(self, mesh):
+        """The parity-default EXACT znccBBB engine on the multi-device
+        path: PNRConfig defaults to zncc_mode='exact', so `--mesh N`
+        with stock parameters runs this combination — every other
+        sharded test pins tube mode. Exact templates reach 3*sigma_max
+        from a particle, which must stay inside the handoff halo."""
+        from pnr_tpu.io.swc import save_nodelist, read_swc
+        from pnr_tpu.pipeline import reconstruction_func
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+        from pnr_tpu.utils.swc_compare import compare_swc
+
+        rng = np.random.default_rng(11)
+        shape = (16, 40, 80)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (y - 20) ** 2 + ((z - 8) * 2.0) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / (2 * 2.5**2))
+            * (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 6) * (x < 73)
+            + rng.normal(0, 5, shape),
+            0, 255,
+        ).astype(np.uint8)
+
+        cfg = PNRConfig(
+            sigmas=(2.0, 3.0), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=24, np=12, zdist=2.0, nodepervol=4, vol=9, wave_size=16,
+        )
+        assert cfg.zncc_mode == "exact"
+        ref = reconstruction_func(vol, cfg, verbose=False)
+        got = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+
+        assert len(got.tree) > 10
+        import tempfile
+
+        pa = tempfile.mktemp(suffix=".swc")
+        pb = tempfile.mktemp(suffix=".swc")
+        save_nodelist(ref.tree, pa)
+        save_nodelist(got.tree, pb)
+        s = compare_swc(read_swc(pb), read_swc(pa), dist=3.0, resample=1.0)
+        assert s.f1 > 0.85, f"sharded exact-mode SWC mismatch: {s}"
+
     def test_arbitrary_z_matches_single_device(self, mesh):
         """Z that does not divide the mesh runs via replicate-padding
         and matches the single-device pipeline on the ORIGINAL volume
