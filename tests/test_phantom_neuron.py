@@ -193,3 +193,53 @@ class TestNoisyPhantom:
         score, res = _score(noisy, gold, CFG, tmp_path)
         assert score.recall > 0.7, f"noisy recall too low: {score}"
         assert score.precision > 0.8, f"noisy precision too low: {score}"
+
+
+def branching_neuron_phantom_2d(shape=(1, 80, 112), radius=2.2, seed=5):
+    """The Y-phantom flattened to a single slice (the reference's P==1
+    first-class 2-D path, Advantra_plugin.cpp:2339 / frangi2d)."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for t in np.linspace(0, 1, 60):
+        pts.append((10 + 44 * t, 40.0, 0.0))
+    for t in np.linspace(0, 1, 50):
+        pts.append((54 + 44 * t, 40 + 24 * t, 0.0))
+    for t in np.linspace(0, 1, 50):
+        pts.append((54 + 44 * t, 40 - 24 * t, 0.0))
+    pts = np.asarray(pts)
+
+    _, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    vol = np.zeros(shape)
+    for px, py, _pz in pts:
+        d2 = (x - px) ** 2 + (y - py) ** 2
+        np.maximum(vol, np.exp(-d2 / (2 * radius**2)), out=vol)
+    intensity = 190.0 * (0.75 + 0.25 * np.sin(x / 5.0))
+    vol = np.clip(vol * intensity + rng.normal(0, 5, shape), 0, 255).astype(np.uint8)
+
+    gold = []
+    for i, (px, py, pz) in enumerate(pts, start=1):
+        if i == 1:
+            parent = -1
+        elif i == 111:
+            parent = 60
+        else:
+            parent = i - 1
+        gold.append([i, 2, px, py, pz, radius, parent])
+    return vol, np.asarray(gold, np.float64)
+
+
+class Test2DPhantom:
+    """Ground-truth quality gate for the 2-D (P == 1) pipeline — the
+    3-D battery exercises frangi3d/3-D tracing only, while the
+    reference treats single-slice images as first-class."""
+
+    def test_2d_quality(self, tmp_path):
+        vol, gold = branching_neuron_phantom_2d()
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, zdist=1.0)
+        score, res = _score(vol, gold, cfg, tmp_path)
+        assert score.recall > 0.75, f"2-D recall too low: {score}"
+        assert score.precision > 0.85, f"2-D precision too low: {score}"
+        # everything must stay in the plane
+        assert np.allclose(res.tree.z[1:], 0.0, atol=1.0)
