@@ -11,15 +11,21 @@ import os
 # backend; tests must be deterministic and run the virtual 8-device mesh.
 # pytest plugins import jax before this conftest runs, so set both the env
 # (for subprocesses) and the live config (backend initializes lazily).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# PNR_TPU_TEST_ON_TPU=1 opts OUT of the CPU forcing so the TPU-only
+# Mosaic tests (skipped on the CPU mesh) can run against real hardware:
+#   PNR_TPU_TEST_ON_TPU=1 python -m pytest tests/test_ops_dense.py::TestPallasConv
+if not os.environ.get("PNR_TPU_TEST_ON_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

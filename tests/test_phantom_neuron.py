@@ -243,3 +243,61 @@ class Test2DPhantom:
         assert score.precision > 0.85, f"2-D precision too low: {score}"
         # everything must stay in the plane
         assert np.allclose(res.tree.z[1:], 0.0, atol=1.0)
+
+
+def tortuous_3d_phantom(shape=(24, 64, 112), radius=2.2, zdist=2.0, seed=17):
+    """A neurite with genuine 3-D curvature: the centerline undulates
+    in BOTH y and z along x, plus a branch diving through z. Every
+    other phantom in the battery is planar (constant z=8), so the
+    tracer's z-transition priors and the anisotropic (zdist) template
+    frames were only ever exercised by noise — this one gates them.
+
+    Returns (volume uint8, gold SWC rows)."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    # trunk: x in [10, 100], y and z sinusoidal (z amplitude 4 around 12)
+    for t in np.linspace(0, 1, 90):
+        xx = 10 + 90 * t
+        pts.append((xx, 32 + 10 * np.sin(xx / 14.0), 12 + 4 * np.sin(xx / 11.0)))
+    trunk_n = len(pts)
+    # branch: leaves the trunk mid-way, dives from z~14 to z~5
+    bx0 = 10 + 90 * 0.5
+    by0 = 32 + 10 * np.sin(bx0 / 14.0)
+    bz0 = 12 + 4 * np.sin(bx0 / 11.0)
+    for t in np.linspace(0.04, 1, 40):
+        pts.append((bx0 + 34 * t, by0 + 16 * t, bz0 - 8 * t))
+    pts = np.asarray(pts)
+
+    z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    vol = np.zeros(shape)
+    for px, py, pz in pts:
+        d2 = (x - px) ** 2 + (y - py) ** 2 + ((z - pz) * zdist) ** 2
+        np.maximum(vol, np.exp(-d2 / (2 * radius**2)), out=vol)
+    intensity = 190.0 * (0.75 + 0.25 * np.sin(x / 5.0))
+    vol = np.clip(vol * intensity + rng.normal(0, 5, shape), 0, 255).astype(np.uint8)
+
+    gold = []
+    branch_root = int(round(0.5 * (90 - 1))) + 1  # trunk node nearest the fork
+    for i, (px, py, pz) in enumerate(pts, start=1):
+        if i == 1:
+            parent = -1
+        elif i == trunk_n + 1:
+            parent = branch_root
+        else:
+            parent = i - 1
+        gold.append([i, 2, px, py, pz, radius, parent])
+    return vol, np.asarray(gold, np.float64)
+
+
+class TestTortuous3D:
+    """Out-of-plane tracing quality: recall must hold while the
+    centerline moves through z (anisotropic sampling, z-transitions)."""
+
+    def test_3d_curvature_quality(self, tmp_path):
+        vol, gold = tortuous_3d_phantom()
+        score, res = _score(vol, gold, CFG, tmp_path)
+        assert score.recall > 0.75, f"3-D tortuous recall too low: {score}"
+        assert score.precision > 0.85, f"3-D tortuous precision too low: {score}"
+        # the reconstruction must actually span the z undulation
+        zs = np.asarray(res.tree.z[1:])
+        assert zs.max() - zs.min() > 5.0, "reconstruction collapsed to a plane"

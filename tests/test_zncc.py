@@ -286,7 +286,18 @@ class TestTubePatchEngine:
         )
 
 
+# See tests/test_zncc_exact.py: interpret-mode kernels on a TPU backend
+# run XLA default-precision dots (~3e-4 shifts); these tests assert CPU
+# f32 numerics. The real Mosaic kernels get TPU coverage from
+# test_ops_dense.py::TestPallasConv and the verify-skill drives.
+cpu_numerics = pytest.mark.skipif(
+    jnp.zeros(1).devices().pop().platform != "cpu",
+    reason="interpret-mode tolerance assumes CPU f32 dot numerics",
+)
+
+
 class TestHatSamplePallas:
+    @cpu_numerics
     def test_interpret_matches_trilinear(self, rng):
         """The Pallas sampling kernel (interpret mode) == clamped trilinear."""
         from pnr_tpu.ops.pallas_sample import hat_sample_pallas, _roundup
@@ -318,6 +329,7 @@ class TestHatSamplePallas:
                         out[ti, si, :m, c], np.asarray(ref), atol=5e-5
                     )
 
+    @cpu_numerics
     def test_fused_dma_variant_matches(self, rng):
         """hat_sample_fused (in-kernel DMA slicing) == hat_sample_pallas
         on the equivalent pre-extracted patches (interpret mode)."""
