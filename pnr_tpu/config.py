@@ -111,6 +111,12 @@ class PNRConfig:
     #: side while widening every read. Kept as a knob for runtimes
     #: where extraction launches, not bytes, dominate. 1 = extract
     #: every iteration (the strict formulation, default).
+    #: Semantics at >1: reuse groups align to each device stage launch,
+    #: so STAGED and MONOLITHIC runs may differ in which iterations
+    #: share an extraction (both stay inside the clamping contract;
+    #: default staging is deterministic run-to-run). The sharded and
+    #: handoff paths force 1 — their halo budget assumes the strict
+    #: windows and their stage boundaries differ from single-device.
     patch_reuse: int = 1
 
     def __post_init__(self):

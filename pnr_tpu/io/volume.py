@@ -27,10 +27,7 @@ def load_volume(path: str) -> np.ndarray:
     if ext == ".v3dpbd":
         return _load_v3dpbd(path)
     if ext == ".npy":
-        vol = np.load(path)
-        if vol.ndim == 2:
-            vol = vol[None]
-        return _to_u8(vol)
+        return as_u8_volume(np.load(path))
     raise ValueError(f"unsupported volume format: {path}")
 
 
@@ -72,6 +69,12 @@ def _to_u8(vol: np.ndarray) -> np.ndarray:
         return vol
     v = vol.astype(np.float64)
     vmin, vmax = v.min(), v.max()
+    if np.isnan(vmin) or np.isnan(vmax):
+        # one NaN voxel would otherwise poison the whole normalization
+        # (NaN min/max -> all-NaN -> undefined uint8 cast); fail loud
+        raise ValueError("volume contains NaN values")
+    if np.isinf(vmin) or np.isinf(vmax):
+        raise ValueError("volume contains infinite values")
     if vmax <= vmin:
         return np.zeros(vol.shape, np.uint8)
     return np.round((v - vmin) / (vmax - vmin) * 255.0).astype(np.uint8)

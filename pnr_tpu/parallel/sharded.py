@@ -288,6 +288,16 @@ def build_local_trace_step(cfg: PNRConfig, mesh: Mesh, seeds_per_shard: int, tra
     from pnr_tpu.smc.tracker import BatchedTracker
 
     axis = mesh.axis_names[0]
+    # patch_reuse widens the per-trace extraction windows beyond what
+    # required_trace_halo budgets for, and reuse groups align to stage
+    # launches (different staging here vs single-device) — force the
+    # strict per-iteration extraction so the bitwise single-device
+    # guarantee holds. The knob is a measured no-win on v5e anyway
+    # (config.py).
+    if getattr(cfg, "patch_reuse", 1) != 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, patch_reuse=1)
     tracker = BatchedTracker(cfg, is2d=False)
     if trace_halo is None:
         # template reach (~4.4 sigma, see ops/zncc.py) + transition steps

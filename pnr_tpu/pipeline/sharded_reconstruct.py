@@ -152,6 +152,16 @@ def build_seed_scorer(cfg: PNRConfig, mesh, is2d: bool = False):
     from pnr_tpu.smc.tracker import BatchedTracker
 
     axis = mesh.axis_names[0]
+    # patch_reuse widens the per-trace extraction windows beyond what
+    # required_trace_halo budgets for, and reuse groups align to stage
+    # launches (different staging here vs single-device) — force the
+    # strict per-iteration extraction so the bitwise single-device
+    # guarantee holds. The knob is a measured no-win on v5e anyway
+    # (config.py).
+    if getattr(cfg, "patch_reuse", 1) != 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, patch_reuse=1)
     tracker = BatchedTracker(cfg, is2d=is2d)
     ci = 1 if is2d else 2
     smax = max(cfg.sigmas)

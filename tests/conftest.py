@@ -34,3 +34,16 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def cpu_numerics_marker():
+    """Shared skipif for interpret-mode kernel tests: their tolerances
+    assert CPU f32 dot numerics; on a TPU backend (PNR_TPU_TEST_ON_TPU=1)
+    interpret mode lowers to XLA default-precision dots (~3e-4 shifts)
+    that are platform numerics, not kernel bugs."""
+    import jax.numpy as jnp
+
+    return pytest.mark.skipif(
+        jnp.zeros(1).devices().pop().platform != "cpu",
+        reason="interpret-mode tolerance assumes CPU f32 dot numerics",
+    )

@@ -158,3 +158,17 @@ class TestDtypeAndShapeValidation:
         # same structure traced from every dtype encoding
         assert abs(len(res16.tree) - len(res8.tree)) <= max(3, len(res8.tree) // 3)
         assert abs(len(resf.tree) - len(res8.tree)) <= max(3, len(res8.tree) // 3)
+
+
+class TestNaNRejection:
+    def test_nan_volume_raises(self):
+        vol = np.full((4, 16, 16), 0.5, np.float32)
+        vol[2, 8, 8] = np.nan
+        with pytest.raises(ValueError, match="NaN"):
+            reconstruction_func(vol, FAST, verbose=False)
+
+    def test_inf_volume_raises(self):
+        vol = np.full((4, 16, 16), 0.5, np.float32)
+        vol[2, 8, 8] = np.inf
+        with pytest.raises(ValueError, match="infinite"):
+            reconstruction_func(vol, FAST, verbose=False)

@@ -286,14 +286,9 @@ class TestTubePatchEngine:
         )
 
 
-# See tests/test_zncc_exact.py: interpret-mode kernels on a TPU backend
-# run XLA default-precision dots (~3e-4 shifts); these tests assert CPU
-# f32 numerics. The real Mosaic kernels get TPU coverage from
-# test_ops_dense.py::TestPallasConv and the verify-skill drives.
-cpu_numerics = pytest.mark.skipif(
-    jnp.zeros(1).devices().pop().platform != "cpu",
-    reason="interpret-mode tolerance assumes CPU f32 dot numerics",
-)
+from conftest import cpu_numerics_marker
+
+cpu_numerics = cpu_numerics_marker()
 
 
 class TestHatSamplePallas:

@@ -13,16 +13,9 @@ from pnr_tpu.ops.zncc_exact import (
 )
 
 
-# Interpret-mode kernel tests assert CPU float32 numerics; on a TPU
-# backend (PNR_TPU_TEST_ON_TPU=1) interpret mode lowers to XLA ops
-# whose f32 dots run at default (bf16-operand) precision — ~3e-4
-# shifts that are not kernel bugs. The REAL (non-interpret) kernels
-# get their TPU coverage from the non-interpret tests in this suite
-# plus the verify-skill drives.
-cpu_numerics = pytest.mark.skipif(
-    jnp.zeros(1).devices().pop().platform != "cpu",
-    reason="interpret-mode tolerance assumes CPU f32 dot numerics",
-)
+from conftest import cpu_numerics_marker
+
+cpu_numerics = cpu_numerics_marker()
 
 
 def _queries(rng, t, b, lo, hi, zhi):
