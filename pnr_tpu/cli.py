@@ -72,6 +72,14 @@ def main(argv=None) -> int:
         "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N)",
     )
     ap.add_argument(
+        "--watch",
+        action="store_true",
+        help="serve mode: -i names a DIRECTORY; reconstruct stacks as "
+        "they arrive (stops when <dir>/.stop appears). Compiled "
+        "programs persist across stacks — the resident-process "
+        "deployment the per-invocation plugin can't do",
+    )
+    ap.add_argument(
         "--interactive",
         action="store_true",
         help="prompt for the 11 parameters with the reference defaults "
@@ -134,6 +142,19 @@ def main(argv=None) -> int:
         ):
             print(f"{k} = {getattr(cfg, k)}")
         print("-------------------------------------------------")
+
+    if args.watch:
+        import os
+
+        from pnr_tpu.pipeline.serve import watch_and_reconstruct
+
+        if len(args.images) != 1 or not os.path.isdir(args.image):
+            sys.stderr.write("--watch takes a single directory after -i\n")
+            return 1
+        n = watch_and_reconstruct(args.image, cfg, verbose=verbose)
+        if verbose:
+            print(f"serve: done, {n} stacks")
+        return 0
 
     if len(args.images) > 1:
         # stream every stack through the serving pipeline (shared

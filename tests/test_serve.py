@@ -1,0 +1,81 @@
+"""Serve mode (pipeline/serve.py): watch-directory reconstruction."""
+
+import os
+import threading
+import time
+
+import numpy as np
+
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.io.volume import save_volume
+from pnr_tpu.pipeline.serve import watch_and_reconstruct
+
+CFG = PNRConfig(
+    sigmas=(2.0,), somaradius=0, tolerance=10.0, znccth=0.5, kappa=2.0,
+    step=2, ni=12, np=8, zdist=2.0, nodepervol=4, vol=9, wave_size=8,
+    zncc_mode="tube",
+)
+
+
+def tube_stack(seed=0, shape=(8, 32, 64)):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    d2 = (y - 16) ** 2 + ((z - 4) * 2.0) ** 2
+    vol = 200.0 * np.exp(-d2 / (2 * 2.5**2)) * (0.7 + 0.3 * np.sin(x / 4.0))
+    return np.clip(vol + rng.normal(0, 5, shape), 0, 255).astype(np.uint8)
+
+
+class TestServe:
+    def test_preexisting_files_then_stop(self, tmp_path):
+        d = str(tmp_path)
+        save_volume(os.path.join(d, "a.tif"), tube_stack(0))
+        save_volume(os.path.join(d, "b.tif"), tube_stack(1))
+        open(os.path.join(d, ".stop"), "w").close()
+        n = watch_and_reconstruct(d, CFG, poll_s=0.05, verbose=False)
+        assert n == 2
+        for name in ("a.tif", "b.tif"):
+            out = os.path.join(d, name + "_Advantra.swc")
+            assert os.path.exists(out)
+            assert len(open(out).read().splitlines()) > 3
+
+    def test_file_arriving_while_serving(self, tmp_path):
+        """A stack dropped in mid-serve is picked up once size-stable;
+        the loop drains it before honouring the stop sentinel."""
+        d = str(tmp_path)
+        save_volume(os.path.join(d, "first.tif"), tube_stack(2))
+
+        def drop_later():
+            time.sleep(0.4)
+            save_volume(os.path.join(d, "late.tif"), tube_stack(3))
+            time.sleep(0.4)
+            open(os.path.join(d, ".stop"), "w").close()
+
+        t = threading.Thread(target=drop_later)
+        t.start()
+        n = watch_and_reconstruct(d, CFG, poll_s=0.05, verbose=False)
+        t.join()
+        assert n == 2
+        assert os.path.exists(os.path.join(d, "late.tif_Advantra.swc"))
+
+    def test_unreadable_file_skipped(self, tmp_path):
+        d = str(tmp_path)
+        with open(os.path.join(d, "broken.tif"), "wb") as f:
+            f.write(b"not a tif at all")
+        save_volume(os.path.join(d, "good.tif"), tube_stack(4))
+        open(os.path.join(d, ".stop"), "w").close()
+        n = watch_and_reconstruct(d, CFG, poll_s=0.05, verbose=False)
+        assert n == 1
+        assert os.path.exists(os.path.join(d, "good.tif_Advantra.swc"))
+
+    def test_out_dir_and_max_stacks(self, tmp_path):
+        d = str(tmp_path / "in")
+        o = str(tmp_path / "out")
+        os.makedirs(d)
+        os.makedirs(o)
+        save_volume(os.path.join(d, "a.tif"), tube_stack(5))
+        save_volume(os.path.join(d, "b.tif"), tube_stack(6))
+        n = watch_and_reconstruct(
+            d, CFG, out_dir=o, poll_s=0.05, verbose=False, max_stacks=1
+        )
+        assert n == 1
+        assert os.path.exists(os.path.join(o, "a.tif_Advantra.swc"))
