@@ -63,6 +63,42 @@ from pnr_tpu.parallel.sharded import (
 )
 from pnr_tpu.pipeline.reconstruct import ReconstructionResult, reconstruct_graph
 
+import functools
+
+
+# Per-call construction of the sharded stage callables re-traces their
+# (large) graphs every run: measured 22 s/run re-trace+dispatch for the
+# 3-sigma Frangi graph alone at 52 Mvox (PARITY.md round 3). Cache the
+# jitted callables across reconstruction_func_sharded calls, keyed by
+# everything that shapes the graph (Mesh and the frozen PNRConfig are
+# both hashable) — the sharded analog of reconstruction_batch's shared
+# BatchedTracker.
+@functools.lru_cache(maxsize=16)
+def _jit_frangi3d_sharded(mesh, sigmas, zdist, alpha, beta, c):
+    return jax.jit(
+        lambda v: frangi3d_sharded(v, sigmas, zdist, mesh, alpha, beta, c)
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_frangi2d_sharded(mesh, sigmas, beta_one, beta_two):
+    return jax.jit(
+        lambda v: frangi2d_sharded(v, sigmas, mesh, beta_one, beta_two)
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _seed_scorer_cached(cfg, mesh, is2d):
+    return build_seed_scorer(cfg, mesh, is2d=is2d)
+
+
+@functools.lru_cache(maxsize=8)
+def _handoff_tracer_cached(cfg, mesh, lanes, stage_iters, z_total, is2d):
+    return build_handoff_tracer(
+        cfg, mesh, lanes_per_shard=lanes, stage_iters=stage_iters,
+        z_total=z_total, is2d=is2d,
+    )
+
 
 def _pad_axis_replicate(vol: np.ndarray, n_dev: int, axis: int = 0) -> np.ndarray:
     """Pad an axis to a mesh multiple by replicating the last slice —
@@ -299,14 +335,14 @@ def reconstruction_func_sharded(
 
     tm.start("frangi (sharded)")
     if is2d:
-        j, jmin, jmax, vx, vy, vz = frangi2d_sharded(
-            vs, cfg.sigmas, mesh, cfg.frangi_betaone, cfg.frangi_betatwo
-        )
+        j, jmin, jmax, vx, vy, vz = _jit_frangi2d_sharded(
+            mesh, cfg.sigmas, cfg.frangi_betaone, cfg.frangi_betatwo
+        )(vs)
     else:
-        j, jmin, jmax, vx, vy, vz = frangi3d_sharded(
-            vs, cfg.sigmas, cfg.zdist, mesh,
+        j, jmin, jmax, vx, vy, vz = _jit_frangi3d_sharded(
+            mesh, cfg.sigmas, cfg.zdist,
             cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
-        )
+        )(vs)
     j8 = normalize_to_u8_sharded(j, jmin, jmax)
     j8.block_until_ready()
     tm.stop()
@@ -333,6 +369,28 @@ def reconstruction_func_sharded(
         # TRANSPOSED sharded maps: flat index is y*X + x there
         pos_t = np.stack([xx, np.zeros_like(xx), yy], axis=-1).astype(np.float32)
         dirs = decode_directions_device(vx, vy, vz, pos_t)
+    elif jax.process_count() == 1:
+        # single host owns every shard: fetch J8 once and run the exact
+        # native tolerance flood, like the single-device pipeline. The
+        # device label-propagation (`seeds_sharded`, the multi-host
+        # branch below) is exact too but iterates whole-slab passes to
+        # convergence — measured 275 s of a 337 s run on a 52-Mvox
+        # noisy stack vs ~3 s for this path (PARITY.md round 3).
+        from pnr_tpu import native
+        from pnr_tpu.seeds.extract import (
+            decode_directions_device, max_points_device, max_points_host,
+        )
+
+        j8_np = np.asarray(j8)[:span_orig]
+        if native.have_native():
+            mask = max_points_host(j8_np, float(cfg.tolerance))
+        else:
+            mask = np.asarray(
+                max_points_device(jnp.asarray(j8_np), float(cfg.tolerance))
+            )
+        zz, yy, xx = np.nonzero(mask)
+        pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
+        dirs = decode_directions_device(vx, vy, vz, pos)
     else:
         cap = max(64, vol.shape[1] * vol.shape[2] // 64)
         pos_s, dirs_s, valid_s, found = seeds_sharded(
@@ -362,7 +420,7 @@ def reconstruction_func_sharded(
     tm.start("seed selection & sorting (sharded)")
     corr = np.zeros(0, np.float32)
     if len(pos):
-        scorer = build_seed_scorer(cfg, mesh, is2d=is2d)
+        scorer = _seed_scorer_cached(cfg, mesh, is2d)
         corr_all = _score_seeds_sharded(
             scorer, vs, pos, dirs, rep.shape[0], n_dev, verbose, ci
         )
@@ -381,9 +439,8 @@ def reconstruction_func_sharded(
     # re-queueing only triggers under a test override
     lanes = _lanes_override or 2 * wave
     stage_iters = 4
-    init, stage, n_stages = build_handoff_tracer(
-        cfg, mesh, lanes_per_shard=lanes, stage_iters=stage_iters,
-        z_total=span_orig, is2d=is2d,
+    init, stage, n_stages = _handoff_tracer_cached(
+        cfg, mesh, lanes, stage_iters, span_orig, is2d
     )
     trace_count = 0
     idx = 0

@@ -171,3 +171,35 @@ class TestReference2D:
         # both stay planar
         assert np.all(np.abs(np.asarray(ref_n0.z[1:])) < 1.5)
         assert np.all(np.abs(np.asarray(res.n0.z[1:])) < 1.5)
+
+
+class TestReferenceMorePhantoms:
+    """The branching phantom above carries the deep pooled-replicate
+    gate; these battery phantoms add structural diversity (an X
+    crossing that stresses density suppression, and genuine 3-D
+    curvature that stresses the z-transition priors) with single-
+    replicate distributional gates."""
+
+    @pytest.mark.parametrize("maker", ["crossing", "tortuous"])
+    def test_swc_parity_battery(self, maker, tmp_path):
+        from tests.test_phantom_neuron import (
+            crossing_tubes_phantom,
+            tortuous_3d_phantom,
+        )
+
+        vol, _gold = (
+            crossing_tubes_phantom() if maker == "crossing"
+            else tortuous_3d_phantom()
+        )
+        ref_n0, n_seeds, _ = reference_reconstruct_n0(vol, CFG)
+        assert n_seeds > 0 and len(ref_n0) > 20
+        ref_rows = _swc_rows(
+            reconstruct_graph(ref_n0.copy(), CFG), tmp_path / "ref.swc"
+        )
+        res = reconstruction_func(vol, CFG, verbose=False)
+        our_rows = _swc_rows(res.tree, tmp_path / "ours.swc")
+        s = compare_swc(our_rows, ref_rows, dist=4.0, resample=1.0)
+        # single reference replicate (wall-clock RNG): recall is the
+        # sound direction — everything the reference traced, we trace
+        assert s.recall >= 0.8, (maker, s)
+        assert s.f1 >= 0.6, (maker, s)
