@@ -290,6 +290,14 @@ def reconstruction_func_sharded(
     checkpoint_every_waves: int = 1,
     resume: bool = False,
     _lanes_override: Optional[int] = None,  # tests: force lane overflow
+    stage_iters: int = 8,  # SMC iterations per device stage launch;
+    # measured on v5e at 52 Mvox (171 seeds, wave 128): 4 -> 17.6 s,
+    # 8 -> 13.4 s (same tree), 16 -> 10.7 s (tree differs by ~1% —
+    # the handoff halo grows with stage drift and shifts sample
+    # clamping ulps, which SMC resampling amplifies; same F1 class).
+    # Smaller values buy kill-back economy per launch; 8 is the
+    # measured balance.
+
 ) -> ReconstructionResult:
     """Full reconstruction of a (Z, Y, X) uint8 volume over `mesh`.
 
@@ -438,7 +446,7 @@ def reconstruction_func_sharded(
     # worst case: every trace of the wave in one slab always fits, so
     # re-queueing only triggers under a test override
     lanes = _lanes_override or 2 * wave
-    stage_iters = 4
+    stage_iters = max(1, int(stage_iters))
     init, stage, n_stages = _handoff_tracer_cached(
         cfg, mesh, lanes, stage_iters, span_orig, is2d
     )
