@@ -244,6 +244,28 @@ def bench_e2e(shape=(128, 640, 640), zncc_mode="tube"):
     return sum(times[2:]) / 2, vol.size / 1e6, len(res.n0), times[0]
 
 
+def bench_e2e_sharded(shape=(128, 640, 640)):
+    """Warm per-stack wall-clock of reconstruction_func_sharded on a
+    1-device mesh at production scale (the multi-device pipeline's
+    single-chip overhead; see PARITY.md round-3 sharded-scale notes)."""
+    from pnr_tpu.config import PNRConfig
+    from pnr_tpu.parallel import make_mesh
+    from pnr_tpu.pipeline import reconstruction_func_sharded
+
+    vol = make_volume(shape)
+    cfg = PNRConfig(
+        sigmas=SIGMAS, tolerance=10.0, znccth=0.5, kappa=3.0, step=2,
+        ni=100, np=20, zdist=ZDIST, nodepervol=4, vol=9, zncc_mode="tube",
+    )
+    mesh = make_mesh(1)
+    reconstruction_func_sharded(vol, cfg, mesh, verbose=False)  # compile
+    t0 = time.perf_counter()
+    res = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+    dt = time.perf_counter() - t0
+    assert len(res.tree) > 10
+    return dt
+
+
 def bench_cpp_e2e(shape=(32, 192, 192)):
     """Reference C++ end-to-end compute core on one stack: frangi3d ->
     J8 -> extractSeeds -> znccBBB filter/sort -> full seed loop
@@ -370,7 +392,7 @@ def main():
     # Extras run only while there is budget left: the one-time D2H init of
     # this runtime varies 45-370 s, and the headline metric must always land.
     def budget_left():
-        return time.perf_counter() - t_start < 330.0
+        return time.perf_counter() - t_start < 450.0
 
     # Extras ordered by (verdict importance / cost), cheapest-critical
     # first: the remote tunnel's D2H bandwidth varies >5x across hours,
@@ -440,6 +462,15 @@ def main():
             extras["e2e_s_per_stack_exact"] = round(dt, 2)
         except Exception as e:
             extras["e2e_exact_error"] = str(e)[:120]
+    if budget_left():
+        # the multi-device pipeline on a 1-device mesh at the same
+        # production scale: certifies the sharded path end-to-end on
+        # real hardware and records its single-chip overhead vs the
+        # serving driver (the mesh axis itself needs real multi-chip)
+        try:
+            extras["e2e_sharded_s_per_stack"] = round(bench_e2e_sharded(), 2)
+        except Exception as e:
+            extras["e2e_sharded_error"] = str(e)[:120]
     print(
         json.dumps(
             {

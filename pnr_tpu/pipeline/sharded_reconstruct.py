@@ -503,6 +503,11 @@ def reconstruction_func_sharded(
         trace_count = _trace_and_commit_wave_sharded(
             committer, init, stage, vs, bp, bd, bi, bv, key, cfg,
             pos, sel, trace_count, n_stages, stage_iters,
+            # capacity structurally cannot bind when every trace of the
+            # wave fits one shard's lanes (lanes = 2*wave >= 2*len(sel))
+            # — the stale-by-one kill of the pipeline is then
+            # economy-only and results are bitwise-serial
+            pipelined=(_lanes_override is None and lanes >= 2 * len(sel)),
         )
         waves_done += 1
         if checkpoint_path and waves_done % max(1, checkpoint_every_waves) == 0:
@@ -536,14 +541,25 @@ def reconstruction_func_sharded(
 
 def _trace_and_commit_wave_sharded(
     committer, init, stage, vs, bp, bd, bi, bv, base_key, cfg,
-    pos, sel, trace_count, n_stages, stage_iters,
+    pos, sel, trace_count, n_stages, stage_iters, pipelined=False,
 ):
     """Staged sharded wave with the in-order commit wavefront and
     kill-back — the sharded counterpart of the single-device
     `_trace_and_commit_wave` (pipeline/reconstruct.py): estimates commit
     in seed order between stages, and traces whose committed prefix
     stopped (suppression/out-of-bounds/low corr) are killed so they cost
-    no further device compute and free their lanes for migration."""
+    no further device compute and free their lanes for migration.
+
+    With `pipelined`, stage k+1 launches (kill mask computed ON DEVICE
+    from stage k's lane ids — no host sync) before stage k's estimates
+    are fetched and committed, so the next stage's device compute
+    overlaps the host commit — the sharded analog of the single-device
+    stage-loop software pipeline. The kill feedback is then stale by
+    one stage: economy-only, PROVIDED migration capacity never binds
+    (a dead-but-unkilled trace holds its lane one stage longer). The
+    caller only enables this when every trace of the wave fits one
+    shard's lanes simultaneously, where capacity structurally cannot
+    bind and results are bitwise-identical to the serial loop."""
     ni = cfg.ni
     state, est0, ids0 = init(vs, bp, bd, bi.astype(np.int32), bv, base_key)
     lanes_total = int(est0.shape[0])
@@ -601,33 +617,78 @@ def _trace_and_commit_wave_sharded(
                 break
         return False
 
+    def fill_est(pk, ids_np, it0, n_it):
+        for lane in range(lanes_total):
+            t = int(ids_np[lane])
+            if t >= 0 and t in est:
+                est[t][it0 : it0 + n_it] = pk[lane, :n_it]
+
+    if not pipelined:
+        while True:
+            capped = advance(it_done)
+            if commit_ptr >= len(commit_order) or it_done >= ni or capped:
+                break
+            # build the kill mask in CURRENT lane layout
+            kill = np.zeros(lanes_total, bool)
+            for lane in range(lanes_total):
+                t = int(ids_cur[lane])
+                if t >= 0 and t in killed_ids:
+                    kill[lane] = True
+            n_it = min(stage_iters, ni - it_done)
+            state, packed, ids_j, live, kept = stage(
+                vs, state, jnp.arange(it_done, it_done + stage_iters),
+                jnp.asarray(kill),
+            )
+            for a in (packed, ids_j):
+                # issue both D2H transfers before collecting either (the
+                # link pipelines concurrent requests — see fetch_volume)
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            pk = np.asarray(packed)
+            ids_cur = np.asarray(ids_j)
+            fill_est(pk, ids_cur, it_done, n_it)
+            it_done += n_it
+
+        advance(it_done)
+        return trace_count
+
+    # ---- pipelined: one stage in flight ahead of the commit wavefront
+    ids_dev = ids0  # device lane ids of the LAST LAUNCHED stage
+    it_launch = 1
+    inflight = None  # (packed, ids, it_start, n_it)
+    kpad = max(lanes_total, 2 * len(sel))
     while True:
         capped = advance(it_done)
-        if commit_ptr >= len(commit_order) or it_done >= ni or capped:
+        if commit_ptr >= len(commit_order) or capped:
+            break  # in-flight work (if any) is dead — drop it
+        if it_launch < ni:
+            killed_arr = np.full(kpad, -1, np.int64)
+            if killed_ids:
+                kl = np.fromiter(killed_ids, np.int64)
+                killed_arr[: len(kl)] = kl
+            # device-side id->lane kill translation: stage k+1 launches
+            # without fetching stage k's lane layout
+            kill_dev = jnp.isin(ids_dev, jnp.asarray(killed_arr))
+            n_it = min(stage_iters, ni - it_launch)
+            state, packed, ids_j, live, kept = stage(
+                vs, state, jnp.arange(it_launch, it_launch + stage_iters),
+                kill_dev,
+            )
+            for a in (packed, ids_j):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            newflight = (packed, ids_j, it_launch, n_it)
+            ids_dev = ids_j
+            it_launch += n_it
+        else:
+            newflight = None
+        if inflight is not None:
+            packed_p, ids_p, it0, n_p = inflight
+            fill_est(np.asarray(packed_p), np.asarray(ids_p), it0, n_p)
+            it_done = it0 + n_p
+        elif newflight is None:
             break
-        # build the kill mask in CURRENT lane layout
-        kill = np.zeros(lanes_total, bool)
-        for lane in range(lanes_total):
-            t = int(ids_cur[lane])
-            if t >= 0 and t in killed_ids:
-                kill[lane] = True
-        n_it = min(stage_iters, ni - it_done)
-        state, packed, ids_j, live, kept = stage(
-            vs, state, jnp.arange(it_done, it_done + stage_iters),
-            jnp.asarray(kill),
-        )
-        for a in (packed, ids_j):
-            # issue both D2H transfers before collecting either (the
-            # link pipelines concurrent requests — see fetch_volume)
-            if hasattr(a, "copy_to_host_async"):
-                a.copy_to_host_async()
-        pk = np.asarray(packed)
-        ids_cur = np.asarray(ids_j)
-        for lane in range(lanes_total):
-            t = int(ids_cur[lane])
-            if t >= 0 and t in est:
-                est[t][it_done : it_done + n_it] = pk[lane, :n_it]
-        it_done += n_it
+        inflight = newflight
 
     advance(it_done)
     return trace_count

@@ -857,3 +857,45 @@ class TestBatchSharded:
             split_mesh(mesh, 3)
         subs = split_mesh(mesh, 4)
         assert len(subs) == 4 and all(m.devices.size == 2 for m in subs)
+
+
+class TestPipelinedWaveLoop:
+    def test_pipelined_bitwise_equals_serial(self, mesh):
+        """The sharded stage loop's software pipeline (stale-by-one
+        on-device kill translation) must be BITWISE-identical to the
+        serial loop when capacity cannot bind. `_lanes_override` forces
+        the serial path; passing the default lane count makes the two
+        runs differ only in pipelining."""
+        from pnr_tpu.pipeline.sharded_reconstruct import reconstruction_func_sharded
+
+        rng = np.random.default_rng(31)
+        shape = (16, 40, 80)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (y - 20) ** 2 + ((z - 8) * 2.0) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / (2 * 2.5**2))
+            * (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 6) * (x < 73)
+            + rng.normal(0, 5, shape),
+            0, 255,
+        ).astype(np.uint8)
+        cfg = PNRConfig(
+            sigmas=(2.0,), tolerance=10.0, znccth=0.5, kappa=2.0, step=2,
+            ni=24, np=8, zdist=2.0, nodepervol=4, vol=9, wave_size=8,
+            zncc_mode="tube",
+        )
+        piped = reconstruction_func_sharded(vol, cfg, mesh, verbose=False)
+        serial = reconstruction_func_sharded(
+            vol, cfg, mesh, verbose=False,
+            _lanes_override=2 * cfg.wave_size,
+        )
+        assert piped.trace_count == serial.trace_count > 0
+        assert len(piped.n0) == len(serial.n0) > 2
+        np.testing.assert_array_equal(
+            np.asarray(piped.n0.x), np.asarray(serial.n0.x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(piped.n0.y), np.asarray(serial.n0.y)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(piped.n0.z), np.asarray(serial.n0.z)
+        )
