@@ -78,8 +78,9 @@ def build_handoff_tracer(
     """Staged distributed tracer. Returns (init, stage, n_stages).
 
     init(vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key)
-        -> (state, est0 (L, 9), ids0 (L,))
-    stage(vol_sharded, state, iter_idx (stage_iters,), kill (L,))
+        -> (state, est0 (L, 9), ids0 (L,), field) — `field` is the
+        per-shard likelihood field (built once; pass it to every stage)
+    stage(vol_sharded, field, state, iter_idx (stage_iters,), kill (L,))
         -> (state, packed (L, stage_iters, 9), ids (L,), live (L,),
             kept_local (n_shards,))
 
@@ -138,6 +139,7 @@ def build_handoff_tracer(
 
     def init_local(vol_local, sp, sd, ids, valid, key_data):
         field, z_off, zl = _local_field(vol_local)
+        field_out = field[None]  # leading per-shard axis for out_specs
         zmax = float(z_total if z_total is not None else n_dev * vol_local.shape[0])
         keys = jax.vmap(jax.random.wrap_key_data)(key_data)
         sp_local = sp - jnp.zeros((3,), jnp.float32).at[ci].set(z_off)[None, :]
@@ -147,10 +149,18 @@ def build_handoff_tracer(
         est0 = est0.at[:, 8].multiply((valid & okg0).astype(jnp.float32))
         live = valid
         state = carry + (key_data, ids, live, est0[:, ci])
-        return state, est0, jnp.where(live, ids, -1)
+        return state, est0, jnp.where(live, ids, -1), field_out
 
-    def stage_local(vol_local, state, iter_idx, kill):
-        field, z_off, zl = _local_field(vol_local)
+    def stage_local(vol_local, field_in, state, iter_idx, kill):
+        # the likelihood field (halo slab -> tube maps / channel volume)
+        # is built ONCE in init_local and passed back in: rebuilding it
+        # per stage launch cost ~40% of the whole tracing stage at
+        # 52 Mvox (PARITY.md round 3). vol_local rides along only for
+        # its static shape / dtype bookkeeping.
+        field = field_in[0]
+        idx0 = lax.axis_index(axis)
+        zl = vol_local.shape[0]
+        z_off = (idx0 * zl - trace_halo).astype(jnp.float32)
         zmax = float(z_total if z_total is not None else n_dev * vol_local.shape[0])
         idx = lax.axis_index(axis)
         (pos, dirs, wgt, resampled, res_idx, alive,
@@ -244,13 +254,13 @@ def build_handoff_tracer(
         init_local,
         mesh=mesh,
         in_specs=(P(axis),) * 6,
-        out_specs=(state_spec, P(axis), P(axis)),
+        out_specs=(state_spec, P(axis), P(axis), P(axis)),
         check_vma=False,  # tube-map / exact Pallas kernels inside
     )
     stage_fn = shard_map(
         stage_local,
         mesh=mesh,
-        in_specs=(P(axis), state_spec, P(None), P(axis)),
+        in_specs=(P(axis), P(axis), state_spec, P(None), P(axis)),
         out_specs=(state_spec, P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,  # tube-map / exact Pallas kernels inside
     )
@@ -296,7 +306,7 @@ def build_handoff_trace_step(
     n_dev = mesh.devices.size
 
     def step(vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key):
-        state, est0, ids0 = init(
+        state, est0, ids0, field = init(
             vol_sharded, seed_pos, seed_dir, trace_ids, valid, base_key
         )
         lanes = est0.shape[0]
@@ -308,7 +318,8 @@ def build_handoff_trace_step(
         for s in range(n_stages):
             n_it = min(stage_iters, ni - it)
             state, packed, ids, live, _kept = stage(
-                vol_sharded, state, jnp.arange(it, it + stage_iters), no_kill
+                vol_sharded, field, state,
+                jnp.arange(it, it + stage_iters), no_kill,
             )
             if n_it < stage_iters:
                 packed = packed.at[:, n_it:, 8].set(0.0)

@@ -561,7 +561,7 @@ def _trace_and_commit_wave_sharded(
     shard's lanes simultaneously, where capacity structurally cannot
     bind and results are bitwise-identical to the serial loop."""
     ni = cfg.ni
-    state, est0, ids0 = init(vs, bp, bd, bi.astype(np.int32), bv, base_key)
+    state, est0, ids0, field = init(vs, bp, bd, bi.astype(np.int32), bv, base_key)
     lanes_total = int(est0.shape[0])
 
     # per-trace host-side estimate buffers, filled stage by stage
@@ -636,7 +636,8 @@ def _trace_and_commit_wave_sharded(
                     kill[lane] = True
             n_it = min(stage_iters, ni - it_done)
             state, packed, ids_j, live, kept = stage(
-                vs, state, jnp.arange(it_done, it_done + stage_iters),
+                vs, field, state,
+                jnp.arange(it_done, it_done + stage_iters),
                 jnp.asarray(kill),
             )
             for a in (packed, ids_j):
@@ -671,7 +672,8 @@ def _trace_and_commit_wave_sharded(
             kill_dev = jnp.isin(ids_dev, jnp.asarray(killed_arr))
             n_it = min(stage_iters, ni - it_launch)
             state, packed, ids_j, live, kept = stage(
-                vs, state, jnp.arange(it_launch, it_launch + stage_iters),
+                vs, field, state,
+                jnp.arange(it_launch, it_launch + stage_iters),
                 kill_dev,
             )
             for a in (packed, ids_j):
