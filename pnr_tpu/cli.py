@@ -151,7 +151,18 @@ def main(argv=None) -> int:
         if len(args.images) != 1 or not os.path.isdir(args.image):
             sys.stderr.write("--watch takes a single directory after -i\n")
             return 1
-        n = watch_and_reconstruct(args.image, cfg, verbose=verbose)
+        for bad, why in (
+            (args.find_maxima, "--find-maxima"),
+            (args.checkpoint, "--checkpoint"),
+            (args.mesh, "--mesh"),
+            (args.save_midres, "--save-midres"),
+        ):
+            if bad:
+                sys.stderr.write(f"{why} is not supported with --watch\n")
+                return 1
+        n = watch_and_reconstruct(
+            args.image, cfg, out_dir=args.output, verbose=verbose
+        )
         if verbose:
             print(f"serve: done, {n} stacks")
         return 0

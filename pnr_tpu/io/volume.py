@@ -16,6 +16,10 @@ import numpy as np
 _V3D_MAGIC = b"raw_image_stack_by_hpeng"
 _PBD_MAGIC = b"v3d_volume_pkbitdf_encod"
 
+#: every extension `load_volume` accepts (the watch-directory server
+#: keys its file filter off this — keep in sync with the dispatch below)
+LOADABLE_EXTS = (".tif", ".tiff", ".v3draw", ".raw", ".v3dpbd", ".npy")
+
 
 def load_volume(path: str) -> np.ndarray:
     """Load a volume as (Z, Y, X) uint8."""

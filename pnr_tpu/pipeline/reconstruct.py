@@ -697,16 +697,39 @@ def reconstruction_batch(
             trackers[is2d] = BatchedTracker(cfg, is2d)
         return trackers[is2d]
 
-    it = enumerate(vols)
+    #: a feed may yield None to mean "no stack ready yet" (the watch
+    #: server, pipeline/serve.py): the driver must not block on the
+    #: feed while fronts are queued — a None is skipped, queued work
+    #: keeps draining, and the feed is re-polled on the next top-up.
+    #: The FEED owns any sleep/backoff before yielding None.
+    _DONE = object()
+    raw = iter(vols)
+    idx = 0
+
+    def pull():
+        """Next (index, uint8 vol), None if the feed isn't ready, or
+        _DONE when exhausted. None items do not consume an index."""
+        nonlocal idx
+        nxt = next(raw, _DONE)
+        if nxt is _DONE or nxt is None:
+            return nxt
+        item = (idx, as_u8_volume(nxt))
+        idx += 1
+        return item
+
     if not prefetch:
-        for i, vol in it:
-            vol = as_u8_volume(vol)
+        while True:
+            item = pull()
+            if item is _DONE:
+                return
+            if item is None:
+                continue
+            i, vol = item
             yield reconstruction_func(
                 vol, cfg, verbose=verbose,
                 key=jax.random.fold_in(key, i),
                 _tracker=get_tracker(vol),
             )
-        return
 
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -727,9 +750,7 @@ def reconstruction_batch(
                 _stack_front, vol, cfg, verbose=verbose, tracker=tracker
             ), vol.size * per_voxel
 
-        pending = next(it, None)
-        if pending is not None:
-            pending = (pending[0], as_u8_volume(pending[1]))
+        pending = pull()
         queue = deque()
 
         def topup(current_bytes):
@@ -737,26 +758,33 @@ def reconstruction_batch(
             stack currently tracing) fit the device budget; sized per
             VOLUME, so heterogeneous batches clamp on the big stacks.
             With nothing else in flight the next front always submits
-            (an over-budget single stack can't do better)."""
+            (an over-budget single stack can't do better). A not-ready
+            feed (None) is polled AT MOST once per call, so top-ups in
+            the middle of the pipeline never stall on arrivals."""
             nonlocal pending
-            while pending is not None and len(queue) < depth:
+            while len(queue) < depth:
+                if pending is None:
+                    pending = pull()  # one bounded re-poll of the feed
+                if pending is None or pending is _DONE:
+                    break
                 nbytes = pending[1].size * per_voxel
                 used = current_bytes + sum(q[3] for q in queue)
                 if (queue or current_bytes) and used + nbytes > budget:
                     break
                 queue.append(submit(pending))
-                nxt = next(it, None)
-                pending = (
-                    (nxt[0], as_u8_volume(nxt[1]))
-                    if nxt is not None else None
-                )
+                pending = pull()
+                if pending is None:
+                    break
 
         topup(0)
-        while queue or pending is not None:
+        while queue or pending is not _DONE:
             if not queue:
                 # the previous stack's device buffers are freed once its
-                # back half returned; an over-budget front submits here
+                # back half returned; an over-budget front submits here,
+                # and a not-ready feed is re-polled (the feed sleeps)
                 topup(0)
+                if not queue:
+                    continue
             i, vol, fut, nbytes = queue.popleft()
             front = fut.result()
             # keep the pipeline full before tracing the current stack

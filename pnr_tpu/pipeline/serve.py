@@ -19,32 +19,48 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Iterator, Optional, Tuple
+from typing import Optional
 
 from pnr_tpu.config import PNRConfig
+from pnr_tpu.io.volume import LOADABLE_EXTS
 
-_EXTS = (".tif", ".tiff", ".v3draw", ".raw", ".v3dpbd", ".npy")
 
+def _scan(watch_dir: str, seen, sizes) -> list:
+    """Return paths that are new (or rewritten) and stable.
 
-def _scan(watch_dir: str, seen, sizes) -> Iterator[str]:
-    """Yield paths that are new (or rewritten) and size-stable."""
+    `sizes` holds each candidate's (mtime_ns, size) awaiting the
+    confirming second poll; a file must show the SAME stamp twice in a
+    row to be yielded, so a delete+rewrite between polls restarts its
+    stability check. Entries for files that vanished are pruned — a
+    deleted candidate must not wedge the drain-before-stop check — and
+    `seen` entries of vanished files are pruned with them so the
+    long-running server's memory stays bounded by the directory size.
+    """
+    ready = []
+    present = set()
     for name in sorted(os.listdir(watch_dir)):
         path = os.path.join(watch_dir, name)
-        if not name.lower().endswith(_EXTS) or not os.path.isfile(path):
+        if not name.lower().endswith(LOADABLE_EXTS) or not os.path.isfile(path):
             continue
         try:
             st = os.stat(path)
         except OSError:
             continue
+        present.add(path)
         key = (path, st.st_mtime_ns, st.st_size)
         if key in seen:
             continue
-        if sizes.get(path) == st.st_size:
+        stamp = (st.st_mtime_ns, st.st_size)
+        if sizes.get(path) == stamp:
             seen.add(key)
             del sizes[path]
-            yield path
+            ready.append(path)
         else:
-            sizes[path] = st.st_size  # candidate: confirm next poll
+            sizes[path] = stamp  # candidate: confirm next poll
+    for stale in [p for p in sizes if p not in present]:
+        del sizes[stale]
+    seen &= {k for k in seen if k[0] in present}
+    return ready
 
 
 def watch_and_reconstruct(
@@ -67,6 +83,8 @@ def watch_and_reconstruct(
     from pnr_tpu.io.volume import load_volume
     from pnr_tpu.pipeline.reconstruct import reconstruction_batch
 
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     seen = set()
     sizes = {}
     paths = []  # consumed order; reconstruction_batch preserves it
@@ -95,6 +113,10 @@ def watch_and_reconstruct(
                 if not sizes and os.path.exists(stop_path):
                     return
                 time.sleep(poll_s)
+                # tell the batch driver "nothing ready yet" so it keeps
+                # draining queued fronts instead of blocking here — an
+                # arrived stack's SWC must never wait on FUTURE arrivals
+                yield None
 
     count = 0
     for result in reconstruction_batch(volumes(), cfg, verbose=verbose):

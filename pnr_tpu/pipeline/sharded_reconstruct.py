@@ -663,7 +663,9 @@ def _trace_and_commit_wave_sharded(
         if commit_ptr >= len(commit_order) or capped:
             break  # in-flight work (if any) is dead — drop it
         if it_launch < ni:
-            killed_arr = np.full(kpad, -1, np.int64)
+            # pad with -2: -1 is the free-lane id sentinel in `ids`, and
+            # the pad value must never match a lane id
+            killed_arr = np.full(kpad, -2, np.int64)
             if killed_ids:
                 kl = np.fromiter(killed_ids, np.int64)
                 killed_arr[: len(kl)] = kl

@@ -67,6 +67,75 @@ class TestServe:
         assert n == 1
         assert os.path.exists(os.path.join(d, "good.tif_Advantra.swc"))
 
+    def test_single_stack_served_without_future_arrivals(self, tmp_path):
+        """Liveness: one arrived stack must be reconstructed promptly —
+        its SWC must NOT be gated on later stacks or the stop sentinel
+        (the batch driver's prefetch must not block pulling the feed
+        while work is queued)."""
+        d = str(tmp_path)
+        done = threading.Event()
+
+        def serve():
+            watch_and_reconstruct(d, CFG, poll_s=0.05, verbose=False)
+            done.set()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        time.sleep(0.2)  # server idles on an empty dir
+        save_volume(os.path.join(d, "solo.tif"), tube_stack(7))
+        out = os.path.join(d, "solo.tif_Advantra.swc")
+        deadline = time.time() + 60.0
+        while not os.path.exists(out) and time.time() < deadline:
+            time.sleep(0.1)
+        # the SWC appears while the server is still running
+        assert os.path.exists(out), "arrived stack was not served"
+        assert not done.is_set()
+        open(os.path.join(d, ".stop"), "w").close()
+        t.join(timeout=30.0)
+        assert done.is_set()
+
+    def test_scan_prunes_vanished_candidate(self, tmp_path):
+        """A file that vanishes mid-stability-check must not leave a
+        stale `sizes` entry (it would block the drain-before-stop
+        check forever), and `seen` stays bounded by the directory."""
+        from pnr_tpu.pipeline.serve import _scan
+
+        d = str(tmp_path)
+        seen, sizes = set(), {}
+        p = os.path.join(d, "gone.tif")
+        with open(p, "wb") as f:
+            f.write(b"x" * 64)
+        assert _scan(d, seen, sizes) == []  # first sighting: candidate
+        assert sizes
+        os.remove(p)
+        assert _scan(d, seen, sizes) == []
+        assert not sizes, "vanished candidate must be pruned"
+        # a served file that is later removed is pruned from `seen` too
+        q = os.path.join(d, "served.tif")
+        with open(q, "wb") as f:
+            f.write(b"y" * 64)
+        _scan(d, seen, sizes)
+        assert _scan(d, seen, sizes) == [q]
+        assert seen
+        os.remove(q)
+        _scan(d, seen, sizes)
+        assert not seen
+
+    def test_rewritten_candidate_restarts_stability_check(self, tmp_path):
+        """Same size but new mtime between polls = still being written;
+        must not be yielded until the (mtime, size) stamp repeats."""
+        from pnr_tpu.pipeline.serve import _scan
+
+        d = str(tmp_path)
+        seen, sizes = set(), {}
+        p = os.path.join(d, "slow.tif")
+        with open(p, "wb") as f:
+            f.write(b"x" * 64)
+        assert _scan(d, seen, sizes) == []
+        os.utime(p, ns=(1, 1))  # rewrite: same size, different mtime
+        assert _scan(d, seen, sizes) == [] , "unstable mtime must re-arm"
+        assert _scan(d, seen, sizes) == [p]
+
     def test_out_dir_and_max_stacks(self, tmp_path):
         d = str(tmp_path / "in")
         o = str(tmp_path / "out")
