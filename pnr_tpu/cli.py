@@ -154,14 +154,21 @@ def main(argv=None) -> int:
         for bad, why in (
             (args.find_maxima, "--find-maxima"),
             (args.checkpoint, "--checkpoint"),
-            (args.mesh, "--mesh"),
             (args.save_midres, "--save-midres"),
         ):
             if bad:
                 sys.stderr.write(f"{why} is not supported with --watch\n")
                 return 1
+        mesh = None
+        if args.mesh and args.mesh > 1:
+            # sharded serving: arrivals batch through the DP x spatial
+            # driver (whole mesh for a lone stack, per-stack submeshes
+            # for a burst)
+            from pnr_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.mesh)
         n = watch_and_reconstruct(
-            args.image, cfg, out_dir=args.output, verbose=verbose
+            args.image, cfg, out_dir=args.output, verbose=verbose, mesh=mesh
         )
         if verbose:
             print(f"serve: done, {n} stacks")

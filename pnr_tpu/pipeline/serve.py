@@ -63,6 +63,19 @@ def _scan(watch_dir: str, seen, sizes) -> list:
     return ready
 
 
+def _write_swc(result, path: str, out_dir: Optional[str], cfg, verbose) -> None:
+    from pnr_tpu.io.swc import save_nodelist
+
+    base = os.path.basename(path) if out_dir else path
+    out = (os.path.join(out_dir, base) if out_dir else path) + "_Advantra.swc"
+    save_nodelist(
+        result.tree, out, ntype=-1, sig2r=1.0, name="Advantra",
+        comment=cfg.provenance_comment(),
+    )
+    if verbose:
+        print(f"serve: wrote {out} ({len(result.tree) - 1} nodes)")
+
+
 def watch_and_reconstruct(
     watch_dir: str,
     cfg: PNRConfig,
@@ -71,6 +84,8 @@ def watch_and_reconstruct(
     stop_file: str = ".stop",
     verbose: bool = True,
     max_stacks: Optional[int] = None,
+    mesh=None,
+    dp_groups: Optional[int] = None,
 ) -> int:
     """Serve `watch_dir`: reconstruct every arriving stack to SWC.
 
@@ -78,8 +93,15 @@ def watch_and_reconstruct(
     ``max_stacks`` inputs have been processed), then drains and
     returns the number of stacks reconstructed. Outputs are written as
     ``<name>_Advantra.swc`` next to the input (or into ``out_dir``).
+
+    With ``mesh`` (a `jax.sharding.Mesh`), arrivals run through the
+    multi-device pipeline instead: each poll's batch goes to
+    `parallel.batch_dp.reconstruction_batch_sharded`, which splits the
+    mesh into per-stack spatial submeshes (DP x spatial) — a lone
+    arrival gets the whole mesh Z-sharded, a burst reconstructs
+    `dp_groups` stacks concurrently on disjoint device groups. The
+    serving layout for larger-than-HBM stacks.
     """
-    from pnr_tpu.io.swc import save_nodelist
     from pnr_tpu.io.volume import load_volume
     from pnr_tpu.pipeline.reconstruct import reconstruction_batch
 
@@ -89,6 +111,12 @@ def watch_and_reconstruct(
     sizes = {}
     paths = []  # consumed order; reconstruction_batch preserves it
     stop_path = os.path.join(watch_dir, stop_file)
+
+    if mesh is not None:
+        return _watch_sharded(
+            watch_dir, cfg, mesh, dp_groups, out_dir, poll_s, stop_path,
+            verbose, max_stacks, seen, sizes,
+        )
 
     def volumes():
         served = 0
@@ -120,15 +148,46 @@ def watch_and_reconstruct(
 
     count = 0
     for result in reconstruction_batch(volumes(), cfg, verbose=verbose):
-        path = paths[count]
-        base = os.path.basename(path) if out_dir else path
-        out = os.path.join(out_dir, base) if out_dir else path
-        out += "_Advantra.swc"
-        save_nodelist(
-            result.tree, out, ntype=-1, sig2r=1.0, name="Advantra",
-            comment=cfg.provenance_comment(),
-        )
-        if verbose:
-            print(f"serve: wrote {out} ({len(result.tree) - 1} nodes)")
+        _write_swc(result, paths[count], out_dir, cfg, verbose)
         count += 1
+    return count
+
+
+def _watch_sharded(
+    watch_dir, cfg, mesh, dp_groups, out_dir, poll_s, stop_path,
+    verbose, max_stacks, seen, sizes,
+) -> int:
+    """Sharded serving loop: batch each poll's stable arrivals through
+    the DP x spatial driver. PRNG semantics match per-stack
+    `reconstruction_func_sharded` runs (each stack derives its streams
+    from cfg.seed), so serving N stacks equals N individual CLI runs."""
+    from pnr_tpu.io.volume import load_volume
+    from pnr_tpu.parallel.batch_dp import reconstruction_batch_sharded
+
+    count = 0
+    while max_stacks is None or count < max_stacks:
+        batch = []
+        for path in _scan(watch_dir, seen, sizes):
+            if max_stacks is not None and count + len(batch) >= max_stacks:
+                break
+            try:
+                vol = load_volume(path)
+            except Exception as e:  # unreadable/partial: skip loudly
+                if verbose:
+                    print(f"serve: skipping {path}: {e}")
+                continue
+            batch.append((path, vol))
+        if not batch:
+            # drain before stopping: size-stability needs a second poll
+            if not sizes and os.path.exists(stop_path):
+                break
+            time.sleep(poll_s)
+            continue
+        results = reconstruction_batch_sharded(
+            [v for _, v in batch], cfg, mesh, groups=dp_groups,
+            verbose=verbose,
+        )
+        for (path, _), result in zip(batch, results):
+            _write_swc(result, path, out_dir, cfg, verbose)
+            count += 1
     return count

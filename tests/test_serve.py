@@ -67,6 +67,37 @@ class TestServe:
         assert n == 1
         assert os.path.exists(os.path.join(d, "good.tif_Advantra.swc"))
 
+    def test_sharded_serving(self, tmp_path):
+        """--watch --mesh: arrivals run through the DP x spatial driver
+        (a pair of stacks splits the mesh into two 1-device submesh
+        groups); each SWC equals a per-stack reconstruction_func_sharded
+        run on a same-size submesh."""
+        from pnr_tpu.parallel import make_mesh, split_mesh
+        from pnr_tpu.pipeline.sharded_reconstruct import (
+            reconstruction_func_sharded,
+        )
+
+        import dataclasses
+
+        d = str(tmp_path)
+        cfg = dataclasses.replace(CFG, tree_size_min=3)
+        vols = [tube_stack(10), tube_stack(11)]
+        save_volume(os.path.join(d, "a.tif"), vols[0])
+        save_volume(os.path.join(d, "b.tif"), vols[1])
+        open(os.path.join(d, ".stop"), "w").close()
+        mesh = make_mesh(2)
+        n = watch_and_reconstruct(d, cfg, poll_s=0.05, verbose=False, mesh=mesh)
+        assert n == 2
+        sub = split_mesh(mesh, 2)[0]
+        for name, vol in zip(("a.tif", "b.tif"), vols):
+            out = os.path.join(d, name + "_Advantra.swc")
+            assert os.path.exists(out)
+            rows = [
+                L.split() for L in open(out) if L.strip() and L[0] != "#"
+            ]
+            ref = reconstruction_func_sharded(vol, cfg, sub, verbose=False)
+            assert len(rows) == len(ref.tree) - 1
+
     def test_single_stack_served_without_future_arrivals(self, tmp_path):
         """Liveness: one arrived stack must be reconstructed promptly —
         its SWC must NOT be gated on later stacks or the stop sentinel
