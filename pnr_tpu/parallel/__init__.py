@@ -6,6 +6,11 @@ from pnr_tpu.parallel.batch_dp import (
     split_mesh,
 )
 from pnr_tpu.parallel.halo import halo_exchange_z, halo_exchange_z_aligned
+from pnr_tpu.parallel.multihost import (
+    init_multihost,
+    make_global_mesh,
+    shard_volume_global,
+)
 from pnr_tpu.parallel.sharded import (
     assign_seeds_to_shards,
     build_local_trace_step,
@@ -22,6 +27,9 @@ from pnr_tpu.parallel.sharded import (
 __all__ = [
     "halo_exchange_z",
     "halo_exchange_z_aligned",
+    "init_multihost",
+    "make_global_mesh",
+    "shard_volume_global",
     "reconstruction_batch_dp",
     "reconstruction_batch_sharded",
     "split_mesh",

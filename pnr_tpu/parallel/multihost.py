@@ -1,0 +1,79 @@
+"""Multi-host (multi-process) mesh setup over the JAX distributed runtime.
+
+The reference is a single-process plugin (SURVEY.md §2b: no NCCL/MPI/
+Gloo anywhere); the TPU-native scale-out axis is `jax.distributed` —
+one process per host/slice, XLA collectives riding ICI within a slice
+and DCN across slices. Nothing in `parallel/` changes for multi-host:
+`frangi3d_sharded`, the halo exchanges and the sharded seed extraction
+are written against a `Mesh`, and a mesh over `jax.devices()` AFTER
+`init_multihost()` spans every process's devices — the same `ppermute`
+ring that crosses chips within a host crosses hosts at the process
+boundary (certified cross-process by tests/test_multiprocess.py on a
+2-process gloo CPU cluster).
+
+Host-side stages (seed flood, FCFS commit, graph post-processing) are
+driven by process 0 in this design; use `process_index()` to gate them
+and `shard_volume_global` so each process only materializes its own
+slabs of the input.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join this process to the JAX distributed runtime; returns the
+    process index.
+
+    With no arguments the runtime autodetects from the environment
+    (TPU pod metadata, or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID). Call once per process, BEFORE any other jax use;
+    safe to call in a single-process run only with explicit
+    num_processes=1 (autodetection requires a coordinator).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
+def make_global_mesh(axis: str = "z") -> Mesh:
+    """1-D mesh over ALL devices of ALL processes, in process order.
+
+    `jax.devices()` after `init_multihost` enumerates every process's
+    devices; a Z-sharded volume on this mesh therefore spans hosts, and
+    the halo-exchange `ppermute` ring crosses the host boundary exactly
+    where the shard boundary does.
+    """
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def shard_volume_global(vol: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a (Z, Y, X) volume Z-sharded over a (possibly multi-host)
+    mesh. Unlike `shard_volume` (single-process `device_put`), each
+    process materializes only the slabs its local devices own — the
+    multi-host loading path, where every host reads its own Z range of
+    the stack. `vol` may be the full volume on every process (simple)
+    or any object supporting `vol[idx]` for this process's index
+    windows (a memory-mapped TIF, an h5 dataset) so a host never loads
+    remote slabs.
+    """
+    if vol.shape[0] % mesh.devices.size:
+        raise ValueError(
+            f"Z={vol.shape[0]} must divide the mesh ({mesh.devices.size})"
+        )
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.make_array_from_callback(
+        vol.shape, sharding, lambda idx: np.asarray(vol[idx])
+    )
