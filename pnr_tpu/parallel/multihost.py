@@ -59,6 +59,25 @@ def make_global_mesh(axis: str = "z") -> Mesh:
     return Mesh(np.array(jax.devices()), (axis,))
 
 
+def fetch_replicated(arr) -> np.ndarray:
+    """`np.asarray` for possibly multi-process arrays.
+
+    Single-process (or fully-replicated/addressable) arrays fetch
+    directly; an array with remote shards is first resharded to
+    replicated through a jitted identity — XLA inserts the all-gather —
+    so every process can read the full value. The redundant-host-driver
+    design runs the same deterministic host logic on every process, and
+    this is its one cross-process data dependency.
+    """
+    if getattr(arr, "is_fully_addressable", True) or arr.is_fully_replicated:
+        return np.asarray(arr)
+    mesh = arr.sharding.mesh
+    rep = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, P())
+    )(arr)
+    return np.asarray(rep)
+
+
 def shard_volume_global(vol: np.ndarray, mesh: Mesh) -> jax.Array:
     """Place a (Z, Y, X) volume Z-sharded over a (possibly multi-host)
     mesh. Unlike `shard_volume` (single-process `device_put`), each

@@ -154,7 +154,16 @@ def normalize_to_u8_sharded(j, jmin, jmax):
 
 
 def shard_volume(vol: np.ndarray, mesh: Mesh) -> jax.Array:
-    """Place a (Z, Y, X) volume Z-sharded on the mesh (Z must divide evenly)."""
+    """Place a (Z, Y, X) volume Z-sharded on the mesh (Z must divide evenly).
+
+    On a multi-process mesh (`init_multihost`) each process materializes
+    only the slabs its local devices own; `vol` must then hold the same
+    full value on every process (or support `vol[idx]` slicing, e.g. a
+    memory map — see `multihost.shard_volume_global`)."""
+    if jax.process_count() > 1:
+        from pnr_tpu.parallel.multihost import shard_volume_global
+
+        return shard_volume_global(np.asarray(vol), mesh)
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.device_put(jnp.asarray(vol), sharding)
 

@@ -33,6 +33,16 @@ from the strict global corr order, counted and reported), and in-flight
 migration overflow keeps traces on their shard (parallel/handoff.py).
 Checkpoint/resume snapshots the commit state between waves exactly like
 the single-device loop.
+
+MULTI-HOST: the driver also runs over a mesh spanning several
+`jax.distributed` processes (parallel/multihost.py) — the
+redundant-host-driver design: every process executes the same
+deterministic host logic (seed order, FCFS commit, graph stages), all
+device stages take same-value host inputs (auto-sharded) or global
+arrays, and `fetch_replicated` all-gathers the few sharded stage
+outputs the host consumes. Certified on a real 2-process cluster:
+identical J8/types/counts, ulp-tolerance coordinates vs single-process
+(tests/test_multiprocess.py).
 """
 
 from __future__ import annotations
@@ -54,6 +64,7 @@ from pnr_tpu.graph.build import TraceCommitter
 from pnr_tpu.graph.nodes import SOMA, NodeList
 from pnr_tpu.parallel.halo import halo_exchange_z
 from pnr_tpu.parallel.handoff import build_handoff_tracer
+from pnr_tpu.parallel.multihost import fetch_replicated
 from pnr_tpu.parallel.sharded import (
     frangi2d_sharded,
     frangi3d_sharded,
@@ -98,6 +109,13 @@ def _handoff_tracer_cached(cfg, mesh, lanes, stage_iters, z_total, is2d):
         cfg, mesh, lanes_per_shard=lanes, stage_iters=stage_iters,
         z_total=z_total, is2d=is2d,
     )
+
+
+#: largest volume (voxels) whose J8/direction maps the multi-process
+#: seed path will gather to every process for the fast exact host
+#: flood; a gather materializes one transient replicated copy per
+#: device, so past this the on-mesh device flood takes over
+_HOST_FLOOD_MAX_VOX = 1 << 28
 
 
 def _pad_axis_replicate(vol: np.ndarray, n_dev: int, axis: int = 0) -> np.ndarray:
@@ -163,7 +181,7 @@ def soma_extraction_sharded(
     fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=(P(axis), P()))
     e8_s, hist = jax.jit(fn)(vs)
     th = maxentropy_th(np.asarray(hist))
-    e8_np = np.asarray(e8_s)
+    e8_np = fetch_replicated(e8_s)
     if is2d:  # back to (1, Y, X), drop Y padding
         e8_np = e8_np.transpose(1, 0, 2)[:, :span_orig]
     else:
@@ -272,7 +290,10 @@ def _score_seeds_sharded(scorer, vs, pos, dirs, z_padded, n_dev, verbose, ci=2):
         bp, bd, bi, bv, dropped = _bucket_by_shard(
             pos[todo], dirs[todo], todo, z_padded, n_dev, lanes, ci
         )
-        c = np.asarray(scorer(vs, jnp.asarray(bp), jnp.asarray(bd)))
+        # host arrays go in raw: jit auto-shards same-value host inputs,
+        # which also works across processes (committed local jnp arrays
+        # would not)
+        c = fetch_replicated(scorer(vs, bp, bd))
         corr[bi[bv]] = c[bv]
         todo = np.asarray(dropped, np.int64)
         if len(todo) and verbose:
@@ -362,7 +383,7 @@ def reconstruction_func_sharded(
             decode_directions_device, max_points_device, max_points_host,
         )
 
-        j8_full = np.asarray(j8).transpose(1, 0, 2)[:, :span_orig]
+        j8_full = fetch_replicated(j8).transpose(1, 0, 2)[:, :span_orig]
         if native.have_native():
             mask = max_points_host(j8_full, float(cfg.tolerance))
         else:
@@ -376,20 +397,31 @@ def reconstruction_func_sharded(
         # gather the quantized directions at the seed voxels from the
         # TRANSPOSED sharded maps: flat index is y*X + x there
         pos_t = np.stack([xx, np.zeros_like(xx), yy], axis=-1).astype(np.float32)
+        if jax.process_count() > 1:
+            # the decode gather runs process-local on replicated copies
+            vx, vy, vz = (
+                jnp.asarray(fetch_replicated(a)) for a in (vx, vy, vz)
+            )
         dirs = decode_directions_device(vx, vy, vz, pos_t)
-    elif jax.process_count() == 1:
-        # single host owns every shard: fetch J8 once and run the exact
-        # native tolerance flood, like the single-device pipeline. The
-        # device label-propagation (`seeds_sharded`, the multi-host
-        # branch below) is exact too but iterates whole-slab passes to
-        # convergence — measured 275 s of a 337 s run on a 52-Mvox
-        # noisy stack vs ~3 s for this path (PARITY.md round 3).
+    elif jax.process_count() == 1 or j8.size <= _HOST_FLOOD_MAX_VOX:
+        # the host owns the full volume (API contract): fetch J8 once
+        # and run the exact native tolerance flood, like the
+        # single-device pipeline. The device label-propagation
+        # (`seeds_sharded`, the branch below) is exact too but iterates
+        # whole-slab passes to convergence — measured 275 s of a 337 s
+        # run on a 52-Mvox noisy stack vs ~3 s for this path (PARITY.md
+        # round 3; 44.8 s vs 0.14 s on the 2-process CPU cluster).
+        # Multi-process gathers J8 + the direction maps through a
+        # device-replicating all-gather, so beyond _HOST_FLOOD_MAX_VOX
+        # (where a replicated volume copy strains HBM) the on-mesh
+        # device flood takes over.
         from pnr_tpu import native
         from pnr_tpu.seeds.extract import (
             decode_directions_device, max_points_device, max_points_host,
         )
 
-        j8_np = np.asarray(j8)[:span_orig]
+        multi = jax.process_count() > 1
+        j8_np = (fetch_replicated(j8) if multi else np.asarray(j8))[:span_orig]
         if native.have_native():
             mask = max_points_host(j8_np, float(cfg.tolerance))
         else:
@@ -398,16 +430,24 @@ def reconstruction_func_sharded(
             )
         zz, yy, xx = np.nonzero(mask)
         pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
-        dirs = decode_directions_device(vx, vy, vz, pos)
+        if multi:
+            # decode runs process-local on replicated copies (gathered
+            # one at a time; each device holds one transient full map)
+            vx_l, vy_l, vz_l = (
+                jnp.asarray(fetch_replicated(a)) for a in (vx, vy, vz)
+            )
+            dirs = decode_directions_device(vx_l, vy_l, vz_l, pos)
+        else:
+            dirs = decode_directions_device(vx, vy, vz, pos)
     else:
         cap = max(64, vol.shape[1] * vol.shape[2] // 64)
         pos_s, dirs_s, valid_s, found = seeds_sharded(
             j8, vx, vy, vz, cfg.tolerance, mesh, cap
         )
-        valid_np = np.asarray(valid_s)
-        pos = np.asarray(pos_s)[valid_np]
-        dirs = np.asarray(dirs_s)[valid_np]
-        n_found = int(np.asarray(found).sum())
+        valid_np = fetch_replicated(valid_s)
+        pos = fetch_replicated(pos_s)[valid_np]
+        dirs = fetch_replicated(dirs_s)[valid_np]
+        n_found = int(fetch_replicated(found).sum())
         if n_found > len(pos) and verbose:
             print(f"warning: seed cap dropped {n_found - len(pos)} seeds")
         # discard seeds in the replicated Z padding (duplicates of the
@@ -510,7 +550,11 @@ def reconstruction_func_sharded(
             pipelined=(_lanes_override is None and lanes >= 2 * len(sel)),
         )
         waves_done += 1
-        if checkpoint_path and waves_done % max(1, checkpoint_every_waves) == 0:
+        if (
+            checkpoint_path
+            and waves_done % max(1, checkpoint_every_waves) == 0
+            and jax.process_index() == 0  # one writer; state is replicated
+        ):
             from pnr_tpu.pipeline.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_path, committer, idx, trace_count)
@@ -532,9 +576,9 @@ def reconstruction_func_sharded(
         trace_count=trace_count,
         timings=tm.timings,
         j8=(
-            np.asarray(j8).transpose(1, 0, 2)[:, :span_orig]
+            fetch_replicated(j8).transpose(1, 0, 2)[:, :span_orig]
             if is2d
-            else np.asarray(j8)[:span_orig]
+            else fetch_replicated(j8)[:span_orig]
         ),
     )
 
@@ -564,10 +608,21 @@ def _trace_and_commit_wave_sharded(
     state, est0, ids0, field = init(vs, bp, bd, bi.astype(np.int32), bv, base_key)
     lanes_total = int(est0.shape[0])
 
+    def _fetch2(a, b):
+        """Fetch a pair of stage outputs; single-process issues both D2H
+        transfers before collecting either (the link pipelines
+        concurrent requests — see fetch_volume), multi-process gathers
+        remote shards to every process."""
+        if getattr(a, "is_fully_addressable", True):
+            for x in (a, b):
+                if hasattr(x, "copy_to_host_async"):
+                    x.copy_to_host_async()
+            return np.asarray(a), np.asarray(b)
+        return fetch_replicated(a), fetch_replicated(b)
+
     # per-trace host-side estimate buffers, filled stage by stage
     est = {int(t): np.zeros((ni, 9), np.float32) for t in bi[bv]}
-    e0 = np.asarray(est0)
-    ids_cur = np.asarray(ids0)
+    e0, ids_cur = _fetch2(est0, ids0)
     for lane in range(lanes_total):
         t = int(ids_cur[lane])
         if t >= 0:
@@ -635,18 +690,14 @@ def _trace_and_commit_wave_sharded(
                 if t >= 0 and t in killed_ids:
                     kill[lane] = True
             n_it = min(stage_iters, ni - it_done)
+            # host values go in raw (np): jit auto-shards same-value
+            # host inputs, which also works across processes
             state, packed, ids_j, live, kept = stage(
                 vs, field, state,
-                jnp.arange(it_done, it_done + stage_iters),
-                jnp.asarray(kill),
+                np.arange(it_done, it_done + stage_iters, dtype=np.int32),
+                kill,
             )
-            for a in (packed, ids_j):
-                # issue both D2H transfers before collecting either (the
-                # link pipelines concurrent requests — see fetch_volume)
-                if hasattr(a, "copy_to_host_async"):
-                    a.copy_to_host_async()
-            pk = np.asarray(packed)
-            ids_cur = np.asarray(ids_j)
+            pk, ids_cur = _fetch2(packed, ids_j)
             fill_est(pk, ids_cur, it_done, n_it)
             it_done += n_it
 
@@ -670,17 +721,20 @@ def _trace_and_commit_wave_sharded(
                 kl = np.fromiter(killed_ids, np.int64)
                 killed_arr[: len(kl)] = kl
             # device-side id->lane kill translation: stage k+1 launches
-            # without fetching stage k's lane layout
-            kill_dev = jnp.isin(ids_dev, jnp.asarray(killed_arr))
+            # without fetching stage k's lane layout (killed_arr is a
+            # same-value host array; eager isin follows ids_dev's
+            # sharding, single- or multi-process)
+            kill_dev = jnp.isin(ids_dev, killed_arr)
             n_it = min(stage_iters, ni - it_launch)
             state, packed, ids_j, live, kept = stage(
                 vs, field, state,
-                jnp.arange(it_launch, it_launch + stage_iters),
+                np.arange(it_launch, it_launch + stage_iters, dtype=np.int32),
                 kill_dev,
             )
-            for a in (packed, ids_j):
-                if hasattr(a, "copy_to_host_async"):
-                    a.copy_to_host_async()
+            if getattr(packed, "is_fully_addressable", True):
+                for a in (packed, ids_j):
+                    if hasattr(a, "copy_to_host_async"):
+                        a.copy_to_host_async()
             newflight = (packed, ids_j, it_launch, n_it)
             ids_dev = ids_j
             it_launch += n_it
@@ -688,7 +742,8 @@ def _trace_and_commit_wave_sharded(
             newflight = None
         if inflight is not None:
             packed_p, ids_p, it0, n_p = inflight
-            fill_est(np.asarray(packed_p), np.asarray(ids_p), it0, n_p)
+            pk_p, ids_np = _fetch2(packed_p, ids_p)
+            fill_est(pk_p, ids_np, it0, n_p)
             it_done = it0 + n_p
         elif newflight is None:
             break
