@@ -94,7 +94,7 @@ def test_two_process_full_pipeline(tmp_path):
 
     # single-process reference on the same-size (8-device) mesh
     sys.path.insert(0, os.path.join(REPO, "tests"))
-    from _mp_common import MP_CFG, mp_phantom
+    from _mp_common import MP_CFG, MP_CFG_2D, mp_phantom, mp_phantom_2d
     from pnr_tpu.parallel import make_mesh
     from pnr_tpu.pipeline.sharded_reconstruct import (
         reconstruction_func_sharded,
@@ -115,3 +115,12 @@ def test_two_process_full_pipeline(tmp_path):
         # tolerance class the batch-DP equality tests use
         np.testing.assert_allclose(got[k], np.asarray(v), atol=1e-4)
     np.testing.assert_array_equal(got["j8"], ref.j8)
+
+    # 2-D leg (Y-sharded single-slice image)
+    ref2 = reconstruction_func_sharded(
+        mp_phantom_2d(), MP_CFG_2D, make_mesh(8), verbose=False
+    )
+    assert int(got["tree_n_2d"]) == len(ref2.tree)
+    np.testing.assert_allclose(got["x_2d"], np.asarray(ref2.n0.x), atol=1e-4)
+    np.testing.assert_allclose(got["y_2d"], np.asarray(ref2.n0.y), atol=1e-4)
+    np.testing.assert_array_equal(got["j8_2d"], ref2.j8)
