@@ -47,7 +47,12 @@ def main(argv=None) -> int:
         "pipelined batch driver with one _Advantra.swc per input",
     )
     ap.add_argument("-p", dest="params", nargs="*", default=None)
-    ap.add_argument("-o", dest="output", default=None)
+    ap.add_argument(
+        "-o", dest="output", default=None,
+        help="output SWC file path (default: <image>_Advantra.swc). "
+        "With --watch, -o names an output DIRECTORY for the per-stack "
+        "SWCs instead",
+    )
     ap.add_argument("--save-midres", action="store_true")
     ap.add_argument(
         "--find-maxima",
@@ -78,6 +83,13 @@ def main(argv=None) -> int:
         "they arrive (stops when <dir>/.stop appears). Compiled "
         "programs persist across stacks — the resident-process "
         "deployment the per-invocation plugin can't do",
+    )
+    ap.add_argument(
+        "--plan",
+        action="store_true",
+        help="print the per-shard HBM plan for reconstructing -i on a "
+        "--mesh N device mesh (or the smallest mesh that fits, when "
+        "--mesh is 0) and exit — header-only, no voxels are read",
     )
     ap.add_argument(
         "--interactive",
@@ -133,6 +145,22 @@ def main(argv=None) -> int:
     if args.zncc_mode != "exact":
         cfg = dataclasses.replace(cfg, zncc_mode=args.zncc_mode)
 
+    if args.plan:
+        from pnr_tpu.io.volume import probe_volume_shape
+        from pnr_tpu.parallel.plan import min_devices, plan_sharded
+
+        shape = probe_volume_shape(args.image)
+        try:
+            if args.mesh and args.mesh > 0:
+                plan = plan_sharded(shape, cfg, args.mesh)
+            else:
+                plan = min_devices(shape, cfg)
+        except ValueError as e:
+            sys.stderr.write(f"{e}\n")
+            return 1
+        print(plan.summary())
+        return 0 if plan.fits else 1
+
     verbose = not args.quiet
     if verbose:
         print("-------------  PNR-TPU (Advantra)  -------------")
@@ -159,6 +187,14 @@ def main(argv=None) -> int:
             if bad:
                 sys.stderr.write(f"{why} is not supported with --watch\n")
                 return 1
+        if args.output and args.output.lower().endswith(".swc"):
+            # in serve mode -o is a DIRECTORY; a .swc path is a stale
+            # single-run habit — refuse rather than mkdir("x.swc")
+            sys.stderr.write(
+                "--watch writes one SWC per arriving stack: -o must name "
+                "an output directory, not a .swc file\n"
+            )
+            return 1
         mesh = None
         if args.mesh and args.mesh > 1:
             # sharded serving: arrivals batch through the DP x spatial

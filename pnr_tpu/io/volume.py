@@ -35,6 +35,93 @@ def load_volume(path: str) -> np.ndarray:
     raise ValueError(f"unsupported volume format: {path}")
 
 
+def probe_volume_shape(path: str) -> tuple:
+    """(Z, Y, X) of a stack from its header alone — no voxel reads.
+
+    Feeds `parallel.plan_sharded` (mesh sizing for stacks that may not
+    fit host RAM) and the CLI `--plan` mode.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        if len(shape) == 2:
+            shape = (1,) + tuple(shape)
+        if len(shape) != 3:
+            raise ValueError(f"expected a (Z, Y, X) stack, got {shape}")
+        return tuple(int(s) for s in shape)
+    if ext in (".v3draw", ".raw", ".v3dpbd"):
+        magic = _V3D_MAGIC if ext != ".v3dpbd" else _PBD_MAGIC
+        with open(path, "rb") as f:
+            if f.read(len(magic)) != magic:
+                raise ValueError(f"bad magic in {path}")
+            fmt = "<" if f.read(1) == b"L" else ">"
+            f.read(2)  # datatype
+            w, h, l, _c = struct.unpack(fmt + "4i", f.read(16))
+        return (int(l), int(h), int(w))
+    if ext in (".tif", ".tiff"):
+        from PIL import Image
+
+        with Image.open(path) as img:
+            w, h = img.size
+            return (int(getattr(img, "n_frames", 1)), int(h), int(w))
+    raise ValueError(f"unsupported volume format: {path}")
+
+
+def load_volume_mmap(path: str) -> np.ndarray:
+    """Memory-map a uint8 volume as a read-only (Z, Y, X) view.
+
+    The multi-host loading contract (`parallel.shard_volume_global`)
+    only requires `vol[idx]` — with a mapped view each host touches
+    ONLY the pages of its own Z slabs, so a >2048^3 stack never needs
+    to fit host RAM. Supported: `.npy` (uint8, C-order) and `.v3draw`
+    single-channel uint8 (the data section is raw voxels at a fixed
+    header offset). Compressed/encoded containers (.tif, .v3dpbd)
+    cannot be mapped — load those with `load_volume` or convert once:
+    `save_volume(out + '.v3draw', load_volume(inp))`.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        vol = np.load(path, mmap_mode="r")
+        if vol.dtype != np.uint8:
+            raise ValueError(
+                f"mmap load requires a uint8 .npy (got {vol.dtype}); "
+                "normalization would materialize the full volume — use "
+                "load_volume or re-save as uint8"
+            )
+        if vol.ndim == 2:
+            vol = vol[None]
+        if vol.ndim != 3:
+            raise ValueError(f"expected a (Z, Y, X) stack, got {vol.shape}")
+        return vol
+    if ext in (".v3draw", ".raw"):
+        with open(path, "rb") as f:
+            magic = f.read(len(_V3D_MAGIC))
+            if magic != _V3D_MAGIC:
+                raise ValueError(f"not a v3draw file: {path}")
+            fmt = "<" if f.read(1) == b"L" else ">"
+            (dcode,) = struct.unpack(fmt + "h", f.read(2))
+            w, h, l, c = struct.unpack(fmt + "4i", f.read(16))
+            offset = f.tell()
+        if dcode != 1:
+            raise ValueError(
+                f"mmap load requires 8-bit v3draw (datatype {dcode}); "
+                "use load_volume for 16-bit/float stacks"
+            )
+        if c != 1:
+            raise ValueError(
+                f"mmap load requires single-channel v3draw (got {c} "
+                "channels; channel-major layout would need a strided view "
+                "of remote pages) — use load_volume"
+            )
+        return np.memmap(path, np.uint8, mode="r", offset=offset, shape=(l, h, w))
+    raise ValueError(
+        f"cannot memory-map {ext or path}: only uint8 .npy and "
+        "single-channel 8-bit .v3draw have a flat voxel section"
+    )
+
+
 def save_volume(path: str, vol: np.ndarray) -> None:
     """Save a (Z, Y, X) uint8 volume (TIFF multipage, v3draw, or npy)."""
     ext = os.path.splitext(path)[1].lower()

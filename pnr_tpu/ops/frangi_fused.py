@@ -554,7 +554,7 @@ def _frangi3d_fused_impl(
         kern,
         grid=(g.ny, g.nz),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 yband.shape, lambda jy, jz: (0, 0, 0), memory_space=pltpu.VMEM
             ),

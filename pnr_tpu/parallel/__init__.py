@@ -11,6 +11,7 @@ from pnr_tpu.parallel.multihost import (
     make_global_mesh,
     shard_volume_global,
 )
+from pnr_tpu.parallel.plan import ShardPlan, min_devices, plan_sharded
 from pnr_tpu.parallel.sharded import (
     assign_seeds_to_shards,
     build_local_trace_step,
@@ -28,6 +29,9 @@ __all__ = [
     "halo_exchange_z",
     "halo_exchange_z_aligned",
     "init_multihost",
+    "ShardPlan",
+    "min_devices",
+    "plan_sharded",
     "make_global_mesh",
     "shard_volume_global",
     "reconstruction_batch_dp",

@@ -19,6 +19,7 @@ slabs of the input.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -71,11 +72,15 @@ def fetch_replicated(arr) -> np.ndarray:
     """
     if getattr(arr, "is_fully_addressable", True) or arr.is_fully_replicated:
         return np.asarray(arr)
-    mesh = arr.sharding.mesh
-    rep = jax.jit(
-        lambda x: x, out_shardings=NamedSharding(mesh, P())
-    )(arr)
-    return np.asarray(rep)
+    return np.asarray(_replicator(arr.sharding.mesh)(arr))
+
+
+@functools.lru_cache(maxsize=None)
+def _replicator(mesh: Mesh):
+    # one jitted identity-to-replicated resharder per mesh: a fresh
+    # jax.jit(lambda) per call would miss the pjit dispatch cache and
+    # re-trace the all-gather on every stage fetch
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
 
 
 def shard_volume_global(vol: np.ndarray, mesh: Mesh) -> jax.Array:
@@ -90,7 +95,7 @@ def shard_volume_global(vol: np.ndarray, mesh: Mesh) -> jax.Array:
     """
     if vol.shape[0] % mesh.devices.size:
         raise ValueError(
-            f"Z={vol.shape[0]} must divide the mesh ({mesh.devices.size})"
+            f"mesh size ({mesh.devices.size}) must divide Z={vol.shape[0]}"
         )
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.make_array_from_callback(

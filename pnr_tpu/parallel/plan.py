@@ -1,0 +1,217 @@
+"""HBM feasibility planning for sharded reconstructions.
+
+The BASELINE north-star config includes ">2048^3 volumes sharded across
+a v5e pod" — a size nobody should discover OOMs on by launching it.
+`plan_sharded` computes the per-shard device-memory peak of each
+pipeline stage of `reconstruction_func_sharded` from the buffer shapes
+the code actually allocates, and `min_devices` inverts it: the smallest
+1-D Z mesh on which a given (volume, config) fits a chip's HBM.
+
+All formulas are per SHARD (one device of the Z mesh; the 2-D P == 1
+path shards over Y — the same slab math applies with Y in the sharded
+role). Constants are anchored in measured numbers recorded in PARITY.md:
+
+- the unfused XLA `frangi3d` jit's temp arena measured 1.65 GB at
+  25.7 Mvox / 3 sigmas (the round-3 fusion audit) -> ~64 B/voxel,
+  roughly flat in sigma count (XLA reuses the per-scale buffers);
+- `frangi3d_blocked` bounds that temp to one (block_z + 2*halo) slab;
+- the tube likelihood field is 3 float32 convolution maps per sigma
+  (`ops/zncc_fast.build_tube_maps_packed`): 12 * len(sigmas) B/voxel
+  on the TRACE-halo slab; the exact engine's field is the raw uint8
+  slab itself (`smc/tracker.py prepare_field`);
+- stage halos: `parallel.sharded.frangi_halo` and
+  `parallel.handoff.required_trace_halo`.
+
+The estimate is deliberately a PEAK-RESIDENT model (inputs + outputs +
+temp arena of the heaviest live stage), not a transfer model; XLA may
+do somewhat better via buffer reuse, so `usable_fraction` (default
+0.85 of HBM, leaving room for the runtime's own reservations and the
+trace state) is the safety margin, and `fits` errs conservative.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+from pnr_tpu.config import PNRConfig
+
+#: measured temp-arena footprint of the unfused XLA frangi3d jit
+#: (PARITY.md round-3 fusion audit: 1.65 GB @ 25.7 Mvox, 3 sigmas)
+_FRANGI_TEMP_B_PER_VOX = 64.0
+#: J float32 + J8 + three quantized direction volumes (uint8)
+_FRANGI_OUT_B_PER_VOX = 4.0 + 1.0 + 3.0
+#: J8 + three direction volumes kept live through seeds/tracing
+_SEED_MAPS_B_PER_VOX = 4.0
+#: per-lane particle-filter state (pos/dir/weights/keys, float32)
+_TRACE_STATE_B_PER_LANE_PARTICLE = 64.0
+
+V5E_HBM_GB = 16.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardPlan:
+    """Per-shard memory plan for one (volume, config, mesh) choice."""
+
+    shape: Tuple[int, int, int]
+    n_devices: int
+    stages: Dict[str, int]  # stage name -> peak bytes per shard
+    hbm_bytes: int
+    usable_fraction: float
+
+    @property
+    def peak_bytes(self) -> int:
+        return max(self.stages.values())
+
+    @property
+    def peak_stage(self) -> str:
+        return max(self.stages, key=self.stages.get)
+
+    @property
+    def fits(self) -> bool:
+        return self.peak_bytes <= self.hbm_bytes * self.usable_fraction
+
+    def summary(self) -> str:
+        gib = 1 << 30
+        lines = [
+            f"volume {self.shape} over {self.n_devices} device(s), "
+            f"HBM {self.hbm_bytes / gib:.0f} GiB "
+            f"(usable {self.usable_fraction:.0%}):"
+        ]
+        for name, b in sorted(self.stages.items(), key=lambda kv: -kv[1]):
+            lines.append(f"  {name:<28s} {b / gib:7.2f} GiB/shard")
+        verdict = "fits" if self.fits else "DOES NOT FIT"
+        lines.append(
+            f"  peak = {self.peak_stage} -> {self.peak_bytes / gib:.2f} "
+            f"GiB/shard: {verdict}"
+        )
+        return "\n".join(lines)
+
+
+def _shard_extent(axis_len: int, n: int) -> int:
+    # reconstruction_func_sharded replicate-pads the sharded axis to a
+    # mesh multiple (_pad_axis_replicate)
+    return -(-axis_len // n)
+
+
+def plan_sharded(
+    shape: Tuple[int, int, int],
+    cfg: PNRConfig,
+    n_devices: int,
+    hbm_gb: float = V5E_HBM_GB,
+    usable_fraction: float = 0.85,
+    stage_iters: int = 8,
+    blocked_frangi: Optional[bool] = None,
+    frangi_block_z: int = 32,
+) -> ShardPlan:
+    """Per-shard HBM plan of `reconstruction_func_sharded`.
+
+    `blocked_frangi=None` picks whichever filter variant fits (the
+    plain jit when its temp arena fits, else the Z-blocked one);
+    True/False forces the choice. `stage_iters` matches the driver's
+    knob (larger = bigger trace halo).
+    """
+    z, y, x = (int(s) for s in shape)
+    is2d = z == 1
+    axis_len = y if is2d else z  # the sharded axis (Y for P == 1)
+    plane = (z * x) if is2d else (y * x)  # voxels per sharded slice
+
+    if is2d:
+        from pnr_tpu.parallel.sharded import frangi2d_halo
+
+        hf = frangi2d_halo(cfg.sigmas)
+    else:
+        from pnr_tpu.parallel.sharded import frangi_halo
+
+        hf = frangi_halo(cfg.sigmas, cfg.zdist)
+    from pnr_tpu.parallel.handoff import required_trace_halo
+
+    ht = required_trace_halo(cfg, stage_iters)
+
+    ext = _shard_extent(axis_len, n_devices)
+    vox = ext * plane  # owned voxels per shard
+    slab_f = (ext + 2 * hf) * plane  # frangi halo slab
+    slab_t = (ext + 2 * ht) * plane  # trace halo slab
+
+    stages: Dict[str, int] = {}
+
+    # --- filter: input slab (u8) + outputs + the jit's temp arena
+    temp_plain = _FRANGI_TEMP_B_PER_VOX * slab_f
+    out_b = slab_f + _FRANGI_OUT_B_PER_VOX * vox
+    usable = hbm_gb * (1 << 30) * usable_fraction
+    if blocked_frangi is None:
+        blocked_frangi = out_b + temp_plain > usable
+        if blocked_frangi:
+            # largest Z tile whose temp arena fits next to the outputs
+            # (the tile is a pure throughput/VMEM-occupancy knob — any
+            # size >= 1 is exact, ops/frangi_blocked.py)
+            for bz in (32, 16, 8, 4, 2, 1):
+                frangi_block_z = bz
+                if (
+                    out_b + _FRANGI_TEMP_B_PER_VOX * (bz + 2 * hf) * plane
+                    <= usable
+                ):
+                    break
+    temp_blocked = _FRANGI_TEMP_B_PER_VOX * (frangi_block_z + 2 * hf) * plane
+    temp = temp_blocked if blocked_frangi else temp_plain
+    name = "frangi" + (
+        f" (Z-blocked, bz={frangi_block_z})" if blocked_frangi else ""
+    )
+    stages[name] = int(out_b + temp)
+
+    # --- seeds: J8 + direction maps live; flood runs on host (or the
+    # device label propagation on a J8-sized u8+i32 working set)
+    stages["seeds"] = int(slab_f + _SEED_MAPS_B_PER_VOX * vox + 8.0 * vox)
+
+    # --- likelihood field + tracing: the field lives on the TRACE halo
+    # slab next to the u8 slab it was built from; J8/dir maps stay live
+    # for the commit bookkeeping
+    if cfg.zncc_mode == "tube":
+        field_b = 12.0 * len(cfg.sigmas) * slab_t
+    else:  # exact engine samples the raw volume
+        field_b = 1.0 * slab_t
+    lanes = max(64, cfg.wave_size)
+    state_b = lanes * cfg.np * _TRACE_STATE_B_PER_LANE_PARTICLE
+    stages[f"tracing ({cfg.zncc_mode})"] = int(
+        field_b + slab_t + _SEED_MAPS_B_PER_VOX * vox + state_b
+    )
+
+    return ShardPlan(
+        shape=(z, y, x),
+        n_devices=n_devices,
+        stages=stages,
+        hbm_bytes=int(hbm_gb * (1 << 30)),
+        usable_fraction=usable_fraction,
+    )
+
+
+def min_devices(
+    shape: Tuple[int, int, int],
+    cfg: PNRConfig,
+    hbm_gb: float = V5E_HBM_GB,
+    max_devices: int = 8192,
+    **kw,
+) -> ShardPlan:
+    """Smallest power-of-two Z mesh on which (shape, cfg) fits.
+
+    Raises ValueError when even one-slice-per-shard shards don't fit —
+    the per-slice plane itself is the irreducible resident (the Z-mesh
+    can't shard within a slice); the message says which stage binds.
+    """
+    n = 1
+    while True:
+        plan = plan_sharded(shape, cfg, n, hbm_gb=hbm_gb, **kw)
+        if plan.fits:
+            return plan
+        axis_len = shape[1] if shape[0] == 1 else shape[0]
+        if n >= max_devices or _shard_extent(axis_len, n) == 1:
+            raise ValueError(
+                f"volume {tuple(shape)} cannot fit {hbm_gb:.0f} GiB HBM on "
+                f"a 1-D mesh (tried up to {n} devices; binding stage: "
+                f"{plan.peak_stage} at {plan.peak_bytes / (1 << 30):.2f} "
+                "GiB/shard). The slab's per-slice plane is the "
+                "irreducible resident — reduce sigmas (smaller halos), "
+                "use zncc_mode='exact' (no tube maps), or tile the plane."
+            )
+        n *= 2

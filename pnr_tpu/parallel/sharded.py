@@ -78,7 +78,18 @@ def frangi3d_sharded(
     def local_fn(v):
         slab, off = halo_exchange_z_aligned(v, halo, axis)
         zl = v.shape[0]
-        j, jmin, jmax, vx, vy, vz = frangi3d(slab, sigmas, zdist, alpha, beta, c)
+        if slab.size > 80_000_000:
+            # large shards hit the same ~180 B/voxel transient peak as
+            # the monolithic path (pipeline/reconstruct.py): stream the
+            # halo slab through Z-tiles — identical results, tile-sized
+            # temp arena (see parallel.plan for the per-shard budget)
+            from pnr_tpu.ops.frangi_blocked import frangi3d_blocked
+
+            j, _, _, vx, vy, vz = frangi3d_blocked(
+                slab, sigmas, zdist, alpha, beta, c
+            )
+        else:
+            j, _, _, vx, vy, vz = frangi3d(slab, sigmas, zdist, alpha, beta, c)
         j, vx, vy, vz = (
             lax.dynamic_slice_in_dim(a, off, zl, 0) for a in (j, vx, vy, vz)
         )

@@ -59,7 +59,7 @@ def _scan(watch_dir: str, seen, sizes) -> list:
             sizes[path] = stamp  # candidate: confirm next poll
     for stale in [p for p in sizes if p not in present]:
         del sizes[stale]
-    seen &= {k for k in seen if k[0] in present}
+    seen -= {k for k in seen if k[0] not in present}
     return ready
 
 
@@ -120,6 +120,7 @@ def watch_and_reconstruct(
 
     def volumes():
         served = 0
+        last_idle = 0.0  # monotonic time of the last not-ready yield
         while max_stacks is None or served < max_stacks:
             got = False
             for path in _scan(watch_dir, seen, sizes):
@@ -140,10 +141,17 @@ def watch_and_reconstruct(
                 # poll, so candidates in `sizes` are still in flight
                 if not sizes and os.path.exists(stop_path):
                     return
-                time.sleep(poll_s)
                 # tell the batch driver "nothing ready yet" so it keeps
                 # draining queued fronts instead of blocking here — an
-                # arrived stack's SWC must never wait on FUTURE arrivals
+                # arrived stack's SWC must never wait on FUTURE arrivals.
+                # Throttle only when the driver re-polls FASTER than
+                # poll_s (it is idle-spinning); a mid-pipeline top-up
+                # that arrives after tracing work gets its None with no
+                # sleep on the critical path.
+                now = time.monotonic()
+                if now - last_idle < poll_s:
+                    time.sleep(poll_s - (now - last_idle))
+                last_idle = time.monotonic()
                 yield None
 
     count = 0

@@ -118,6 +118,29 @@ def _handoff_tracer_cached(cfg, mesh, lanes, stage_iters, z_total, is2d):
 _HOST_FLOOD_MAX_VOX = 1 << 28
 
 
+def _host_flood(j8_np: np.ndarray, tolerance) -> np.ndarray:
+    """Exact MaximumFinder tolerance flood on a host copy of J8 —
+    native C++ when built, device label propagation otherwise."""
+    from pnr_tpu import native
+    from pnr_tpu.seeds.extract import max_points_device, max_points_host
+
+    if native.have_native():
+        return max_points_host(j8_np, float(tolerance))
+    return np.asarray(max_points_device(jnp.asarray(j8_np), float(tolerance)))
+
+
+def _decode_seed_dirs(vx, vy, vz, pos: np.ndarray):
+    """Seed-direction decode at `pos` on the (possibly sharded)
+    quantized direction maps. Multi-process runs gather each map to a
+    process-local replicated copy first (one at a time; each device
+    holds one transient full map) so the gather is process-local."""
+    from pnr_tpu.seeds.extract import decode_directions_device
+
+    if jax.process_count() > 1:
+        vx, vy, vz = (jnp.asarray(fetch_replicated(a)) for a in (vx, vy, vz))
+    return decode_directions_device(vx, vy, vz, pos)
+
+
 def _pad_axis_replicate(vol: np.ndarray, n_dev: int, axis: int = 0) -> np.ndarray:
     """Pad an axis to a mesh multiple by replicating the last slice —
     exact for clamped-border stencils (the beyond-edge taps read the
@@ -378,31 +401,15 @@ def reconstruction_func_sharded(
 
     tm.start("seed extraction (sharded)")
     if is2d:
-        from pnr_tpu import native
-        from pnr_tpu.seeds.extract import (
-            decode_directions_device, max_points_device, max_points_host,
-        )
-
+        # host flood on the de-transposed slice; the decode gather runs
+        # on the TRANSPOSED sharded maps, where flat index is y*X + x
         j8_full = fetch_replicated(j8).transpose(1, 0, 2)[:, :span_orig]
-        if native.have_native():
-            mask = max_points_host(j8_full, float(cfg.tolerance))
-        else:
-            mask = np.asarray(
-                max_points_device(jnp.asarray(j8_full), float(cfg.tolerance))
-            )
-        _, yy, xx = np.nonzero(mask)
+        _, yy, xx = np.nonzero(_host_flood(j8_full, cfg.tolerance))
         pos = np.stack(
             [xx, yy, np.zeros_like(xx)], axis=-1
         ).astype(np.float32)
-        # gather the quantized directions at the seed voxels from the
-        # TRANSPOSED sharded maps: flat index is y*X + x there
         pos_t = np.stack([xx, np.zeros_like(xx), yy], axis=-1).astype(np.float32)
-        if jax.process_count() > 1:
-            # the decode gather runs process-local on replicated copies
-            vx, vy, vz = (
-                jnp.asarray(fetch_replicated(a)) for a in (vx, vy, vz)
-            )
-        dirs = decode_directions_device(vx, vy, vz, pos_t)
+        dirs = _decode_seed_dirs(vx, vy, vz, pos_t)
     elif jax.process_count() == 1 or j8.size <= _HOST_FLOOD_MAX_VOX:
         # the host owns the full volume (API contract): fetch J8 once
         # and run the exact native tolerance flood, like the
@@ -415,30 +422,11 @@ def reconstruction_func_sharded(
         # device-replicating all-gather, so beyond _HOST_FLOOD_MAX_VOX
         # (where a replicated volume copy strains HBM) the on-mesh
         # device flood takes over.
-        from pnr_tpu import native
-        from pnr_tpu.seeds.extract import (
-            decode_directions_device, max_points_device, max_points_host,
-        )
-
         multi = jax.process_count() > 1
         j8_np = (fetch_replicated(j8) if multi else np.asarray(j8))[:span_orig]
-        if native.have_native():
-            mask = max_points_host(j8_np, float(cfg.tolerance))
-        else:
-            mask = np.asarray(
-                max_points_device(jnp.asarray(j8_np), float(cfg.tolerance))
-            )
-        zz, yy, xx = np.nonzero(mask)
+        zz, yy, xx = np.nonzero(_host_flood(j8_np, cfg.tolerance))
         pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
-        if multi:
-            # decode runs process-local on replicated copies (gathered
-            # one at a time; each device holds one transient full map)
-            vx_l, vy_l, vz_l = (
-                jnp.asarray(fetch_replicated(a)) for a in (vx, vy, vz)
-            )
-            dirs = decode_directions_device(vx_l, vy_l, vz_l, pos)
-        else:
-            dirs = decode_directions_device(vx, vy, vz, pos)
+        dirs = _decode_seed_dirs(vx, vy, vz, pos)
     else:
         cap = max(64, vol.shape[1] * vol.shape[2] // 64)
         pos_s, dirs_s, valid_s, found = seeds_sharded(

@@ -74,6 +74,35 @@ class TestVolumeIO:
         back = load_volume(p)
         assert back.shape == (1, 16, 16)
 
+    @pytest.mark.parametrize("ext", [".npy", ".v3draw"])
+    def test_mmap_matches_full_load(self, tmp_path, rng, ext):
+        from pnr_tpu.io.volume import load_volume_mmap
+
+        vol = (rng.random((6, 9, 13)) * 255).astype(np.uint8)
+        p = str(tmp_path / ("v" + ext))
+        save_volume(p, vol)
+        m = load_volume_mmap(p)
+        assert m.shape == vol.shape and m.dtype == np.uint8
+        np.testing.assert_array_equal(np.asarray(m), vol)
+        # slab access (the shard_volume_global contract) without
+        # touching other slabs
+        np.testing.assert_array_equal(
+            np.asarray(m[(slice(2, 4), slice(None), slice(None))]), vol[2:4]
+        )
+
+    def test_mmap_rejects_unmappable(self, tmp_path, rng):
+        from pnr_tpu.io.volume import load_volume_mmap
+
+        vol = (rng.random((2, 4, 4)) * 255).astype(np.uint8)
+        tif = str(tmp_path / "v.tif")
+        save_volume(tif, vol)
+        with pytest.raises(ValueError, match="memory-map"):
+            load_volume_mmap(tif)
+        f32 = str(tmp_path / "v.npy")
+        np.save(f32, vol.astype(np.float32))
+        with pytest.raises(ValueError, match="uint8"):
+            load_volume_mmap(f32)
+
 
 class TestSwcNodelist:
     def test_swc_to_nodelist_rebuilds_graph(self, tmp_path):

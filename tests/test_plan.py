@@ -1,0 +1,122 @@
+"""HBM feasibility planner (parallel/plan.py)."""
+
+import numpy as np
+import pytest
+
+from pnr_tpu.config import PNRConfig
+from pnr_tpu.parallel.plan import min_devices, plan_sharded
+
+
+def cfg(mode="tube", sigmas=(2.0, 4.0, 6.0)):
+    return PNRConfig(
+        sigmas=sigmas, znccth=0.5, kappa=3.0, step=2, ni=100, np=20,
+        zdist=2.0, nodepervol=4, vol=9, zncc_mode=mode,
+    )
+
+
+class TestPlanSharded:
+    def test_more_devices_shrink_per_shard_peak(self):
+        shape = (512, 1024, 1024)
+        peaks = [
+            plan_sharded(shape, cfg(), n).peak_bytes for n in (1, 2, 4, 8)
+        ]
+        assert all(a > b for a, b in zip(peaks, peaks[1:]))
+
+    def test_bench_stack_fits_one_chip(self):
+        """The 52-Mvox bench stack runs on one real v5e — the plan must
+        agree (it does run, every round)."""
+        p = plan_sharded((128, 640, 640), cfg(), 1)
+        assert p.fits, p.summary()
+
+    def test_exact_mode_is_memory_lean(self):
+        """The exact engine samples the raw uint8 slab; tube mode holds
+        3 float32 maps per sigma — at any size exact must plan smaller
+        tracing residents."""
+        t = plan_sharded((512, 1024, 1024), cfg("tube"), 4)
+        e = plan_sharded((512, 1024, 1024), cfg("exact"), 4)
+        key_t = [k for k in t.stages if k.startswith("tracing")][0]
+        key_e = [k for k in e.stages if k.startswith("tracing")][0]
+        assert e.stages[key_e] < t.stages[key_t] / 5
+
+    def test_north_star_2048_exact_fits_a_pod(self):
+        """BASELINE's '>2048^3 across a v5e pod': the planner finds a
+        finite power-of-two mesh for the exact engine."""
+        p = min_devices((2048, 2048, 2048), cfg("exact"))
+        assert p.fits and 8 <= p.n_devices <= 64, p.summary()
+        # and the plan auto-selected the Z-blocked filter (the plain
+        # temp arena can't fit at any shard size with these halos)
+        assert any("Z-blocked" in k for k in p.stages)
+
+    def test_tube_mode_at_pod_scale_reports_binding_stage(self):
+        """2048^3 tube maps (37 B/voxel on the trace-halo slab) exceed a
+        16 GiB chip even at one slice per shard: min_devices must say
+        WHICH stage binds instead of looping forever."""
+        with pytest.raises(ValueError, match="tracing \\(tube\\)"):
+            min_devices((2048, 2048, 2048), cfg("tube"))
+
+    def test_2d_shards_over_y(self):
+        p1 = plan_sharded((1, 4096, 4096), cfg(sigmas=(2.0, 3.0)), 1)
+        p8 = plan_sharded((1, 4096, 4096), cfg(sigmas=(2.0, 3.0)), 8)
+        assert p8.peak_bytes < p1.peak_bytes
+
+    def test_summary_is_printable(self):
+        s = plan_sharded((128, 640, 640), cfg(), 2).summary()
+        assert "GiB/shard" in s and "fits" in s
+
+    def test_forced_blocked_frangi(self):
+        p = plan_sharded((128, 640, 640), cfg(), 1, blocked_frangi=True)
+        assert any("Z-blocked" in k for k in p.stages)
+
+    def test_larger_stage_iters_grows_trace_halo(self):
+        shape = (256, 512, 512)
+        a = plan_sharded(shape, cfg(), 4, stage_iters=4)
+        b = plan_sharded(shape, cfg(), 4, stage_iters=16)
+        key = [k for k in a.stages if k.startswith("tracing")][0]
+        assert b.stages[key] > a.stages[key]
+
+
+class TestPlanCLI:
+    def test_probe_shapes_match_saved(self, tmp_path, rng):
+        from pnr_tpu.io.volume import probe_volume_shape, save_volume
+
+        vol = (rng.random((6, 9, 13)) * 255).astype(np.uint8)
+        for ext in (".npy", ".v3draw", ".v3dpbd", ".tif"):
+            p = str(tmp_path / ("v" + ext))
+            save_volume(p, vol)
+            assert probe_volume_shape(p) == (6, 9, 13)
+
+    def test_cli_plan_exits_without_reconstructing(self, tmp_path, capsys):
+        from pnr_tpu.cli import main
+
+        p = str(tmp_path / "v.npy")
+        np.save(p, np.zeros((64, 128, 128), np.uint8))
+        rc = main(
+            ["-i", p, "--plan", "--mesh", "2", "-p",
+             "2,4,6", "0", "10", "0.5", "3", "2", "100", "20", "2", "4", "9"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "GiB/shard" in out and "fits" in out
+        assert not list(tmp_path.glob("*.swc"))  # plan only, no work
+
+
+class TestCompareCLI:
+    def test_identical_swcs_score_perfect(self, tmp_path, capsys):
+        import json
+
+        from pnr_tpu.compare import main
+
+        p = str(tmp_path / "a.swc")
+        rows = "\n".join(
+            f"{i + 1} 2 {float(i)} 0.0 0.0 1.0 {i or -1}" for i in range(12)
+        )
+        open(p, "w").write("# test\n" + rows + "\n")
+        rc = main([p, p])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0 and out["f1"] == 1.0 and out["precision"] == 1.0
+
+    def test_missing_file_fails_cleanly(self, tmp_path, capsys):
+        from pnr_tpu.compare import main
+
+        p = str(tmp_path / "a.swc")
+        open(p, "w").write("1 2 0 0 0 1 -1\n")
+        assert main([p, str(tmp_path / "nope.swc")]) == 1

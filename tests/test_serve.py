@@ -125,6 +125,23 @@ class TestServe:
         t.join(timeout=30.0)
         assert done.is_set()
 
+    def test_idle_poll_does_not_stall_critical_path(self, tmp_path):
+        """The feed's not-ready signal must not sleep poll_s on the
+        critical path: with a huge poll interval, a pre-existing stack +
+        stop sentinel still completes promptly (the feed throttles only
+        when re-polled FASTER than poll_s — i.e. when the driver is
+        idle-spinning, never on a mid-pipeline top-up after work)."""
+        d = str(tmp_path)
+        save_volume(os.path.join(d, "quick.tif"), tube_stack(9))
+        open(os.path.join(d, ".stop"), "w").close()
+        t0 = time.time()
+        n = watch_and_reconstruct(d, CFG, poll_s=60.0, verbose=False)
+        elapsed = time.time() - t0
+        assert n == 1
+        # the old sleep-before-None behaviour guaranteed >= poll_s here
+        # (the first scan sees quick.tif unstable -> not-ready path)
+        assert elapsed < 50.0, f"idle poll stalled the pipeline: {elapsed:.1f}s"
+
     def test_scan_prunes_vanished_candidate(self, tmp_path):
         """A file that vanishes mid-stability-check must not leave a
         stale `sizes` entry (it would block the drain-before-stop
