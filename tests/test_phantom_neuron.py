@@ -301,3 +301,134 @@ class TestTortuous3D:
         # the reconstruction must actually span the z undulation
         zs = np.asarray(res.tree.z[1:])
         assert zs.max() - zs.min() > 5.0, "reconstruction collapsed to a plane"
+
+
+def multi_neuron_soma_phantom(shape=(20, 96, 128), zdist=2.0, seed=21):
+    """Two neurons, each a bright soma blob with two neurites of
+    DIFFERENT radii leaving it. Gates the full soma path at quality
+    level (the unit tests only check detection): erode/threshold/CC
+    soma extraction, seed suppression inside the soma mask, the
+    trackPos soma-hit link (traces walking INTO a soma must stop and
+    link, Advantra_plugin.cpp:2426-2481 + tracker.cpp:850-862), and
+    multi-tree extraction.
+
+    Returns (volume uint8, gold SWC rows: soma centers + centerlines)."""
+    rng = np.random.default_rng(seed)
+    soma_a = (24.0, 28.0, 10.0)   # (x, y, z)
+    soma_b = (104.0, 68.0, 10.0)
+    neurites = [
+        # (start soma, end point, radius): start OUTSIDE the soma blob
+        (soma_a, (72.0, 28.0, 10.0), 2.2),   # A1: straight +x
+        (soma_a, (56.0, 62.0, 10.0), 1.8),   # A2: diagonal, thinner
+        (soma_b, (64.0, 82.0, 10.0), 2.2),   # B1: -x toward the edge
+        (soma_b, (116.0, 24.0, 10.0), 1.8),  # B2: down-right, thinner
+    ]
+
+    z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    vol = np.zeros(shape)
+    gold = []
+    nid = 0
+    for sx, sy, sz in (soma_a, soma_b):
+        d2 = (x - sx) ** 2 + (y - sy) ** 2 + ((z - sz) * zdist) ** 2
+        np.maximum(vol, 1.2 * np.exp(-d2 / (2 * 5.0**2)), out=vol)
+        nid += 1
+        gold.append([nid, 1, sx, sy, sz, 5.0, -1])
+    for (sx, sy, sz), (ex, ey, ez), radius in neurites:
+        seg = np.asarray([ex - sx, ey - sy, ez - sz])
+        length = np.linalg.norm(seg)
+        root = 1 if (sx, sy, sz) == soma_a else 2
+        first = True
+        # the tube is DRAWN from inside the soma blob (t=5/len) so the
+        # image is continuous, but gold points start outside the soma
+        # suppression zone (t=10/len): seeds inside the smap are
+        # dropped and traces STOP at the soma, so centerline inside it
+        # is structurally unreachable (reference semantics)
+        for t in np.linspace(5.0 / length, 1.0, int(length)):
+            px, py, pz = np.asarray([sx, sy, sz]) + t * seg
+            d2 = (x - px) ** 2 + (y - py) ** 2 + ((z - pz) * zdist) ** 2
+            np.maximum(vol, np.exp(-d2 / (2 * radius**2)), out=vol)
+            if t * length < 10.0:
+                continue
+            nid += 1
+            gold.append([nid, 2, px, py, pz, radius, root if first else nid - 1])
+            first = False
+    intensity = 185.0 * (0.78 + 0.22 * np.sin(x / 5.0))
+    vol = np.clip(vol * intensity + rng.normal(0, 5, shape), 0, 255).astype(np.uint8)
+    return vol, np.asarray(gold, np.float64)
+
+
+class TestMultiNeuronSoma:
+    """Two somas, four neurites, two radii — scored end to end with
+    soma extraction ON."""
+
+    @pytest.fixture(scope="class")
+    def scored(self, tmp_path_factory):
+        import dataclasses
+
+        vol, gold = multi_neuron_soma_phantom()
+        cfg = dataclasses.replace(CFG, somaradius=4)
+        score, res = _score(vol, gold, cfg, tmp_path_factory.mktemp("swc"))
+        return score, res, gold
+
+    def test_both_somas_found(self, scored):
+        from pnr_tpu.graph.nodes import SOMA
+
+        _, res, gold = scored
+        # extraction-time positions live in n0 (the tree stages refine/
+        # interpolate around the soma, legitimately moving its node)
+        soma_nodes = [
+            (res.n0.x[i], res.n0.y[i])
+            for i in range(1, len(res.n0))
+            if res.n0.type[i] == SOMA
+        ]
+        assert len(soma_nodes) == 2, f"somas in n0: {len(soma_nodes)}"
+        for sx, sy in ((24, 28), (104, 68)):
+            d = min(np.hypot(nx - sx, ny - sy) for nx, ny in soma_nodes)
+            assert d < 3.0, f"no soma node near ({sx}, {sy}): {d:.1f}"
+        # and the FINAL tree still carries soma-typed nodes near both
+        tree_somas = [
+            (res.tree.x[i], res.tree.y[i])
+            for i in range(1, len(res.tree))
+            if res.tree.type[i] == SOMA
+        ]
+        assert tree_somas, "tree lost all soma-typed nodes"
+        for sx, sy in ((24, 28), (104, 68)):
+            d = min(np.hypot(nx - sx, ny - sy) for nx, ny in tree_somas)
+            assert d < 10.0, f"tree soma drifted from ({sx}, {sy}): {d:.1f}"
+
+    def test_every_neurite_covered(self, scored):
+        _, res, gold = scored
+        tree_xyz = np.stack(
+            [
+                np.asarray(res.tree.x[1:]),
+                np.asarray(res.tree.y[1:]),
+                np.asarray(res.tree.z[1:]),
+            ],
+            axis=-1,
+        )
+        neurite = gold[gold[:, 1] == 2]
+        roots = np.where(np.diff(neurite[:, 6], prepend=0) != 1)[0]
+        for k, beg in enumerate(roots):
+            end = roots[k + 1] if k + 1 < len(roots) else len(neurite)
+            gp = neurite[beg:end, 2:5]
+            d = np.linalg.norm(tree_xyz[:, None, :] - gp[None, :, :], axis=-1)
+            covered = (d.min(axis=0) < 4.0).mean()
+            assert covered > 0.65, f"neurite {k} coverage {covered:.2f}"
+
+    def test_f1_and_soma_linking(self, scored):
+        from pnr_tpu.graph.nodes import SOMA
+
+        score, res, _ = scored
+        assert score.recall > 0.75, f"recall too low: {score}"
+        assert score.precision > 0.8, f"precision too low: {score}"
+        # at least one traced node links to a soma node (the trackPos
+        # soma-hit path produced a soma-rooted tree, not a free island)
+        soma_ids = {
+            i for i in range(1, len(res.tree)) if res.tree.type[i] == SOMA
+        }
+        linked = any(
+            soma_ids.intersection(res.tree.nbr[i])
+            for i in range(1, len(res.tree))
+            if i not in soma_ids
+        )
+        assert linked, "no trace linked into a soma"
