@@ -149,13 +149,13 @@ def main(argv=None) -> int:
         from pnr_tpu.io.volume import probe_volume_shape
         from pnr_tpu.parallel.plan import min_devices, plan_sharded
 
-        shape = probe_volume_shape(args.image)
         try:
+            shape = probe_volume_shape(args.image)
             if args.mesh and args.mesh > 0:
                 plan = plan_sharded(shape, cfg, args.mesh)
             else:
                 plan = min_devices(shape, cfg)
-        except ValueError as e:
+        except (OSError, ValueError) as e:
             sys.stderr.write(f"{e}\n")
             return 1
         print(plan.summary())

@@ -11,9 +11,11 @@ All formulas are per SHARD (one device of the Z mesh; the 2-D P == 1
 path shards over Y — the same slab math applies with Y in the sharded
 role). Constants are anchored in measured numbers recorded in PARITY.md:
 
-- the unfused XLA `frangi3d` jit's temp arena measured 1.65 GB at
-  25.7 Mvox / 3 sigmas (the round-3 fusion audit) -> ~64 B/voxel,
-  roughly flat in sigma count (XLA reuses the per-scale buffers);
+- the unfused XLA `frangi3d` jit's temp arena, from the TPU backend's
+  own `compile().memory_analysis()` (measured 2026-08-19 at 25.7 Mvox:
+  65.5 B/voxel for 2 sigmas, 93.2 for 3; 4.2 Mvox compiles come out
+  ~30% leaner — the planner uses the conservative large-shape fit
+  `10 + 28*len(sigmas)` B/voxel);
 - `frangi3d_blocked` bounds that temp to one (block_z + 2*halo) slab;
 - the tube likelihood field is 3 float32 convolution maps per sigma
   (`ops/zncc_fast.build_tube_maps_packed`): 12 * len(sigmas) B/voxel
@@ -32,14 +34,21 @@ trace state) is the safety margin, and `fits` errs conservative.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict, Optional, Tuple
 
 from pnr_tpu.config import PNRConfig
 
-#: measured temp-arena footprint of the unfused XLA frangi3d jit
-#: (PARITY.md round-3 fusion audit: 1.65 GB @ 25.7 Mvox, 3 sigmas)
-_FRANGI_TEMP_B_PER_VOX = 64.0
+
+def _frangi_temp_b_per_vox(n_sigmas: int) -> float:
+    """Temp arena of the unfused XLA frangi3d jit, per voxel.
+
+    Fit to the TPU backend's compile().memory_analysis() at 25.7 Mvox
+    (the conservative large-shape regime): 65.5 B/vox at 2 sigmas,
+    93.2 at 3 — linear in sigma count.
+    """
+    return 10.0 + 28.0 * n_sigmas
+
+
 #: J float32 + J8 + three quantized direction volumes (uint8)
 _FRANGI_OUT_B_PER_VOX = 4.0 + 1.0 + 3.0
 #: J8 + three direction volumes kept live through seeds/tracing
@@ -137,7 +146,8 @@ def plan_sharded(
     stages: Dict[str, int] = {}
 
     # --- filter: input slab (u8) + outputs + the jit's temp arena
-    temp_plain = _FRANGI_TEMP_B_PER_VOX * slab_f
+    temp_vox = _frangi_temp_b_per_vox(len(cfg.sigmas))
+    temp_plain = temp_vox * slab_f
     out_b = slab_f + _FRANGI_OUT_B_PER_VOX * vox
     usable = hbm_gb * (1 << 30) * usable_fraction
     if blocked_frangi is None:
@@ -149,11 +159,11 @@ def plan_sharded(
             for bz in (32, 16, 8, 4, 2, 1):
                 frangi_block_z = bz
                 if (
-                    out_b + _FRANGI_TEMP_B_PER_VOX * (bz + 2 * hf) * plane
+                    out_b + temp_vox * (bz + 2 * hf) * plane
                     <= usable
                 ):
                     break
-    temp_blocked = _FRANGI_TEMP_B_PER_VOX * (frangi_block_z + 2 * hf) * plane
+    temp_blocked = temp_vox * (frangi_block_z + 2 * hf) * plane
     temp = temp_blocked if blocked_frangi else temp_plain
     name = "frangi" + (
         f" (Z-blocked, bz={frangi_block_z})" if blocked_frangi else ""

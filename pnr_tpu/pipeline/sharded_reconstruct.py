@@ -358,6 +358,19 @@ def reconstruction_func_sharded(
     """
     vol = as_u8_volume(vol)
     n_dev = int(mesh.devices.size)
+    if verbose and mesh.devices.flat[0].platform == "tpu":
+        # pre-flight HBM feasibility (estimates — warn, don't refuse)
+        from pnr_tpu.parallel.plan import plan_sharded
+
+        try:
+            plan = plan_sharded(vol.shape, cfg, n_dev, stage_iters=stage_iters)
+            if not plan.fits:
+                print(
+                    "warning: this run may exceed per-chip HBM — "
+                    + plan.summary().replace("\n", "\n  ")
+                )
+        except ValueError:
+            pass
     is2d = vol.shape[0] == 1
     ci = 1 if is2d else 2  # the sharded coordinate in (x, y, z)
     span_orig = vol.shape[1] if is2d else vol.shape[0]
