@@ -248,7 +248,10 @@ def main(argv=None) -> int:
         from pnr_tpu.pipeline import reconstruction_func_sharded
 
         mesh = make_mesh(args.mesh)
-        result = reconstruction_func_sharded(vol, cfg, mesh, verbose=verbose)
+        result = reconstruction_func_sharded(
+            vol, cfg, mesh, verbose=verbose,
+            checkpoint_path=args.checkpoint, resume=args.resume,
+        )
     else:
         from pnr_tpu.pipeline import reconstruction_func
 

@@ -222,7 +222,9 @@ class TestTubeVsExactPipeline:
 
 class TestCliMesh:
     def test_cli_mesh_flag_runs_sharded(self, tmp_path):
-        """--mesh N routes through the multi-device pipeline."""
+        """--mesh N routes through the multi-device pipeline, and
+        --checkpoint is honoured there (not only on the single-device
+        path)."""
         import os
         import subprocess
         import sys
@@ -231,6 +233,7 @@ class TestCliMesh:
 
         vol = tube_phantom(shape=(16, 32, 64))
         img = str(tmp_path / "t.tif")
+        ck = str(tmp_path / "ck.npz")
         save_volume(img, vol)
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
@@ -241,11 +244,13 @@ class TestCliMesh:
                 sys.executable, "-m", "pnr_tpu.cli", "-i", img,
                 "-p", "2,3", "0", "10", "0.5", "2", "2", "40", "16", "2", "4", "1",
                 "--mesh", "8", "--zncc-mode", "tube", "--quiet",
+                "--checkpoint", ck,
             ],
             cwd="/root/repo", env=env, capture_output=True, text=True, timeout=900,
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert os.path.exists(img + "_Advantra.swc")
+        assert os.path.exists(ck), "--mesh run ignored --checkpoint"
 
 
 class TestCliBatch:
