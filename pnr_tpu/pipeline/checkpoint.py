@@ -11,7 +11,8 @@ id, so recomputation is deterministic).
 
 from __future__ import annotations
 
-from typing import Tuple
+import os
+from typing import Sequence, Tuple
 
 import numpy as np
 
@@ -62,7 +63,21 @@ def save_checkpoint(
     committer: TraceCommitter,
     seed_cursor: int,
     trace_count: int,
+    pending: Sequence[int] = (),
+    nseeds: int = -1,
 ) -> None:
+    """Snapshot the full mutable trace state.
+
+    `pending` is every selected-but-not-yet-traced seed index (lane
+    overflow re-queues + the unstarted tail of a wave the trace cap cut
+    short) — without it a resume would silently skip those seeds.
+    `nseeds` is the run's total seed count, validated at resume. The
+    write is uncompressed (the visit maps sit on the tracing critical
+    path; zlib costs seconds per wave at production sizes) and atomic
+    (temp file + os.replace), so a crash mid-write — the exact event
+    checkpointing exists to survive — never corrupts the previous
+    snapshot.
+    """
     state = _nodes_to_arrays(committer.nodes)
     state.update(
         npervol=committer.npervol,
@@ -71,15 +86,19 @@ def save_checkpoint(
         has_smap=np.asarray(committer.smap is not None),
         seed_cursor=np.asarray(seed_cursor, np.int64),
         trace_count=np.asarray(trace_count, np.int64),
+        pending=np.asarray(list(pending), np.int64),
+        nseeds=np.asarray(nseeds, np.int64),
         vol=np.asarray(committer.vol, np.int32),
         nodepervol=np.asarray(committer.nodepervol, np.int32),
         shape=np.asarray(committer.shape, np.int64),
     )
-    np.savez_compressed(path, **state)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **state)
+    os.replace(tmp, path)
 
 
-def load_checkpoint(path: str) -> Tuple[TraceCommitter, int, int]:
-    """Rebuild (committer, seed_cursor, trace_count) from a snapshot."""
+def load_checkpoint(path: str) -> Tuple[TraceCommitter, int, int, list, int]:
+    """Rebuild (committer, seed_cursor, trace_count, pending, nseeds)."""
     d = np.load(path, allow_pickle=False)
     nodes = _nodes_from_arrays(d)
     smap = d["smap"] if bool(d["has_smap"]) else None
@@ -92,4 +111,6 @@ def load_checkpoint(path: str) -> Tuple[TraceCommitter, int, int]:
     )
     committer.npervol = d["npervol"].copy()
     committer.nidx = d["nidx"].copy()
-    return committer, int(d["seed_cursor"]), int(d["trace_count"])
+    pending = d["pending"].tolist() if "pending" in d.files else []
+    nseeds = int(d["nseeds"]) if "nseeds" in d.files else -1
+    return committer, int(d["seed_cursor"]), int(d["trace_count"]), pending, nseeds

@@ -392,7 +392,13 @@ def _trace_and_commit_wave(
         it_done += n_it
 
     advance_commits(it_done)
-    return trace_count
+    # seeds the trace cap prevented from STARTING (never suppressed,
+    # never traced): the caller must carry them as pending so a
+    # checkpointed resume with a raised cap does not silently skip them
+    unstarted = [
+        int(seed_global_idx[si]) for si in range(nb) if not seed_started[si]
+    ]
+    return trace_count, unstarted
 
 
 @dataclasses.dataclass
@@ -587,19 +593,44 @@ def reconstruction_func(
     committer = TraceCommitter(vol.shape, cfg.vol, cfg.nodepervol, nodes, smap)
     trace_count = 0
     idx = 0
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+    nseeds = len(pos)
+    pending: List[int] = []  # selected-but-untraced seeds (cap-cut wave tail)
+    if resume and checkpoint_path:
         from pnr_tpu.pipeline.checkpoint import load_checkpoint
 
-        committer, idx, trace_count = load_checkpoint(checkpoint_path)
+        if not os.path.exists(checkpoint_path):
+            raise FileNotFoundError(
+                f"resume=True but no checkpoint at {checkpoint_path!r}"
+            )
+        committer, idx, trace_count, pending, ck_nseeds = load_checkpoint(
+            checkpoint_path
+        )
+        if tuple(committer.shape) != tuple(vol.shape):
+            raise ValueError(
+                f"checkpoint was taken on a {tuple(committer.shape)} volume, "
+                f"not {tuple(vol.shape)} — wrong checkpoint or wrong input"
+            )
+        if ck_nseeds >= 0 and ck_nseeds != nseeds:
+            raise ValueError(
+                f"checkpoint expects {ck_nseeds} seeds, this run selected "
+                f"{nseeds} — the front-half config differs from the "
+                "checkpointed run"
+            )
         nodes = committer.nodes
         if verbose:
             print(f"resumed at seed {idx}, {trace_count} traces, |n0|={len(nodes)}")
     wave = max(1, cfg.wave_size)
     waves_done = 0
-    nseeds = len(pos)
-    while idx < nseeds and trace_count <= cfg.max_trace_count:
-        # gather the next wave of seeds that pass the (stale) suppression check
+    while (pending or idx < nseeds) and trace_count <= cfg.max_trace_count:
+        # gather the next wave of seeds that pass the (stale) suppression
+        # check — suppression is monotone (visit counts only grow), so a
+        # stale "blocked" is exact; resumed pending seeds go first (they
+        # precede idx in the reference's seed order)
         batch: List[int] = []
+        while pending and len(batch) < wave:
+            si = pending.pop(0)
+            if committer.seed_allowed(pos[si]):
+                batch.append(si)
         while idx < nseeds and len(batch) < wave:
             if committer.seed_allowed(pos[idx]):
                 batch.append(idx)
@@ -607,14 +638,17 @@ def reconstruction_func(
         if not batch:
             break
         sel = np.asarray(batch)
-        trace_count = _trace_and_commit_wave(
+        trace_count, unstarted = _trace_and_commit_wave(
             tracker, committer, field, pos[sel], dirs[sel], sel, key, cfg, trace_count
         )
+        pending = unstarted + pending
         waves_done += 1
         if checkpoint_path and waves_done % max(1, checkpoint_every_waves) == 0:
             from pnr_tpu.pipeline.checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_path, committer, idx, trace_count)
+            save_checkpoint(
+                checkpoint_path, committer, idx, trace_count, pending, nseeds
+            )
     tm.stop()
     if verbose:
         used = (100.0 * trace_count) / max(len(pos), 1)

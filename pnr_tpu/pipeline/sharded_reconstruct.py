@@ -496,11 +496,36 @@ def reconstruction_func_sharded(
     nseeds = len(pos)
     waves_done = 0
     requeued_total = 0
-    pending: List[int] = []  # lane-overflow seeds, traced next wave
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+    # lane-overflow re-queues + the unstarted tail of a cap-cut wave;
+    # persisted in the checkpoint so a resume never skips them
+    pending: List[int] = []
+    if resume and checkpoint_path:
         from pnr_tpu.pipeline.checkpoint import load_checkpoint
 
-        committer, idx, trace_count = load_checkpoint(checkpoint_path)
+        if not os.path.exists(checkpoint_path):
+            # loud on EVERY process: on a non-shared filesystem only
+            # process 0 holds the snapshot, and silently starting fresh
+            # here would break the redundant-host-driver invariant
+            # (identical host logic and state on all processes)
+            raise FileNotFoundError(
+                f"resume=True but no checkpoint at {checkpoint_path!r} "
+                f"(process {jax.process_index()}; multi-host resume needs "
+                "the snapshot on a shared filesystem)"
+            )
+        committer, idx, trace_count, pending, ck_nseeds = load_checkpoint(
+            checkpoint_path
+        )
+        if tuple(committer.shape) != tuple(vol.shape):
+            raise ValueError(
+                f"checkpoint was taken on a {tuple(committer.shape)} volume, "
+                f"not {tuple(vol.shape)} — wrong checkpoint or wrong input"
+            )
+        if ck_nseeds >= 0 and ck_nseeds != nseeds:
+            raise ValueError(
+                f"checkpoint expects {ck_nseeds} seeds, this run selected "
+                f"{nseeds} — the front-half config differs from the "
+                "checkpointed run"
+            )
         nodes = committer.nodes
         if verbose:
             print(f"resumed at seed {idx}, {trace_count} traces, |n0|={len(nodes)}")
@@ -541,7 +566,7 @@ def reconstruction_func_sharded(
         if not len(sel):
             continue
 
-        trace_count = _trace_and_commit_wave_sharded(
+        trace_count, unstarted = _trace_and_commit_wave_sharded(
             committer, init, stage, vs, bp, bd, bi, bv, key, cfg,
             pos, sel, trace_count, n_stages, stage_iters,
             # capacity structurally cannot bind when every trace of the
@@ -550,6 +575,10 @@ def reconstruction_func_sharded(
             # economy-only and results are bitwise-serial
             pipelined=(_lanes_override is None and lanes >= 2 * len(sel)),
         )
+        # cap-cut wave tail goes BEFORE earlier lane-overflow re-queues:
+        # in an uninterrupted run those overflow seeds trace in the wave
+        # AFTER this one
+        pending = unstarted + pending
         waves_done += 1
         if (
             checkpoint_path
@@ -558,7 +587,9 @@ def reconstruction_func_sharded(
         ):
             from pnr_tpu.pipeline.checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_path, committer, idx, trace_count)
+            save_checkpoint(
+                checkpoint_path, committer, idx, trace_count, pending, nseeds
+            )
     tm.stop()
     if verbose:
         extra = f", {requeued_total} re-queued" if requeued_total else ""
@@ -638,6 +669,11 @@ def _trace_and_commit_wave_sharded(
     commit_ptr = 0
     it_done = 1
 
+    def _unstarted():
+        # seeds the trace cap prevented from starting: carried as
+        # pending by the caller so a checkpointed resume never skips them
+        return [int(s) for s in sel if not seed_started[int(s)]]
+
     def advance(avail):
         nonlocal commit_ptr, trace_count
         while commit_ptr < len(commit_order):
@@ -703,7 +739,7 @@ def _trace_and_commit_wave_sharded(
             it_done += n_it
 
         advance(it_done)
-        return trace_count
+        return trace_count, _unstarted()
 
     # ---- pipelined: one stage in flight ahead of the commit wavefront
     ids_dev = ids0  # device lane ids of the LAST LAUNCHED stage
@@ -751,4 +787,4 @@ def _trace_and_commit_wave_sharded(
         inflight = newflight
 
     advance(it_done)
-    return trace_count
+    return trace_count, _unstarted()

@@ -30,13 +30,68 @@ class TestCheckpoint:
         c.npervol[1, 2, 3] = 2
         c.nidx[1, 2, 3] = 1
         p = str(tmp_path / "ck.npz")
-        save_checkpoint(p, c, seed_cursor=7, trace_count=3)
-        c2, cursor, count = load_checkpoint(p)
+        save_checkpoint(p, c, seed_cursor=7, trace_count=3, pending=[5, 6], nseeds=40)
+        c2, cursor, count, pending, nseeds = load_checkpoint(p)
         assert cursor == 7 and count == 3
+        assert pending == [5, 6] and nseeds == 40
         assert len(c2.nodes) == 3
         assert c2.nodes.nbr[1] == [2] and c2.nodes.nbr[2] == [1]
         assert c2.npervol[1, 2, 3] == 2 and c2.nidx[1, 2, 3] == 1
         assert c2.vol == 9 and c2.nodepervol == 3
+        # atomic write: no temp file left behind
+        import os
+
+        assert not os.path.exists(p + ".tmp.npz")
+
+    def test_resume_missing_file_raises(self, tmp_path):
+        vol = tube_phantom()
+        with pytest.raises(FileNotFoundError):
+            reconstruction_func(
+                vol, CFG, verbose=False,
+                checkpoint_path=str(tmp_path / "nope.npz"), resume=True,
+            )
+
+    def test_resume_wrong_volume_raises(self, tmp_path):
+        """A snapshot from a different-shaped volume must be rejected,
+        not silently mixed into the new run."""
+        nodes = NodeList()
+        c = TraceCommitter((4, 8, 8), vol=9, nodepervol=3, nodes=nodes)
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(p, c, seed_cursor=0, trace_count=0)
+        vol = tube_phantom()
+        with pytest.raises(ValueError, match="volume"):
+            reconstruction_func(
+                vol, CFG, verbose=False, checkpoint_path=p, resume=True
+            )
+
+    def test_resume_after_midwave_cap(self, tmp_path):
+        """The trace cap can fire INSIDE a wave: seeds already selected
+        (and idx-advanced past) but never started must be carried in the
+        checkpoint's pending list — a resume with the cap lifted must be
+        node-identical to an uninterrupted run, not skip them."""
+        import dataclasses
+
+        vol = tube_phantom()
+        full = reconstruction_func(vol, CFG, verbose=False)
+        assert full.trace_count > 2
+        # wave_size 4, cap 1: the wave starts seeds 0,1 then caps with
+        # seeds 2,3 selected-but-unstarted (cursor already past them)
+        cut = dataclasses.replace(CFG, max_trace_count=1)
+        ck = str(tmp_path / "cap.npz")
+        part = reconstruction_func(
+            vol, cut, verbose=False, checkpoint_path=ck
+        )
+        assert 0 < part.trace_count < full.trace_count
+        d = np.load(ck)
+        assert d["pending"].size > 0, "cap did not cut mid-wave; test is inert"
+        resumed = reconstruction_func(
+            vol, CFG, verbose=False, checkpoint_path=ck, resume=True
+        )
+        assert resumed.trace_count == full.trace_count
+        assert len(resumed.n0) == len(full.n0)
+        np.testing.assert_array_equal(
+            np.asarray(resumed.n0.x), np.asarray(full.n0.x)
+        )
 
     def test_resume_matches_uninterrupted_run(self, tmp_path):
         vol = tube_phantom()

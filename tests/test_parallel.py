@@ -580,14 +580,17 @@ class TestShardedReconstruction:
         mesh2, mesh4 = make_mesh(2), make_mesh(4)
         full = reconstruction_func_sharded(vol, cfg, mesh2, verbose=False)
 
-        # interrupt mid-run: the trace cap stops the wave loop after the
-        # first committed wave (2 of ~26 seeds), checkpointing each wave
-        cut = dataclasses.replace(cfg, max_trace_count=1)
+        # interrupt mid-run: cap 1 with wave 6 fires INSIDE the first
+        # wave — seeds 2..5 are selected (cursor already past them) but
+        # never started, so they must travel in the checkpoint's pending
+        # list; the resume below must still be node-identical
+        cut = dataclasses.replace(cfg, max_trace_count=1, wave_size=6)
         ck = str(tmp_path / "elastic.npz")
         part = reconstruction_func_sharded(
             vol, cut, mesh4, verbose=False, checkpoint_path=ck
         )
         assert 0 < part.trace_count < full.trace_count, "not interrupted"
+        assert np.load(ck)["pending"].size > 0, "cap not mid-wave; inert test"
         resumed = reconstruction_func_sharded(
             vol, cfg, mesh2, verbose=False, checkpoint_path=ck, resume=True
         )
