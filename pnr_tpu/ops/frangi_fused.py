@@ -18,9 +18,12 @@ across sequential grid steps):
   lanes), casts u8->i32->f32, and runs the per-sigma separable x+y
   Gaussian on each plane with static lane/sublane tap slices. Smoothed
   planes land in per-sigma mod-addressed VMEM rings sized
-  bz + 2*(ceil(3*sigma/zdist)+2); a z-tile step only pays `bz` new
-  planes, so the z-halo costs no extra HBM traffic (the round-2 VMEM
-  blocker for a tile-halo formulation).
+  bz + HZ + hz_sigma + 4 (hz = ceil(3*sigma/zdist), HZ = max over
+  sigmas): wide enough to hold both the current tile's z window and the
+  planes arriving at the shared max-sigma processing front, which later
+  tiles will read. A z-tile step only pays `bz` new planes, so the
+  z-halo costs no extra HBM traffic (the round-2 VMEM blocker for a
+  tile-halo formulation).
 * Per output plane, the z Gaussian contracts each sigma's ring into a
   5-deep F window (mod-5 scratch ring), from which central differences
   build the 6 gamma-scaled Hessian components with `jnp.gradient`
@@ -205,7 +208,18 @@ class _Geom:
         self.YT = (self.ny - 1) * by + self.EY
         self.Rmax = bz + 2 * self.HZ + 4
         self.ZT = (self.nz - 1) * bz + self.Rmax
-        self.R = [bz + 2 * (h + 2) for h in self.hz]
+        # Ring capacity per sigma: every padded plane is DMA'd and
+        # xy-smoothed exactly ONCE, at the max-sigma processing front
+        # [z0 + 2*HZ + 4, z0 + 2*HZ + 4 + bz). A sigma with hz < HZ
+        # needs those front planes only at a LATER z-tile, so its ring
+        # must span from the current tile's window start
+        # (z0 + HZ - hz) through the front end — bz + HZ + hz + 4
+        # planes — or the front stores would clobber planes the current
+        # tile still reads (the old bz + 2*hz + 4 sizing forced a store
+        # gate that instead dropped the front planes for hz < HZ,
+        # leaving ring slots one lap stale for every tile after the
+        # first; sigmas with hz == HZ are unaffected).
+        self.R = [bz + self.HZ + h + 4 for h in self.hz]
 
     def y_band_matrices(self) -> np.ndarray:
         """Banded y-Gaussian operators, 3-way bf16-split for the MXU.
@@ -289,10 +303,13 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
             )  # (3*ns*RY, Xe)
             row_i = jax.lax.broadcasted_iota(jnp.int32, (RY, g.Xc), 0)
             lane_i = jax.lax.broadcasted_iota(jnp.int32, (RY, g.Xc), 1)
+            # store into EVERY sigma's ring unconditionally: each plane
+            # passes through here exactly once, and the per-sigma ring
+            # sizing (see _Geom.R) guarantees the store never clobbers a
+            # plane the current tile still reads
             for si in range(ns):
                 hs = g.hxy[si]
 
-                @pl.when(q <= z0 + g.PZ0 + bz + g.hz[si] + 1)
                 def _store(si=si, hs=hs):
                     taps = g.kxy[si]
                     r0 = 3 * si * RY
@@ -320,6 +337,8 @@ def _kernel(geom: _Geom, alpha, beta, c, blackwhite):
                             (row_i > rl) & (jy == g.ny - 1), ys[rl : rl + 1, :], ys
                         )
                     rings[si][jnp.remainder(q, g.R[si])] = ys
+
+                _store()
 
         def proc_loop(n, base):
             def body(k, carry):

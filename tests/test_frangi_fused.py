@@ -77,6 +77,42 @@ class TestFusedFrangi:
         med, frac = dirs_aligned(j0, jmax0, v0, v1)
         assert med > 0.99 and frac > 0.95
 
+    def test_mixed_sigma_ring_depth(self):
+        """Regression: sigmas with different z half-widths (hz < HZ)
+        share one per-plane processing front; each sigma's ring must
+        retain the front planes until ITS z-window needs them, tiles
+        later. The old bz + 2*hz + 4 ring sizing gated those stores out
+        and served one-lap-stale planes instead — up to ~59% error on
+        bright volumes spanning several z-tiles. Bright-everywhere
+        signal + small bz + spread hz (2 vs 9 at sigmas (2,6)/zdist 2)
+        maximizes exposure; parity must hold to fp noise."""
+        rng = np.random.default_rng(1)
+        shape = (24, 40, 72)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        d2 = (y - 20) ** 2 + ((z - 12) * ZDIST) ** 2
+        vol = np.clip(
+            200.0 * np.exp(-d2 / 18.0) * (0.7 + 0.3 * np.sin(x / 4.0))
+            + rng.normal(0, 20, shape) + 40.0,
+            0, 255,
+        ).astype(np.uint8)
+        for sig in [(2.0, 6.0), (2.0, 4.0, 6.0)]:
+            j0, jmin0, jmax0, *v0 = frangi3d(vol, sig, ZDIST)
+            j0 = np.asarray(j0)
+            scale = max(float(jmax0), 1e-12)
+            strong = j0 > 0.1 * scale
+            for bz, by in [(4, 16), (8, 16)]:
+                j1, jmin1, jmax1, *v1 = run_fused(vol, sig, bz=bz, by=by)
+                j1 = np.asarray(j1)
+                # structured response to fp noise (weak/border voxels
+                # can flip the lambda-sign gate — see module docstring);
+                # the stale-ring bug scored 0.30-0.59 here
+                err = np.abs(j0[strong] - j1[strong]).max() / scale
+                assert err < 1e-4, (sig, bz, by, err)
+                j8a = np.asarray(normalize_to_u8(j0, jmin0, jmax0)).astype(int)
+                j8b = np.asarray(normalize_to_u8(j1, jmin1, jmax1)).astype(int)
+                assert np.abs(j8a - j8b).max() <= 8, (sig, bz, by)
+                assert (j8a != j8b).mean() < 0.01, (sig, bz, by)
+
     def test_blackwhite_and_single_sigma(self):
         vol = 255 - tube((16, 32, 72))  # dark ridge on bright bg
         j0, jmin0, jmax0, *_ = frangi3d(
