@@ -102,7 +102,11 @@ def _subset_treelist(tree: NodeList, keep: np.ndarray) -> NodeList:
             )
             out.nbr[-1] = list(tree.nbr[i])
     for i in range(1, len(out)):
-        out.nbr[i] = [int(x2y[j]) for j in out.nbr[i]]
+        # drop links to removed nodes: an unmapped j (-1) must not leak
+        # into nbr, where Python negative indexing would silently alias
+        # the LAST node (current callers keep whole tree spans, so links
+        # only sever if a caller ever passes a partial-span mask)
+        out.nbr[i] = [int(x2y[j]) for j in out.nbr[i] if x2y[j] >= 0]
     return out
 
 

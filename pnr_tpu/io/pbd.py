@@ -29,43 +29,93 @@ _DELTA = np.array([0, 1, 2, -1], np.int16)
 
 
 def decompress_pbd8(src: np.ndarray, out_size: int) -> np.ndarray:
-    """Decode an 8-bit PBD stream into ``out_size`` bytes."""
+    """Decode an 8-bit PBD stream into ``out_size`` bytes.
+
+    Two passes: a light op walk (one Python iteration per *op*, copying
+    literal/repeat spans as numpy slices and recording difference-run
+    metadata), then one vectorized pass decoding ALL difference runs at
+    once — 2-bit fields unpack as a (bytes, 4) shift table, each run's
+    values are prior + within-run cumsum, and run priors chain through
+    consecutive-run groups via per-run delta totals (grouped cumsums),
+    so Python executes per OP, not per voxel (~50 bytes/iteration on
+    difference-heavy streams — the common case for microscopy stacks —
+    instead of one interpreter pass per decoded value).
+    """
     src = np.asarray(src, np.uint8)
     out = np.empty(out_size, np.uint8)
+    sb = src.tobytes()  # fast scalar indexing
+    n = len(sb)
     cp = 0
     dp = 0
-    prior = 0
-    n = len(src)
+    prior = 0  # last explicitly-coded byte: the anchor for diff chains
+    # difference-run metadata: operand offset, packed bytes, output
+    # offset, value count, chain id (consecutive diff ops share a chain
+    # whose values accumulate from one anchor)
+    d_cp: list = []
+    d_nb: list = []
+    d_dp: list = []
+    d_cnt: list = []
+    d_chain: list = []
+    anchors: list = []
+    chain_open = False
     while cp < n and dp < out_size:
-        code = int(src[cp])
+        code = sb[cp]
         if code < 33:  # literal
             count = code + 1
             out[dp : dp + count] = src[cp + 1 : cp + 1 + count]
             cp += count + 1
             dp += count
-            prior = int(out[dp - 1])
+            prior = sb[cp - 1]
+            chain_open = False
         elif code < 128:  # packed 2-bit differences
-            left = code - 32
-            cp += 1
-            while left > 0:
-                fill = 4 if left > 4 else left
-                byte = int(src[cp])
-                cp += 1
-                for _ in range(fill):
-                    prior = (prior + int(_DELTA[byte & 0x03])) & 0xFF
-                    out[dp] = prior
-                    dp += 1
-                    byte >>= 2
-                left -= fill
+            cnt = code - 32
+            nb = (cnt + 3) // 4
+            if not chain_open:
+                chain_open = True
+                anchors.append(prior)
+            d_cp.append(cp + 1)
+            d_nb.append(nb)
+            d_dp.append(dp)
+            d_cnt.append(cnt)
+            d_chain.append(len(anchors) - 1)
+            cp += 1 + nb
+            dp += cnt
         else:  # repeat
             count = code - 127
-            value = src[cp + 1]
+            value = sb[cp + 1]
             out[dp : dp + count] = value
             dp += count
             cp += 2
-            prior = int(value)
+            prior = value
+            chain_open = False
     if dp != out_size:
         raise ValueError(f"PBD stream decoded {dp} bytes, expected {out_size}")
+    if d_cp:
+        cp0 = np.asarray(d_cp, np.int64)
+        nb = np.asarray(d_nb, np.int64)
+        dp0 = np.asarray(d_dp, np.int64)
+        cnt = np.asarray(d_cnt, np.int64)
+        chain = np.asarray(d_chain, np.int64)
+        anc = np.asarray(anchors, np.int64)
+        # gather every run's packed bytes into one flat array
+        nb_end = np.cumsum(nb)
+        bidx = np.repeat(cp0 - (nb_end - nb), nb) + np.arange(nb_end[-1])
+        quads = (src[bidx][:, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3
+        # select each run's first cnt values out of its 4*nb fields
+        cnt_end = np.cumsum(cnt)
+        intra = np.arange(cnt_end[-1]) - np.repeat(cnt_end - cnt, cnt)
+        deltas = _DELTA[
+            quads.reshape(-1)[np.repeat((nb_end - nb) * 4, cnt) + intra]
+        ].astype(np.int64)
+        cs = np.cumsum(deltas)
+        run_first = cnt_end - cnt
+        run_base = cs[run_first] - deltas[run_first]  # cumsum before run
+        # per-run delta totals -> chained priors within each chain
+        rs_cum0 = np.concatenate([[0], np.cumsum(cs[cnt_end - 1] - run_base)])
+        _, chain_first = np.unique(chain, return_index=True)
+        prior_run = anc[chain] + rs_cum0[: len(cnt)] - rs_cum0[chain_first[chain]]
+        vals = (np.repeat(prior_run - run_base, cnt) + cs) & 0xFF
+        out[np.repeat(dp0, cnt) + intra] = vals.astype(np.uint8)
     return out
 
 

@@ -448,6 +448,13 @@ class BatchedTracker:
         """
         t = len(seed_pos)
         ni = self.cfg.ni
+        if t == 0:  # e.g. every seed filtered out: empty result, not a crash
+            e = np.zeros((0, ni), np.float32)
+            return TraceResult(
+                pos=np.zeros((0, ni, 3), np.float32),
+                dir=np.zeros((0, ni, 3), np.float32),
+                sig=e, corr=e, valid=e > 0.5,
+            )
         # pad small batches to the next power of two (bounded shape set),
         # large ones chunk at TRACE_CHUNK
         chunk = self.TRACE_CHUNK

@@ -207,6 +207,24 @@ class TestTrees:
         largest = extract_largest_tree(tree)
         assert len(largest) == 13
 
+    def test_subset_severed_links_dropped(self):
+        """A keep mask that removes a parent but keeps its child must
+        sever the link, not let the unmapped -1 alias the LAST node via
+        Python negative indexing (current callers keep whole spans; this
+        guards the helper's contract for partial masks)."""
+        from pnr_tpu.graph.trees import _subset_treelist
+
+        nodes = NodeList()
+        self._chain(nodes, [(i, 0, 0) for i in range(4)], sig=1)
+        tree = bfs_forest(nodes)
+        keep = np.ones(len(tree), bool)
+        keep[2] = False  # drop a mid-chain node
+        out = _subset_treelist(tree, keep)
+        assert len(out) == len(tree) - 1
+        for i in range(1, len(out)):
+            for j in out.nbr[i]:
+                assert 0 < j < len(out)
+
     def test_remove_tails(self):
         nodes = NodeList()
         trunk = self._chain(nodes, [(i, 0, 0) for i in range(8)], sig=1)

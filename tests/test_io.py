@@ -55,6 +55,35 @@ class TestVolumeIO:
         np.testing.assert_array_equal(
             out, [10, 20, 30, 9, 9, 9, 9, 9, 10, 12, 11, 11]
         )
+        # CONSECUTIVE diff ops chain their priors through each other
+        # (the vectorized decoder's grouped-cumsum path), including a
+        # uint8 wraparound; then an explicit op resets the anchor
+        stream2 = (
+            bytes([127 + 1, 254])                      # repeat 1x254
+            + bytes([32 + 4, 0b00_01_01_01])           # 255, 0 (wrap), 1, 1
+            + bytes([32 + 2, 0b00_11_10])              # +2, -1 -> 3, 2
+            + bytes([0, 100])                          # literal resets anchor
+            + bytes([32 + 1, 0b01])                    # -> 101
+        )
+        out2 = decompress_pbd8(np.frombuffer(stream2, np.uint8), 9)
+        np.testing.assert_array_equal(out2, [254, 255, 0, 1, 1, 3, 2, 100, 101])
+        # big mixed payload: flats, ramps, noise bursts (stresses the
+        # op-walk + vectorized diff pass against each other)
+        parts = []
+        for k in range(60):
+            if k % 3 == 0:
+                parts.append(np.full(rng.integers(1, 400), k * 4, np.uint8))
+            elif k % 3 == 1:
+                parts.append(
+                    (np.cumsum(rng.integers(-1, 3, rng.integers(1, 400))) & 0xFF)
+                    .astype(np.uint8)
+                )
+            else:
+                parts.append(rng.integers(0, 256, rng.integers(1, 200)).astype(np.uint8))
+        big = np.concatenate(parts)
+        np.testing.assert_array_equal(
+            decompress_pbd8(compress_pbd8(big), len(big)), big
+        )
 
     def test_v3dpbd_16bit_rejected(self, tmp_path):
         import struct

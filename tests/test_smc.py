@@ -122,6 +122,20 @@ class TestBatchedTracker:
         # correlations along the tube are strong
         assert res.corr[0, v0].mean() > 0.6
 
+    def test_empty_wave_returns_empty_result(self, tracker):
+        """A wave with zero seeds (every seed filtered out upstream)
+        must return an empty TraceResult, not crash in np.concatenate."""
+        vol = make_noisy_tube()
+        res = tracker.trace_wave(
+            jnp.asarray(vol),
+            np.zeros((0, 3), np.float32),
+            np.zeros((0, 3), np.float32),
+            jax.random.key(0),
+            np.zeros(0, np.int64),
+        )
+        assert res.pos.shape == (0, tracker.cfg.ni, 3)
+        assert res.valid.shape == (0, tracker.cfg.ni)
+
     def test_reproducible_with_same_key(self, tracker):
         vol = make_noisy_tube()
         img = jnp.asarray(vol)
