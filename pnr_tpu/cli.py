@@ -276,7 +276,9 @@ def main(argv=None) -> int:
         )
 
         save_volume(args.image + "_J8.tif", result.j8)
-        export_seeds_swc(args.image + "_Seeds.swc", result.seeds_pos)
+        export_seeds_swc(
+            args.image + "_Seeds.swc", result.seeds_pos, corr=result.seeds_corr
+        )
         mid = result.midres or {}
         if "vx" in mid:
             export_directionality_swc(

@@ -25,8 +25,6 @@ from pnr_tpu.config import PNRConfig
 from pnr_tpu.ops.frangi import frangi3d
 from pnr_tpu.parallel.halo import halo_exchange_z, halo_exchange_z_aligned
 
-_FLT_MIN = 1.175494e-38
-
 
 def make_mesh(n_devices: int | None = None, axis: str = "z") -> Mesh:
     """1-D mesh over the first n_devices. Fails loudly (never silently
@@ -158,10 +156,13 @@ def frangi2d_sharded(
 
 
 def normalize_to_u8_sharded(j, jmin, jmax):
-    span = jmax - jmin
-    degenerate = jnp.abs(span) <= _FLT_MIN
-    val = jnp.round(((j - jmin) / jnp.where(degenerate, 1.0, span)) * 255.0)
-    return jnp.where(degenerate, 0.0, jnp.clip(val, 0.0, 255.0)).astype(jnp.uint8)
+    """J8 quantization on sharded inputs — the ONE normalization rule
+    (ops/frangi.normalize_to_u8; elementwise, so it shards for free).
+    Delegating keeps the sharded pipeline bitwise-locked to any future
+    change of the quantization semantics."""
+    from pnr_tpu.ops.frangi import normalize_to_u8
+
+    return normalize_to_u8(j, jmin, jmax)
 
 
 def shard_volume(vol: np.ndarray, mesh: Mesh) -> jax.Array:
@@ -242,7 +243,9 @@ def build_sharded_step(cfg: PNRConfig, mesh: Mesh, wave: int = 8):
     from pnr_tpu.parallel.handoff import build_handoff_trace_step
 
     n_dev = mesh.devices.size
-    per_shard = max(1, wave // n_dev)
+    # round UP: a wave the mesh does not divide must not silently lose
+    # seed lanes (wave=8 on 3 devices gets 3x3, not 3x2=6)
+    per_shard = max(1, -(-wave // n_dev))
     # lane headroom: migrating traces need free lanes on the receiving
     # shard beyond its own seeds, or arrivals drop as handoff-lost
     lanes = 2 * per_shard + 2

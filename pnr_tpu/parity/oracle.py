@@ -55,7 +55,13 @@ def _build() -> str:
         if not os.path.exists(s):
             raise FileNotFoundError(s)
     if os.path.exists(_LIB_PATH):
-        newest = max(os.path.getmtime(s) for s in srcs + [_SHIM])
+        # staleness must cover the HEADERS the sources include, not just
+        # the .cpp files — a header-only edit (struct/inline change)
+        # would otherwise silently keep testing against the old binary
+        import glob
+
+        deps = srcs + [_SHIM] + glob.glob(os.path.join(REF_DIR, "*.h"))
+        newest = max(os.path.getmtime(s) for s in deps)
         if os.path.getmtime(_LIB_PATH) >= newest:
             return _LIB_PATH
     os.makedirs(_BUILD_DIR, exist_ok=True)

@@ -25,7 +25,14 @@ from pnr_tpu.config import PNRConfig
 from pnr_tpu.io.volume import LOADABLE_EXTS
 
 
-def _scan(watch_dir: str, seen, sizes) -> list:
+#: consecutive polls a processed file must be absent before its `seen`
+#: entry is pruned — one missed os.stat (NFS ESTALE, transient hiccup)
+#: must NOT make an unchanged, already-processed stack re-enter the
+#: pipeline when it reappears with the same (mtime, size) stamp
+_PRUNE_AFTER_MISSES = 3
+
+
+def _scan(watch_dir: str, seen, sizes, missing=None) -> list:
     """Return paths that are new (or rewritten) and stable.
 
     `sizes` holds each candidate's (mtime_ns, size) awaiting the
@@ -33,8 +40,10 @@ def _scan(watch_dir: str, seen, sizes) -> list:
     row to be yielded, so a delete+rewrite between polls restarts its
     stability check. Entries for files that vanished are pruned — a
     deleted candidate must not wedge the drain-before-stop check — and
-    `seen` entries of vanished files are pruned with them so the
-    long-running server's memory stays bounded by the directory size.
+    `seen` entries of files absent for `_PRUNE_AFTER_MISSES` consecutive
+    polls are pruned with them, so the long-running server's memory
+    stays bounded by the directory size while a single transient stat
+    failure cannot trigger a re-reconstruction.
     """
     ready = []
     present = set()
@@ -59,7 +68,16 @@ def _scan(watch_dir: str, seen, sizes) -> list:
             sizes[path] = stamp  # candidate: confirm next poll
     for stale in [p for p in sizes if p not in present]:
         del sizes[stale]
-    seen -= {k for k in seen if k[0] not in present}
+    if missing is not None:
+        for p in {k[0] for k in seen}:
+            if p in present:
+                missing.pop(p, None)
+            else:
+                missing[p] = missing.get(p, 0) + 1
+        gone = {p for p, n in missing.items() if n >= _PRUNE_AFTER_MISSES}
+        seen -= {k for k in seen if k[0] in gone}
+        for p in gone:
+            del missing[p]
     return ready
 
 
@@ -109,21 +127,23 @@ def watch_and_reconstruct(
         os.makedirs(out_dir, exist_ok=True)
     seen = set()
     sizes = {}
+    missing = {}
     paths = []  # consumed order; reconstruction_batch preserves it
     stop_path = os.path.join(watch_dir, stop_file)
 
     if mesh is not None:
         return _watch_sharded(
             watch_dir, cfg, mesh, dp_groups, out_dir, poll_s, stop_path,
-            verbose, max_stacks, seen, sizes,
+            verbose, max_stacks, seen, sizes, missing,
         )
 
     def volumes():
         served = 0
+        stop_polls = 0  # polls the stop sentinel has been waiting out
         last_idle = 0.0  # monotonic time of the last not-ready yield
         while max_stacks is None or served < max_stacks:
             got = False
-            for path in _scan(watch_dir, seen, sizes):
+            for path in _scan(watch_dir, seen, sizes, missing):
                 try:
                     vol = load_volume(path)
                 except Exception as e:  # unreadable/partial: skip loudly
@@ -138,9 +158,16 @@ def watch_and_reconstruct(
                     return
             if not got:
                 # drain before stopping: size-stability needs a second
-                # poll, so candidates in `sizes` are still in flight
-                if not sizes and os.path.exists(stop_path):
-                    return
+                # poll, so candidates in `sizes` are still in flight —
+                # but a candidate that NEVER stabilizes (a file still
+                # being written/appended) must not block shutdown, so
+                # pending candidates get a bounded number of extra polls
+                if os.path.exists(stop_path):
+                    stop_polls += 1
+                    if not sizes or stop_polls > 3:
+                        return
+                else:
+                    stop_polls = 0
                 # tell the batch driver "nothing ready yet" so it keeps
                 # draining queued fronts instead of blocking here — an
                 # arrived stack's SWC must never wait on FUTURE arrivals.
@@ -163,7 +190,7 @@ def watch_and_reconstruct(
 
 def _watch_sharded(
     watch_dir, cfg, mesh, dp_groups, out_dir, poll_s, stop_path,
-    verbose, max_stacks, seen, sizes,
+    verbose, max_stacks, seen, sizes, missing,
 ) -> int:
     """Sharded serving loop: batch each poll's stable arrivals through
     the DP x spatial driver. PRNG semantics match per-stack
@@ -173,9 +200,10 @@ def _watch_sharded(
     from pnr_tpu.parallel.batch_dp import reconstruction_batch_sharded
 
     count = 0
+    stop_polls = 0
     while max_stacks is None or count < max_stacks:
         batch = []
-        for path in _scan(watch_dir, seen, sizes):
+        for path in _scan(watch_dir, seen, sizes, missing):
             if max_stacks is not None and count + len(batch) >= max_stacks:
                 break
             try:
@@ -186,9 +214,14 @@ def _watch_sharded(
                 continue
             batch.append((path, vol))
         if not batch:
-            # drain before stopping: size-stability needs a second poll
-            if not sizes and os.path.exists(stop_path):
-                break
+            # drain before stopping: size-stability needs a second poll,
+            # but a never-stabilizing candidate must not block shutdown
+            if os.path.exists(stop_path):
+                stop_polls += 1
+                if not sizes or stop_polls > 3:
+                    break
+            else:
+                stop_polls = 0
             time.sleep(poll_s)
             continue
         results = reconstruction_batch_sharded(

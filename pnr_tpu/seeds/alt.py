@@ -51,7 +51,17 @@ def frangi3d_with_scale(vol, sigmas, zdist, alpha=0.5, beta=0.5, c=500.0):
 
 
 def _suwv_offsets(sigmas: Sequence[float], sig2r: float) -> list:
-    """Per-scale cross-section disc offsets (u, w, v) (seed.cpp:52-61)."""
+    """Per-scale neighbourhood offsets as (u-axis, w-axis, V-axis)
+    multipliers (seed.cpp:52-61).
+
+    Reference quirk reproduced verbatim: `Puwv`'s constructor is
+    `(u1, w1, v1)` (seed.h:24) but the build loop calls `Puwv(u, v, w)`
+    (seed.cpp:57), so the loop's `v` (+-1) lands on the W field and the
+    loop's `w` (+-Ruw) on the V field — the consumer
+    (`xN = u*ux + w*wx + v*Vx`, seed.cpp:177-179) therefore spreads the
+    +-Ruw disc extent over the (u, VESSEL-AXIS) plane with only +-1
+    along the second orthogonal, not over the cross-section the comment
+    claims."""
     out = []
     for sig in sigmas:
         ruw = int(math.ceil(sig2r * sig))
@@ -61,7 +71,7 @@ def _suwv_offsets(sigmas: Sequence[float], sig2r: float) -> list:
             for w in range(-ruw, ruw + 1):
                 for v in range(-rv, rv + 1):
                     if 0 < u * u + w * w <= ruw * ruw:
-                        offs.append((u, w, v))
+                        offs.append((u, v, w))  # (u->u, v->W, w->V): the ctor swap
         out.append(np.asarray(offs, np.float32))
     return out
 

@@ -29,13 +29,21 @@ def export_points_swc(path: str, pts, ntype: int = 1, radius: float = 0.3) -> No
             f.write(f"{i} {ntype} {p[0]:g} {p[1]:g} {p[2]:g} {r:g} -1\n")
 
 
-def export_seeds_swc(path: str, pos, dirs=None, ntype: int = 7, arrow: float = 10.0) -> None:
-    """Seeds (+ direction arrows) as SWC (seed.cpp:519-540 export_seeds)."""
+def export_seeds_swc(
+    path: str, pos, dirs=None, ntype: int = 7, arrow: float = 10.0, corr=None
+) -> None:
+    """Seeds (+ direction arrows) as SWC (seed.cpp:519-540 export_seeds).
+
+    The reference writes each seed's ZNCC correlation in the radius
+    column (`seeds[i].corr`, seed.cpp:529) — the per-seed signal its
+    debug SWCs visualize as node size; pass `corr` to match (falls back
+    to a fixed .3 marker radius when absent)."""
     pos = np.asarray(pos)
     lines = []
     cnt = 1
     for i in range(len(pos)):
-        lines.append(f"{cnt} {ntype} {pos[i,0]:g} {pos[i,1]:g} {pos[i,2]:g} .3 -1")
+        r = f"{float(np.asarray(corr)[i]):g}" if corr is not None else ".3"
+        lines.append(f"{cnt} {ntype} {pos[i,0]:g} {pos[i,1]:g} {pos[i,2]:g} {r} -1")
         base = cnt
         cnt += 1
         if dirs is not None:
@@ -94,14 +102,27 @@ def export_track_swc(path: str, pos, valid=None, ntype: int = 3) -> None:
         f.write("\n".join(lines) + "\n")
 
 
-def export_track_corr(path: str, corr, valid=None) -> None:
-    """Per-iteration centroid correlations (tracker.cpp:736-749)."""
+def export_track_corr(path: str, corr, valid=None, particle_corr=None) -> None:
+    """Per-iteration correlations (tracker.cpp:736-749 export_trackcorr).
+
+    The reference writes TWO lines per iteration: the centroid corr,
+    then a comma-joined row of every particle's corr (xfilt[i][j].corr).
+    Pass `particle_corr` (iters, npcles) to reproduce that structure;
+    without it only the centroid lines are written."""
     corr = np.asarray(corr)
+    keep = None
     if valid is not None:
-        corr = corr[np.asarray(valid, bool)]
+        keep = np.asarray(valid, bool)
+        corr = corr[keep]
+    if particle_corr is not None:
+        particle_corr = np.asarray(particle_corr)
+        if keep is not None:
+            particle_corr = particle_corr[keep]
     with open(path, "w") as f:
-        for c in corr:
+        for i, c in enumerate(corr):
             f.write(f"{c:g}\n")
+            if particle_corr is not None:
+                f.write(",".join(f"{p:g}" for p in particle_corr[i]) + "\n")
 
 
 def export_directionality_swc(

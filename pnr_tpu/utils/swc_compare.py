@@ -55,22 +55,28 @@ def resample_swc(swc: np.ndarray, spacing: float) -> np.ndarray:
     _, first = np.unique(ids, return_index=True)
     node_pos = {int(ids[i]): pos[i] for i in first}
     node_row = {int(ids[i]): swc[i] for i in first}
-    parent_of = {}
-    children: dict = {}
-    for i in first:
-        nid, par = int(ids[i]), int(parents[i])
-        parent_of[nid] = par
-        if par > 0 and par in node_pos:
-            children.setdefault(par, []).append(nid)
+    # Undirected link graph over unique node ids, built from ALL rows:
+    # the reference plugin and io/swc.save_nodelist emit ONE ROW PER
+    # LINK (node ids repeat, each occurrence carrying one neighbour in
+    # the parent column), so taking each node's first-row parent only
+    # would turn bidirectional links into parent 2-cycles — rootless,
+    # chain-less, and walked twice in opposite directions.
+    adj: dict = {n: [] for n in node_pos}
+    seen_edges = set()
+    for r in range(len(swc)):
+        nid, par = int(ids[r]), int(parents[r])
+        if par <= 0 or par == nid or par not in node_pos or nid not in node_pos:
+            continue
+        e = (nid, par) if nid < par else (par, nid)
+        if e in seen_edges:
+            continue
+        seen_edges.add(e)
+        adj[nid].append(par)
+        adj[par].append(nid)
 
-    def degree_out(nid):
-        return len(children.get(nid, []))
-
-    roots = [n for n in node_pos if parent_of.get(n, -1) <= 0 or parent_of[n] not in node_pos]
-    critical = {
-        n for n in node_pos
-        if n in roots or degree_out(n) != 1
-    }
+    # critical nodes = chain endpoints: isolated (deg 0), tips/roots
+    # (deg 1), branch points (deg >= 3); interior chain nodes have deg 2
+    critical = {n for n in node_pos if len(adj[n]) != 2}
     rows = []
     next_id = [1]
     emitted: dict = {}
@@ -86,37 +92,52 @@ def resample_swc(swc: np.ndarray, spacing: float) -> np.ndarray:
     for n in sorted(critical):
         emitted[n] = emit(node_pos[n], node_row[n], -1)
 
-    for c in sorted(critical):
-        for k in children.get(c, []):
-            # walk the unbranched chain c -> k -> ... -> e
-            poly = [node_pos[c]]
-            cur = k
-            for _ in range(len(node_pos) + 1):
-                if cur in critical:
-                    break
-                poly.append(node_pos[cur])
-                cur = children[cur][0]
-            else:
-                raise ValueError("SWC parent links contain a cycle")
+    def walk_and_emit(c, k):
+        """Emit the resampled chain c -> k -> ... -> endpoint; returns
+        the endpoint node id (critical, or c again for a pure cycle)."""
+        poly = [node_pos[c]]
+        prev_n, cur = c, k
+        for _ in range(len(seen_edges) + 1):
+            done.add((prev_n, cur) if prev_n < cur else (cur, prev_n))
             poly.append(node_pos[cur])
-            poly = np.asarray(poly)
-            seg = np.linalg.norm(np.diff(poly, axis=0), axis=1)
-            cum = np.concatenate([[0.0], np.cumsum(seg)])
-            total = float(cum[-1])
-            n_pts = max(1, int(round(total / spacing)))
-            prev = emitted[c]
-            for t in range(1, n_pts):
-                target = total * t / n_pts
-                j = int(np.searchsorted(cum, target, side="right") - 1)
-                j = min(j, len(seg) - 1)
-                frac = (target - cum[j]) / max(seg[j], 1e-12)
-                p = poly[j] + (poly[j + 1] - poly[j]) * frac
-                prev = emit(p, node_row[k], prev)
-            # connect the endpoint critical node
+            if cur in critical or cur == c:
+                break
+            nxt = adj[cur][0] if adj[cur][0] != prev_n else adj[cur][1]
+            prev_n, cur = cur, nxt
+        poly = np.asarray(poly)
+        seg = np.linalg.norm(np.diff(poly, axis=0), axis=1)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        total = float(cum[-1])
+        n_pts = max(1, int(round(total / spacing)))
+        prev = emitted[c]
+        for t in range(1, n_pts):
+            target = total * t / n_pts
+            j = int(np.searchsorted(cum, target, side="right") - 1)
+            j = min(j, len(seg) - 1)
+            frac = (target - cum[j]) / max(seg[j], 1e-12)
+            p = poly[j] + (poly[j + 1] - poly[j]) * frac
+            prev = emit(p, node_row[k], prev)
+        if cur in emitted:
             erow = rows[emitted[cur] - 1]
             if erow[6] < 0 and cur != c:
                 erow[6] = prev
-    return np.asarray(rows, np.float64)
+        return cur
+
+    done: set = set()
+    for c in sorted(critical):
+        for k in sorted(adj[c]):
+            e = (c, k) if c < k else (k, c)
+            if e not in done:
+                walk_and_emit(c, k)
+    # pure cycles (every node deg 2) have no critical entry point: open
+    # each at its smallest node id
+    for e in sorted(seen_edges):
+        if e not in done:
+            c = e[0]
+            if c not in emitted:
+                emitted[c] = emit(node_pos[c], node_row[c], -1)
+            walk_and_emit(c, e[1])
+    return np.asarray(rows, np.float64).reshape(-1, 7)
 
 
 def compare_swc(
@@ -138,15 +159,18 @@ def compare_swc(
     if nt == 0 or ng == 0:
         return SwcScore(0.0, 0.0, 0.0, 0.0, nt, ng, 0)
 
-    # greedy mutual nearest matching within `dist`
-    d = np.linalg.norm(tp[:, None, :] - gp[None, :, :], axis=-1)
+    # greedy matching by ascending distance within `dist`, over the
+    # SPARSE candidate pair set from a KD-tree (the dense nt x ng matrix
+    # is O(n^2) memory — 20 GB for two 50k-node morphologies)
+    from scipy.spatial import cKDTree
+
+    pairs = cKDTree(tp).sparse_distance_matrix(
+        cKDTree(gp), dist, output_type="coo_matrix"
+    )
     matched_t = np.full(nt, -1)
     matched_g = np.full(ng, -1)
-    order = np.argsort(d, axis=None)
-    for flat in order:
-        i, j = divmod(int(flat), ng)
-        if d[i, j] > dist:
-            break
+    order = np.argsort(pairs.data, kind="stable")
+    for i, j in zip(pairs.row[order], pairs.col[order]):
         if matched_t[i] == -1 and matched_g[j] == -1:
             matched_t[i] = j
             matched_g[j] = i

@@ -133,6 +133,43 @@ class TestSwcCompare:
         s = compare_swc(jit, rows, dist=4.0)
         assert s.f1 > 0.95
 
+    def test_duplicated_id_bidirectional_swc(self):
+        """The reference plugin and io/swc.save_nodelist emit ONE ROW PER
+        LINK (ids repeat; bidirectional links appear in both directions).
+        resample_swc must treat those as one undirected graph — not
+        parent 2-cycles (empty output, compare_swc crash) or
+        doubled-back chains."""
+        from pnr_tpu.utils.swc_compare import resample_swc
+
+        # 3-node straight path, every link emitted in both directions
+        dup = np.array(
+            [
+                [1, 2, 0, 0, 0, 1, 2],
+                [2, 2, 2, 0, 0, 1, 1],
+                [2, 2, 2, 0, 0, 1, 3],
+                [3, 2, 4, 0, 0, 1, 2],
+            ],
+            np.float64,
+        )
+        r = resample_swc(dup, 1.0)
+        assert r.shape[1] == 7 and len(r) == 5  # 0,1,2,3,4 along x
+        xs = np.sort(r[:, 2])
+        np.testing.assert_allclose(xs, [0, 1, 2, 3, 4])
+        # single-parent form of the same path scores 1.0 against it
+        single = np.array(
+            [[1, 2, 0, 0, 0, 1, -1], [2, 2, 2, 0, 0, 1, 1], [3, 2, 4, 0, 0, 1, 2]],
+            np.float64,
+        )
+        s = compare_swc(dup, single, dist=0.5, resample=1.0)
+        assert s.precision == 1.0 and s.recall == 1.0
+        # 2-node bidirectional component: previously resampled to shape
+        # (0,) and crashed compare_swc
+        two = np.array(
+            [[1, 2, 0, 0, 0, 1, 2], [2, 2, 1, 0, 0, 1, 1]], np.float64
+        )
+        r2 = resample_swc(two, 1.0)
+        assert len(r2) == 2
+
     def test_disjoint_swc_scores_zero(self):
         a = np.array([[1, 2, 0, 0, 0, 1, -1]], np.float64)
         b = np.array([[1, 2, 100, 100, 100, 1, -1]], np.float64)

@@ -145,28 +145,41 @@ class TestServe:
     def test_scan_prunes_vanished_candidate(self, tmp_path):
         """A file that vanishes mid-stability-check must not leave a
         stale `sizes` entry (it would block the drain-before-stop
-        check forever), and `seen` stays bounded by the directory."""
-        from pnr_tpu.pipeline.serve import _scan
+        check forever). `seen` stays bounded by the directory, but a
+        SINGLE missed poll (transient stat failure / NFS hiccup) must
+        NOT prune a served file's entry — that would re-reconstruct an
+        unchanged stack when it reappears with the same stamp."""
+        from pnr_tpu.pipeline.serve import _PRUNE_AFTER_MISSES, _scan
 
         d = str(tmp_path)
-        seen, sizes = set(), {}
+        seen, sizes, missing = set(), {}, {}
         p = os.path.join(d, "gone.tif")
         with open(p, "wb") as f:
             f.write(b"x" * 64)
-        assert _scan(d, seen, sizes) == []  # first sighting: candidate
+        assert _scan(d, seen, sizes, missing) == []  # first sighting
         assert sizes
         os.remove(p)
-        assert _scan(d, seen, sizes) == []
+        assert _scan(d, seen, sizes, missing) == []
         assert not sizes, "vanished candidate must be pruned"
-        # a served file that is later removed is pruned from `seen` too
+        # a served file must survive transient absence...
         q = os.path.join(d, "served.tif")
         with open(q, "wb") as f:
             f.write(b"y" * 64)
-        _scan(d, seen, sizes)
-        assert _scan(d, seen, sizes) == [q]
+        _scan(d, seen, sizes, missing)
+        assert _scan(d, seen, sizes, missing) == [q]
         assert seen
+        data = open(q, "rb").read()
+        st = os.stat(q)
         os.remove(q)
-        _scan(d, seen, sizes)
+        _scan(d, seen, sizes, missing)  # one missed poll: NOT pruned
+        with open(q, "wb") as f:
+            f.write(data)
+        os.utime(q, ns=(st.st_atime_ns, st.st_mtime_ns))
+        assert _scan(d, seen, sizes, missing) == [], "same-stamp reappearance re-served"
+        # ...but a persistently absent file is pruned (bounded memory)
+        os.remove(q)
+        for _ in range(_PRUNE_AFTER_MISSES):
+            _scan(d, seen, sizes, missing)
         assert not seen
 
     def test_rewritten_candidate_restarts_stability_check(self, tmp_path):
