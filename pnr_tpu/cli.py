@@ -39,6 +39,28 @@ Output SWC is named automatically from the input image file name."""
     )
 
 
+def _metrics_entry(path: str, result) -> dict:
+    """One stack's machine-readable run record (timings + counts)."""
+    return {
+        "image": path,
+        "timings_s": {k: round(float(v), 4) for k, v in result.timings.items()},
+        "n_seeds": int(len(result.seeds_pos)),
+        "trace_count": int(result.trace_count),
+        "n0_nodes": max(len(result.n0) - 1, 0),
+        "tree_nodes": max(len(result.tree) - 1, 0),
+    }
+
+
+def _write_metrics(path: str, cfg: PNRConfig, entries: list) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {"params": cfg.provenance_comment(), "stacks": entries}, f, indent=1
+        )
+        f.write("\n")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pnr_tpu", add_help=False)
     ap.add_argument(
@@ -59,6 +81,13 @@ def main(argv=None) -> int:
         action="store_true",
         help="debug mode: dump raw-image local maxima as SWC and exit "
         "(the reference's findMaxima path, Advantra_plugin.cpp:2308-2327)",
+    )
+    ap.add_argument(
+        "--metrics",
+        default=None,
+        help="write per-stack stage timings and counts as JSON — the "
+        "machine-readable counterpart of the reference's clock() stage "
+        "prints (Advantra_plugin.cpp:2430-2446, 2548-2575)",
     )
     ap.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
     ap.add_argument("--resume", action="store_true", help="resume from --checkpoint")
@@ -183,6 +212,7 @@ def main(argv=None) -> int:
             (args.find_maxima, "--find-maxima"),
             (args.checkpoint, "--checkpoint"),
             (args.save_midres, "--save-midres"),
+            (args.metrics, "--metrics"),
         ):
             if bad:
                 sys.stderr.write(f"{why} is not supported with --watch\n")
@@ -216,6 +246,7 @@ def main(argv=None) -> int:
         from pnr_tpu.pipeline.reconstruct import reconstruction_batch
 
         vols = (load_volume(p) for p in args.images)
+        entries = []
         for path, result in zip(
             args.images, reconstruction_batch(vols, cfg, verbose=verbose)
         ):
@@ -224,13 +255,20 @@ def main(argv=None) -> int:
                 result.tree, out, ntype=-1, sig2r=1.0, name="Advantra",
                 comment=cfg.provenance_comment(),
             )
+            if args.metrics:
+                entries.append(_metrics_entry(path, result))
             if verbose:
                 print(f"wrote {out} ({len(result.tree) - 1} nodes)")
+        if args.metrics:
+            _write_metrics(args.metrics, cfg, entries)
         return 0
 
     vol = load_volume(args.image)
 
     if args.find_maxima:
+        if args.metrics:
+            sys.stderr.write("--metrics is not supported with --find-maxima\n")
+            return 1
         import numpy as np
 
         from pnr_tpu.seeds.extract import max_points_host
@@ -265,6 +303,8 @@ def main(argv=None) -> int:
         result.tree, out, ntype=-1, sig2r=1.0, name="Advantra",
         comment=cfg.provenance_comment(),
     )
+    if args.metrics:
+        _write_metrics(args.metrics, cfg, [_metrics_entry(args.image, result)])
     if verbose:
         print(f"wrote {out} ({len(result.tree) - 1} nodes)")
 

@@ -268,10 +268,23 @@ class TestCliBatch:
             save_volume(p, tube_phantom(seed=50 + k))
             imgs.append(p)
         params = ["2,3", "0", "10", "0.5", "2", "2", "40", "16", "2", "4", "1"]
-        rc = main(["-i", *imgs, "-p", *params, "--zncc-mode", "tube", "--quiet"])
+        metrics = str(tmp_path / "metrics.json")
+        rc = main(
+            ["-i", *imgs, "-p", *params, "--zncc-mode", "tube", "--quiet",
+             "--metrics", metrics]
+        )
         assert rc == 0
         for p in imgs:
             assert os.path.exists(p + "_Advantra.swc")
+        import json
+
+        with open(metrics) as f:
+            m = json.load(f)
+        assert [e["image"] for e in m["stacks"]] == imgs
+        for e in m["stacks"]:
+            assert e["tree_nodes"] > 0 and e["trace_count"] > 0
+            assert e["timings_s"] and all(v >= 0 for v in e["timings_s"].values())
+        assert "znccth" in m["params"]
         rc = main(["-i", *imgs, "-p", *params, "--mesh", "8", "--quiet"])
         assert rc == 1  # --mesh takes a single input
 
