@@ -17,6 +17,7 @@ import numpy as np
 from pnr_tpu.config import PNRConfig
 from pnr_tpu.io.swc import save_nodelist
 from pnr_tpu.io.volume import load_volume, save_volume
+from pnr_tpu.utils.exporters import metrics_entry as _metrics_entry
 
 
 def print_help_params() -> None:
@@ -37,18 +38,6 @@ nodepervol     Nodes per volume limit (3+).
 vol            Suppression volume: 1, 5, 9, 11, 19, 27.
 Output SWC is named automatically from the input image file name."""
     )
-
-
-def _metrics_entry(path: str, result) -> dict:
-    """One stack's machine-readable run record (timings + counts)."""
-    return {
-        "image": path,
-        "timings_s": {k: round(float(v), 4) for k, v in result.timings.items()},
-        "n_seeds": int(len(result.seeds_pos)),
-        "trace_count": int(result.trace_count),
-        "n0_nodes": max(len(result.n0) - 1, 0),
-        "tree_nodes": max(len(result.tree) - 1, 0),
-    }
 
 
 def _write_metrics(path: str, cfg: PNRConfig, entries: list) -> None:
@@ -87,7 +76,8 @@ def main(argv=None) -> int:
         default=None,
         help="write per-stack stage timings and counts as JSON — the "
         "machine-readable counterpart of the reference's clock() stage "
-        "prints (Advantra_plugin.cpp:2430-2446, 2548-2575)",
+        "prints (Advantra_plugin.cpp:2430-2446, 2548-2575). With "
+        "--watch, appends one JSON line per reconstructed stack instead",
     )
     ap.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
     ap.add_argument("--resume", action="store_true", help="resume from --checkpoint")
@@ -212,7 +202,6 @@ def main(argv=None) -> int:
             (args.find_maxima, "--find-maxima"),
             (args.checkpoint, "--checkpoint"),
             (args.save_midres, "--save-midres"),
-            (args.metrics, "--metrics"),
         ):
             if bad:
                 sys.stderr.write(f"{why} is not supported with --watch\n")
@@ -234,7 +223,8 @@ def main(argv=None) -> int:
 
             mesh = make_mesh(args.mesh)
         n = watch_and_reconstruct(
-            args.image, cfg, out_dir=args.output, verbose=verbose, mesh=mesh
+            args.image, cfg, out_dir=args.output, verbose=verbose, mesh=mesh,
+            metrics_path=args.metrics,
         )
         if verbose:
             print(f"serve: done, {n} stacks")

@@ -81,7 +81,10 @@ def _scan(watch_dir: str, seen, sizes, missing=None) -> list:
     return ready
 
 
-def _write_swc(result, path: str, out_dir: Optional[str], cfg, verbose) -> None:
+def _write_swc(
+    result, path: str, out_dir: Optional[str], cfg, verbose,
+    metrics_path: Optional[str] = None,
+) -> None:
     from pnr_tpu.io.swc import save_nodelist
 
     base = os.path.basename(path) if out_dir else path
@@ -90,6 +93,15 @@ def _write_swc(result, path: str, out_dir: Optional[str], cfg, verbose) -> None:
         result.tree, out, ntype=-1, sig2r=1.0, name="Advantra",
         comment=cfg.provenance_comment(),
     )
+    if metrics_path:
+        # JSON Lines, appended per stack: a resident server must not
+        # rewrite an ever-growing array on every reconstruction
+        import json
+
+        from pnr_tpu.utils.exporters import metrics_entry
+
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(metrics_entry(path, result)) + "\n")
     if verbose:
         print(f"serve: wrote {out} ({len(result.tree) - 1} nodes)")
 
@@ -104,6 +116,7 @@ def watch_and_reconstruct(
     max_stacks: Optional[int] = None,
     mesh=None,
     dp_groups: Optional[int] = None,
+    metrics_path: Optional[str] = None,
 ) -> int:
     """Serve `watch_dir`: reconstruct every arriving stack to SWC.
 
@@ -111,6 +124,10 @@ def watch_and_reconstruct(
     ``max_stacks`` inputs have been processed), then drains and
     returns the number of stacks reconstructed. Outputs are written as
     ``<name>_Advantra.swc`` next to the input (or into ``out_dir``).
+
+    With ``metrics_path``, one JSON line of stage timings and counts is
+    appended per reconstructed stack (the serving counterpart of the
+    CLI's ``--metrics`` single-document dump).
 
     With ``mesh`` (a `jax.sharding.Mesh`), arrivals run through the
     multi-device pipeline instead: each poll's batch goes to
@@ -134,7 +151,7 @@ def watch_and_reconstruct(
     if mesh is not None:
         return _watch_sharded(
             watch_dir, cfg, mesh, dp_groups, out_dir, poll_s, stop_path,
-            verbose, max_stacks, seen, sizes, missing,
+            verbose, max_stacks, seen, sizes, missing, metrics_path,
         )
 
     def volumes():
@@ -183,14 +200,14 @@ def watch_and_reconstruct(
 
     count = 0
     for result in reconstruction_batch(volumes(), cfg, verbose=verbose):
-        _write_swc(result, paths[count], out_dir, cfg, verbose)
+        _write_swc(result, paths[count], out_dir, cfg, verbose, metrics_path)
         count += 1
     return count
 
 
 def _watch_sharded(
     watch_dir, cfg, mesh, dp_groups, out_dir, poll_s, stop_path,
-    verbose, max_stacks, seen, sizes, missing,
+    verbose, max_stacks, seen, sizes, missing, metrics_path=None,
 ) -> int:
     """Sharded serving loop: batch each poll's stable arrivals through
     the DP x spatial driver. PRNG semantics match per-stack
@@ -229,6 +246,6 @@ def _watch_sharded(
             verbose=verbose,
         )
         for (path, _), result in zip(batch, results):
-            _write_swc(result, path, out_dir, cfg, verbose)
+            _write_swc(result, path, out_dir, cfg, verbose, metrics_path)
             count += 1
     return count

@@ -147,3 +147,18 @@ def export_directionality_swc(
         cnt += 1
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def metrics_entry(path: str, result) -> dict:
+    """One stack's machine-readable run record (timings + counts) —
+    the JSON counterpart of the reference's clock() stage prints
+    (Advantra_plugin.cpp:2430-2446, 2548-2575). `result` is a
+    pipeline ReconstructionResult."""
+    return {
+        "image": path,
+        "timings_s": {k: round(float(v), 4) for k, v in result.timings.items()},
+        "n_seeds": int(len(result.seeds_pos)),
+        "trace_count": int(result.trace_count),
+        "n0_nodes": max(len(result.n0) - 1, 0),
+        "tree_nodes": max(len(result.tree) - 1, 0),
+    }

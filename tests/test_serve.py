@@ -27,16 +27,28 @@ def tube_stack(seed=0, shape=(8, 32, 64)):
 
 class TestServe:
     def test_preexisting_files_then_stop(self, tmp_path):
+        import json
+
         d = str(tmp_path)
         save_volume(os.path.join(d, "a.tif"), tube_stack(0))
         save_volume(os.path.join(d, "b.tif"), tube_stack(1))
         open(os.path.join(d, ".stop"), "w").close()
-        n = watch_and_reconstruct(d, CFG, poll_s=0.05, verbose=False)
+        metrics = str(tmp_path / "metrics.jsonl")
+        n = watch_and_reconstruct(
+            d, CFG, poll_s=0.05, verbose=False, metrics_path=metrics
+        )
         assert n == 2
         for name in ("a.tif", "b.tif"):
             out = os.path.join(d, name + "_Advantra.swc")
             assert os.path.exists(out)
             assert len(open(out).read().splitlines()) > 3
+        # one JSON line appended per served stack
+        lines = [json.loads(L) for L in open(metrics)]
+        assert sorted(os.path.basename(e["image"]) for e in lines) == [
+            "a.tif", "b.tif",
+        ]
+        for e in lines:
+            assert e["tree_nodes"] > 0 and e["timings_s"]
 
     def test_file_arriving_while_serving(self, tmp_path):
         """A stack dropped in mid-serve is picked up once size-stable;
