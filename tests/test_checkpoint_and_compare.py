@@ -175,3 +175,38 @@ class TestSwcCompare:
         b = np.array([[1, 2, 100, 100, 100, 1, -1]], np.float64)
         s = compare_swc(a, b, dist=4.0)
         assert s.f1 == 0.0
+
+
+def test_resample_swc_fuzz_invariants():
+    """Property fuzz over random forests with duplicated link rows and
+    injected pure cycles: resample output always has unique ids,
+    resolvable parents, no self-loops; a morphology self-compares to
+    F1 = 1 under resampled matching."""
+    from pnr_tpu.utils.swc_compare import compare_swc, resample_swc
+
+    rng = np.random.default_rng(1)
+    for trial in range(30):
+        n = int(rng.integers(2, 80))
+        pos = rng.uniform(0, 50, (n, 3))
+        ids = np.arange(1, n + 1)
+        rows = []
+        for i in range(n):
+            par = -1 if i == 0 or rng.random() < 0.1 else int(ids[rng.integers(0, i)])
+            rows.append([ids[i], 2, *pos[i], 1.0, par])
+            if par > 0 and rng.random() < 0.5:  # duplicated reverse row
+                rows.append([par, 2, *pos[par - 1], 1.0, ids[i]])
+        if rng.random() < 0.3 and n >= 4:  # pure-cycle component
+            base, k = n + 1, int(rng.integers(3, 8))
+            cpos = rng.uniform(60, 80, (k, 3))
+            for j in range(k):
+                rows.append([base + j, 2, *cpos[j], 1.0, base + (j + 1) % k])
+        swc = np.asarray(rows, np.float64)
+        out = resample_swc(swc, spacing=float(rng.uniform(0.5, 3.0)))
+        assert out.ndim == 2 and out.shape[1] == 7 and len(out) > 0
+        pid = out[:, 0].astype(int)
+        par = out[:, 6].astype(int)
+        assert len(np.unique(pid)) == len(pid)
+        assert (np.isin(par, pid) | (par == -1)).all()
+        assert not (par == pid).any()
+        s = compare_swc(swc, swc.copy(), dist=1.0, resample=1.0)
+        assert s.f1 > 0.999, f"self-compare f1 {s.f1} at trial {trial}"

@@ -146,3 +146,36 @@ class TestSwcNodelist:
         back = swc_to_nodelist(read_swc(p))
         assert len(back) == 4
         assert back.nbr[2] == [1] and back.nbr[3] == [2]
+
+
+def test_pbd8_roundtrip_fuzz():
+    """Property fuzz: random / smooth / run-heavy / constant / mixed
+    payloads all round-trip exactly through the codec."""
+    from pnr_tpu.io.pbd import compress_pbd8, decompress_pbd8
+
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        n = int(rng.integers(1, 3000))
+        kind = trial % 5
+        if kind == 0:
+            data = rng.integers(0, 256, n).astype(np.uint8)
+        elif kind == 1:  # smooth (difference-heavy)
+            data = (np.cumsum(rng.integers(-1, 3, n)) & 0xFF).astype(np.uint8)
+        elif kind == 2:  # repeat runs
+            data = np.repeat(
+                rng.integers(0, 256, max(1, n // 7)), 7
+            )[:n].astype(np.uint8)
+        elif kind == 3:
+            data = np.full(n, int(rng.integers(0, 256)), np.uint8)
+        else:  # mixed blocks
+            parts = [
+                np.full(int(rng.integers(1, 50)), int(rng.integers(0, 256)), np.uint8),
+                rng.integers(0, 256, int(rng.integers(1, 50))).astype(np.uint8),
+                (np.cumsum(rng.integers(-1, 3, int(rng.integers(1, 200)))) & 0xFF)
+                .astype(np.uint8),
+            ]
+            data = np.concatenate(parts * 4)[:n]
+            if len(data) < n:
+                data = np.pad(data, (0, n - len(data)))
+        dec = decompress_pbd8(compress_pbd8(data), len(data))
+        assert np.array_equal(dec, data), f"trial {trial} kind {kind} n {n}"
