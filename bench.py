@@ -36,7 +36,7 @@ def make_volume(shape):
     return np.clip(vol + rng.normal(0, 5, shape), 0, 255).astype(np.uint8)
 
 
-def bench_tpu(vol, engine="xla"):
+def bench_tpu(vol, engine="xla", chain=4, reps=2):
     import jax
     import jax.numpy as jnp
 
@@ -56,8 +56,6 @@ def bench_tpu(vol, engine="xla"):
     #: stacks, so the sustained (per-step) rate is the metric; each
     #: step's J8 output feeds the next step's input (a real data
     #: dependence — nothing can be elided or overlapped away)
-    chain = 4
-
     @jax.jit
     def chained(v):
         def body(i, u8):
@@ -73,7 +71,6 @@ def bench_tpu(vol, engine="xla"):
     dvol = jnp.asarray(vol)
     force(chained(dvol))  # compile + first run
 
-    reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
         force(chained(dvol))
@@ -292,8 +289,14 @@ def bench_cpp_e2e(shape=(32, 192, 192)):
 
 
 def bench_reference_swc_f1():
-    """Distributional SWC agreement with the compiled reference's full
-    seed loop on the branching phantom (tests/test_reference_e2e.py)."""
+    """SWC agreement with the compiled reference's full seed loop,
+    reported AGAINST the reference's own replicate noise floor
+    (tests/test_reference_e2e.py; the reference RNG is wall-clock
+    seeded, tracker.cpp:1003,1098, so ref-vs-ref disagreement is the
+    only sound yardstick). Returns {"reference_swc_f1": ours-vs-ref
+    mean, "ref_self_f1": ref-vs-ref pair mean}."""
+    import itertools
+    import os
     import sys
     import tempfile
 
@@ -306,16 +309,32 @@ def bench_reference_swc_f1():
     from pnr_tpu.parity.oracle import reference_reconstruct_n0
     from pnr_tpu.pipeline.reconstruct import reconstruction_func, reconstruct_graph
     from pnr_tpu.utils.swc_compare import compare_swc
-    import os
 
     vol = phantom()
-    ref_n0, _, _ = reference_reconstruct_n0(vol, CFG)
     td = tempfile.mkdtemp()
-    ref_rows = _swc_rows(reconstruct_graph(ref_n0.copy(), CFG), os.path.join(td, "r.swc"))
+    reps = []
+    for i in range(3):
+        ref_n0, _, _ = reference_reconstruct_n0(vol, CFG)
+        reps.append(
+            np.asarray(
+                _swc_rows(
+                    reconstruct_graph(ref_n0.copy(), CFG),
+                    os.path.join(td, f"r{i}.swc"),
+                ),
+                np.float64,
+            )
+        )
+    floor = [
+        compare_swc(reps[a], reps[b], dist=4.0, resample=1.0).f1
+        for a, b in itertools.combinations(range(len(reps)), 2)
+    ]
     res = reconstruction_func(vol, CFG, verbose=False)
     our_rows = _swc_rows(res.tree, os.path.join(td, "o.swc"))
-    s = compare_swc(our_rows, ref_rows, dist=4.0, resample=1.0)
-    return round(s.f1, 3)
+    ours = [compare_swc(our_rows, r, dist=4.0, resample=1.0).f1 for r in reps]
+    return {
+        "reference_swc_f1": round(float(np.mean(ours)), 3),
+        "ref_self_f1": round(float(np.mean(floor)), 3),
+    }
 
 
 def bench_quality():
@@ -354,134 +373,261 @@ def bench_quality():
     return out
 
 
+def bench_snr_curve():
+    """F1 vs SNR on the realism battery (background ramp + anisotropic
+    PSF + noise sweep; tests/test_phantom_neuron.py::TestSNRBattery).
+    Records the operating envelope the reference's intended microscopy
+    data lives in (reference README.md:11-13)."""
+    import sys
+    import tempfile
+
+    sys.path.insert(0, ".")
+    try:
+        from tests.test_phantom_neuron import CFG, snr_phantom
+    except ImportError:
+        return None
+    from pnr_tpu.io.swc import read_swc, save_nodelist
+    from pnr_tpu.pipeline import reconstruction_func
+    from pnr_tpu.utils.swc_compare import compare_swc
+
+    out = {}
+    for ns in (5, 15, 25, 40):
+        vol, gold, snr = snr_phantom(ns)
+        res = reconstruction_func(vol, CFG, verbose=False)
+        p = tempfile.mktemp(suffix=".swc")
+        save_nodelist(res.tree, p)
+        s = compare_swc(read_swc(p), gold, dist=4.0, resample=1.0)
+        out[f"snr_{snr:.0f}"] = round(s.f1, 3)
+    return out
+
+
 def main():
-    # pay the one-time device-transfer init (45-370 s on this runtime)
-    # BEFORE the extras budget starts: it is a fixed cost unrelated to
-    # how many metrics we can afford to measure
-    from pnr_tpu.utils.runtime import warmup_device_transfers
+    """Driver-proof orchestration (round-4 redesign; BENCH_r03 was an
+    rc=124 timeout with NO output because nothing printed before the
+    single final line).
 
-    warmup_device_transfers()
+    - ONE total budget (PNR_BENCH_BUDGET_S, default 1500 s) measured
+      from process start, so it INCLUDES the one-time device-transfer
+      init (45-370 s on this runtime, ~19 min observed on a degraded
+      link).
+    - The compiled C++ baseline measures on the CPU WHILE the device
+      warms in a background thread.
+    - The first TPU measurement runs on a SMALL volume and a complete
+      headline JSON line is emitted IMMEDIATELY after it, flushed; the
+      consolidated line is re-emitted after every later phase. The
+      driver parses the LAST JSON line of the tail, so even an external
+      kill mid-extras leaves a valid record.
+    - Every phase has a cost estimate; a phase only starts if the
+      remaining budget covers it. A watchdog thread force-emits and
+      exits 0 at the budget even if a phase blocks on a dead link.
+    """
+    import os
+    import sys
+    import threading
+
+    budget = float(os.environ.get("PNR_BENCH_BUDGET_S", "1500"))
     t_start = time.perf_counter()
-    vol = make_volume(SHAPE)
-    xla_mvox, xla_single = bench_tpu(vol, engine="xla")
-    extras = {"frangi_xla_mvox_s": round(xla_mvox, 2)}
-    tpu_mvox, tpu_mvox_single = xla_mvox, xla_single
-    extras["frangi_engine"] = "xla"
-    try:
-        fused_mvox, fused_single = bench_tpu(vol, engine="fused")
-        extras["frangi_fused_mvox_s"] = round(fused_mvox, 2)
-        if fused_mvox > tpu_mvox:
-            tpu_mvox, tpu_mvox_single = fused_mvox, fused_single
-            extras["frangi_engine"] = "fused_pallas"
-    except Exception as e:
-        extras["frangi_fused_error"] = str(e)[:120]
-    extras["single_launch_mvox_s"] = round(tpu_mvox_single, 2)
-    base_vol = make_volume(BASE_SHAPE)
-    base_mvox = None
-    try:
-        base_mvox = bench_cpp_reference(base_vol)
-    except Exception as e:
-        extras["cpp_baseline_error"] = str(e)[:120]
-    if base_mvox is not None:
-        extras["baseline"] = "reference_cpp_single_thread"
-    else:
-        base_mvox = bench_numpy_oracle(base_vol)
-        extras["baseline"] = "numpy_oracle"
-    extras["baseline_mvox_s"] = round(base_mvox, 3)
+    lock = threading.Lock()
+    state = {"value": None, "single": None, "base": None, "extras": {}}
+    extras = state["extras"]
 
-    # Extras run only while there is budget left: the one-time D2H init of
-    # this runtime varies 45-370 s, and the headline metric must always land.
-    def budget_left():
-        return time.perf_counter() - t_start < 450.0
+    def left():
+        return budget - (time.perf_counter() - t_start)
 
-    # Extras ordered by (verdict importance / cost), cheapest-critical
-    # first: the remote tunnel's D2H bandwidth varies >5x across hours,
-    # so the transfer-heavy e2e runs go LAST — a slow link must not
-    # starve the parity metrics out of the budget.
-    if budget_left():
+    def emit():
+        with lock:
+            if state["value"] is None:
+                return
+            base = state["base"] or 1e-9
+            sys.stdout.write(
+                json.dumps(
+                    {
+                        "metric": "frangi_throughput",
+                        "value": round(state["value"], 2),
+                        "unit": "Mvoxels/s",
+                        "vs_baseline": round(state["value"] / base, 2),
+                        "extras": dict(extras),
+                    }
+                )
+                + "\n"
+            )
+            sys.stdout.flush()
+
+    def run_all():
+        from pnr_tpu.utils.runtime import warmup_device_transfers
+
+        warm = threading.Thread(target=warmup_device_transfers, daemon=True)
+        warm.start()
+
+        # CPU-side baseline overlaps the device warmup (independent paths)
+        base_vol = make_volume(BASE_SHAPE)
         try:
+            base = bench_cpp_reference(base_vol)
+        except Exception as e:
+            extras["cpp_baseline_error"] = str(e)[:120]
+            base = None
+        if base is not None:
+            extras["baseline"] = "reference_cpp_single_thread"
+        else:
+            base = bench_numpy_oracle(base_vol)
+            extras["baseline"] = "numpy_oracle"
+        extras["baseline_mvox_s"] = round(base, 3)
+        state["base"] = base
+
+        warm.join()
+        extras["warmup_s"] = round(time.perf_counter() - t_start, 1)
+
+        # First engine measurement: small volume, single chained step —
+        # cheapest path to a complete parsable headline line.
+        small = make_volume((64, 256, 256))
+        try:
+            mv, mvs = bench_tpu(small, engine="fused", chain=2, reps=1)
+            extras["frangi_engine"] = "fused_pallas"
+        except Exception as e:
+            extras["frangi_fused_error"] = str(e)[:120]
+            mv, mvs = bench_tpu(small, engine="xla", chain=2, reps=1)
+            extras["frangi_engine"] = "xla"
+        extras["first_probe_mvox_s"] = round(mv, 2)
+        extras["first_probe_s_after_start"] = round(
+            time.perf_counter() - t_start, 1
+        )
+        with lock:
+            state["value"], state["single"] = mv, mvs
+        emit()
+
+        # Full-size headline (BASELINE.md filter-bench config). Each
+        # engine ~30-60 s warm-cache; worth it whenever >=180 s remain.
+        if left() > 180:
+            vol = make_volume(SHAPE)
+            try:
+                fused_mvox, fused_single = bench_tpu(vol, engine="fused")
+                extras["frangi_fused_mvox_s"] = round(fused_mvox, 2)
+                with lock:
+                    if fused_mvox > state["value"]:
+                        state["value"], state["single"] = (
+                            fused_mvox,
+                            fused_single,
+                        )
+                        extras["frangi_engine"] = "fused_pallas"
+            except Exception as e:
+                extras["frangi_fused_error"] = str(e)[:120]
+            emit()
+            if left() > 120:
+                try:
+                    xla_mvox, xla_single = bench_tpu(vol, engine="xla")
+                    extras["frangi_xla_mvox_s"] = round(xla_mvox, 2)
+                    with lock:
+                        if xla_mvox > state["value"]:
+                            state["value"], state["single"] = (
+                                xla_mvox,
+                                xla_single,
+                            )
+                            extras["frangi_engine"] = "xla"
+                except Exception as e:
+                    extras["frangi_xla_error"] = str(e)[:120]
+                emit()
+            extras["single_launch_mvox_s"] = round(state["single"], 2)
+
+        # Extras ordered by (verdict importance / cost): parity + tracer
+        # metrics first, transfer-heavy e2e runs last — a slow link must
+        # not starve the parity metrics out of the budget. Estimates are
+        # warm-cache seconds; a skipped phase is recorded as such.
+        tracer_vol = make_volume((64, 256, 256))
+
+        def ph_cpp_e2e():
             ref = bench_cpp_e2e()
             if ref:
                 extras["ref_cpp_e2e_s"] = round(ref[0], 2)
                 extras["ref_cpp_e2e_mvox"] = round(ref[1], 2)
-        except Exception as e:
-            extras["ref_cpp_e2e_error"] = str(e)[:120]
-    tracer_vol = make_volume((64, 256, 256))
-    if budget_left():
-        try:
+
+        def ph_tracer_tube():
             extras["particle_updates_per_s"] = round(bench_tracer(tracer_vol))
-        except Exception as e:  # never fail the headline metric
-            extras["particle_updates_per_s_error"] = str(e)[:120]
-    if budget_left():
-        try:
+
+        def ph_tracer_exact():
             extras["exact_particle_updates_per_s"] = round(
                 bench_tracer(tracer_vol, zncc_mode="exact")
             )
-        except Exception as e:
-            extras["exact_particle_updates_per_s_error"] = str(e)[:120]
-    if budget_left():
-        # the default-sigma config (PNRConfig defaults: 2,3) is where the
-        # parity engine runs daily; the (2,4,6) bench sigmas carry a 3.6x
-        # larger template sample count. Matched ni for a fair ratio.
-        try:
+
+        def ph_default_sigmas():
+            # the default-sigma config (PNRConfig defaults: 2,3) is where
+            # the parity engine runs daily; the (2,4,6) bench sigmas carry
+            # a 3.6x larger template sample count. Matched ni for a fair
+            # ratio.
             extras["exact_updates_per_s_default_sigmas"] = round(
                 bench_tracer(tracer_vol, zncc_mode="exact", sigmas=(2.0, 3.0))
             )
             extras["tube_updates_per_s_default_sigmas"] = round(
-                bench_tracer(
-                    tracer_vol, zncc_mode="tube", sigmas=(2.0, 3.0), ni=25
-                )
+                bench_tracer(tracer_vol, zncc_mode="tube", sigmas=(2.0, 3.0), ni=25)
             )
-        except Exception as e:
-            extras["default_sigma_tracer_error"] = str(e)[:120]
-    if budget_left():
-        try:
+
+        def ph_ref_f1():
             f1 = bench_reference_swc_f1()
             if f1 is not None:
-                extras["reference_swc_f1"] = f1
-        except Exception as e:
-            extras["reference_swc_f1_error"] = str(e)[:120]
-    if budget_left():
-        try:
+                if isinstance(f1, dict):
+                    extras.update(f1)
+                else:
+                    extras["reference_swc_f1"] = f1
+
+        def ph_quality():
             q = bench_quality()
             if q:
                 extras["phantom_swc"] = q
-        except Exception as e:
-            extras["phantom_swc_error"] = str(e)[:120]
-    if budget_left():
-        try:
+
+        def ph_snr():
+            curve = bench_snr_curve()
+            if curve:
+                extras["f1_vs_snr"] = curve
+
+        def ph_e2e():
             dt, mvox, n0, dt_cold = bench_e2e()
             extras["e2e_s_per_stack"] = round(dt, 2)
             extras["e2e_s_first_stack"] = round(dt_cold, 2)
             extras["e2e_stack_mvox"] = round(mvox, 1)
-        except Exception as e:
-            extras["e2e_error"] = str(e)[:120]
-    if budget_left():
-        try:
+
+        def ph_e2e_exact():
             dt, _, _, _ = bench_e2e(zncc_mode="exact")
             extras["e2e_s_per_stack_exact"] = round(dt, 2)
-        except Exception as e:
-            extras["e2e_exact_error"] = str(e)[:120]
-    if budget_left():
-        # the multi-device pipeline on a 1-device mesh at the same
-        # production scale: certifies the sharded path end-to-end on
-        # real hardware and records its single-chip overhead vs the
-        # serving driver (the mesh axis itself needs real multi-chip)
-        try:
+
+        def ph_e2e_sharded():
+            # the multi-device pipeline on a 1-device mesh at the same
+            # production scale: certifies the sharded path end-to-end on
+            # real hardware and records its single-chip overhead vs the
+            # serving driver (the mesh axis itself needs real multi-chip)
             extras["e2e_sharded_s_per_stack"] = round(bench_e2e_sharded(), 2)
-        except Exception as e:
-            extras["e2e_sharded_error"] = str(e)[:120]
-    print(
-        json.dumps(
-            {
-                "metric": "frangi_throughput",
-                "value": round(tpu_mvox, 2),
-                "unit": "Mvoxels/s",
-                "vs_baseline": round(tpu_mvox / base_mvox, 2),
-                "extras": extras,
-            }
-        )
-    )
+
+        phases = [
+            ("ref_cpp_e2e", ph_cpp_e2e, 40),
+            ("particle_updates", ph_tracer_tube, 60),
+            ("exact_particle_updates", ph_tracer_exact, 90),
+            ("default_sigma_tracer", ph_default_sigmas, 90),
+            ("reference_swc_f1", ph_ref_f1, 150),
+            ("phantom_swc", ph_quality, 120),
+            ("f1_vs_snr", ph_snr, 150),
+            ("e2e", ph_e2e, 240),
+            ("e2e_exact", ph_e2e_exact, 120),
+            ("e2e_sharded", ph_e2e_sharded, 90),
+        ]
+        for name, fn, est in phases:
+            if left() < est:
+                extras.setdefault("skipped", []).append(name)
+                continue
+            try:
+                fn()
+            except Exception as e:  # never fail the headline metric
+                extras[name + "_error"] = str(e)[:120]
+            emit()
+        extras["total_s"] = round(time.perf_counter() - t_start, 1)
+        emit()
+
+    worker = threading.Thread(target=run_all, daemon=True)
+    worker.start()
+    worker.join(max(5.0, left()))
+    if worker.is_alive():
+        extras["budget_exhausted_at"] = round(time.perf_counter() - t_start, 1)
+    emit()
+    sys.stdout.flush()
+    # daemon worker may be blocked inside a device fetch; exit hard
+    os._exit(0)
 
 
 if __name__ == "__main__":

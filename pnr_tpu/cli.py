@@ -135,6 +135,10 @@ def main(argv=None) -> int:
             if bad:
                 sys.stderr.write(f"{why} takes a single input image\n")
                 return 1
+    if args.find_maxima and args.metrics:
+        # validate BEFORE any volume I/O, like every other flag check
+        sys.stderr.write("--metrics is not supported with --find-maxima\n")
+        return 1
 
     if args.interactive:
         from pnr_tpu.ui import prompt_parameters
@@ -256,9 +260,6 @@ def main(argv=None) -> int:
     vol = load_volume(args.image)
 
     if args.find_maxima:
-        if args.metrics:
-            sys.stderr.write("--metrics is not supported with --find-maxima\n")
-            return 1
         import numpy as np
 
         from pnr_tpu.seeds.extract import max_points_host

@@ -142,6 +142,26 @@ def watch_and_reconstruct(
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+    if metrics_path:
+        # the JSONL file deliberately appends across server restarts (a
+        # resident server must not lose prior runs' records); a run-start
+        # line with params + timestamp lets consumers split runs
+        import json
+        import time as _time
+
+        with open(metrics_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "run_start": _time.strftime(
+                            "%Y-%m-%dT%H:%M:%S", _time.gmtime()
+                        ),
+                        "watch_dir": watch_dir,
+                        "params": cfg.provenance_comment(),
+                    }
+                )
+                + "\n"
+            )
     seen = set()
     sizes = {}
     missing = {}

@@ -357,6 +357,107 @@ def multi_neuron_soma_phantom(shape=(20, 96, 128), zdist=2.0, seed=21):
     return vol, np.asarray(gold, np.float64)
 
 
+def snr_phantom(
+    noise_sigma,
+    shape=(16, 72, 96),
+    radius=2.2,
+    zdist=2.0,
+    seed=11,
+    amplitude=150.0,
+    bg_gradient=True,
+    psf=True,
+):
+    """Realism-battery phantom (VERDICT r3 item 6): the Y-neuron under
+    microscopy-like degradations — a linear background ramp, an
+    anisotropic PSF blur (z wider than xy, like a confocal z-spread),
+    and additive Gaussian noise. The reference's intended data is noisy
+    anisotropic microscopy (reference README.md:11-13); its stacks are
+    not vendored, so this battery records an operating envelope instead.
+
+    SNR := tube amplitude above local background / noise sigma.
+    Returns (volume uint8, gold SWC rows, snr)."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for t in np.linspace(0, 1, 60):
+        pts.append((8 + 40 * t, 36.0, 8.0))
+    for t in np.linspace(0, 1, 50):
+        pts.append((48 + 38 * t, 36 + 20 * t, 8.0))
+    for t in np.linspace(0, 1, 50):
+        pts.append((48 + 38 * t, 36 - 20 * t, 8.0))
+    pts = np.asarray(pts)
+
+    z, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    tube = np.zeros(shape)
+    for px, py, pz in pts:
+        d2 = (x - px) ** 2 + (y - py) ** 2 + ((z - pz) * zdist) ** 2
+        np.maximum(tube, np.exp(-d2 / (2 * radius**2)), out=tube)
+    vol = amplitude * tube
+    if bg_gradient:
+        # a 20->55 intensity ramp across y: autofluorescence-like
+        # structured background the global thresholds must survive
+        vol = vol + 20.0 + 35.0 * (y / max(shape[1] - 1, 1))
+    if psf:
+        import scipy.ndimage as ndi
+
+        # anisotropic PSF: z-spread ~2x the lateral one in physical
+        # units (z voxels already cover zdist microns each)
+        vol = ndi.gaussian_filter(vol, sigma=(1.6 / zdist * 2.0, 0.8, 0.8))
+    vol = np.clip(vol + rng.normal(0, noise_sigma, shape), 0, 255).astype(
+        np.uint8
+    )
+
+    gold = []
+    for i, (px, py, pz) in enumerate(pts, start=1):
+        if i == 1:
+            parent = -1
+        elif i == 111:
+            parent = 60
+        else:
+            parent = i - 1
+        gold.append([i, 2, px, py, pz, radius, parent])
+    snr = amplitude / max(noise_sigma, 1e-9)
+    return vol, np.asarray(gold, np.float64), snr
+
+
+class TestSNRBattery:
+    """F1-vs-SNR operating envelope (VERDICT r3 item 6): background
+    ramp + anisotropic PSF + noise sweep, gated on graceful degradation
+    — no cliff above the reference's own operating regime (microscopy
+    SNR >~ 5). Calibrated 2026-08-20 on this battery: F1 0.93/0.93/0.95
+    at SNR 30/15/10, 0.76 at SNR 6, collapse at SNR 3.8 (recorded
+    envelope edge, not gated)."""
+
+    @pytest.fixture(scope="class")
+    def curve(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("snr")
+        out = {}
+        for ns in (5, 15, 25, 40):
+            vol, gold, snr = snr_phantom(ns)
+            score, _ = _score(vol, gold, CFG, tmp)
+            out[ns] = (snr, score)
+        return out
+
+    def test_clean_regime_quality(self, curve):
+        for ns in (5, 15):
+            snr, s = curve[ns]
+            assert s.f1 > 0.85, f"noise={ns} (snr {snr:.0f}): {s}"
+
+    def test_graceful_degradation_no_cliff(self, curve):
+        # weakly decreasing within jitter down to SNR 6; precision must
+        # not collapse before recall does (spurious structure is worse
+        # than missed structure on noisy data)
+        f1s = [curve[ns][1].f1 for ns in (5, 15, 25)]
+        assert f1s[1] >= f1s[0] - 0.10, f1s
+        assert f1s[2] >= 0.55, f"cliff at SNR 6: {f1s}"
+        assert curve[25][1].precision > 0.85, curve[25][1]
+
+    def test_envelope_edge_does_not_crash(self, curve):
+        # SNR 3.8: below the operating envelope — the pipeline must
+        # degrade to few/no traces, never crash or emit garbage
+        _, s = curve[40]
+        assert s.precision >= 0.0 and np.isfinite(s.f1)
+
+
 class TestMultiNeuronSoma:
     """Two somas, four neurites, two radii — scored end to end with
     soma extraction ON."""

@@ -66,53 +66,53 @@ class TestReferenceEndToEnd:
         assert len(ref_rows) > 10
 
     def test_swc_f1_vs_reference(self, traced, tmp_path):
-        """BASELINE north star: matched SWC topology vs the plugin.
+        """BASELINE north star: matched SWC topology vs the plugin,
+        gated against the reference's own replicate noise floor
+        (VERDICT r3 item 3).
 
         The reference RNG is wall-clock seeded (srand(time(NULL)) per
         SMC iteration, tracker.cpp:1003,1098) so each replicate traces
-        a variable subset of the phantom (observed n_gold 88-120 on
-        identical input) while this rebuild is deterministic. Scoring
-        precision against ONE replicate is therefore unsound: a node is
-        correct if ANY reference run traces it. Precision/F1 are scored
-        against a pool of replicates (ids offset, graphs disjoint);
-        recall additionally holds against the single first replicate."""
-        _, _, ref_rows, our_rows, _ = traced
-        single = compare_swc(our_rows, ref_rows, dist=4.0, resample=1.0)
-        assert single.recall >= 0.85, single
-        assert single.f1 >= 0.70, single
+        a variable subset of the phantom while this rebuild is
+        deterministic. The only sound yardstick for "matched topology"
+        is therefore the reference's agreement WITH ITSELF: we run N
+        replicates, score every ref-vs-ref pair (the noise floor), and
+        demand ours-vs-ref mean F1 within a margin of that floor.
+        Calibrated 2026-08-20 (5 replicates, 10 pairs): floor mean
+        0.931, min 0.873, std 0.035; ours-vs-ref mean 0.938 — the
+        rebuild agrees with the reference better than the reference
+        agrees with itself."""
+        import itertools
 
-        pool = [np.asarray(ref_rows, np.float64)]
-        best_recall = single.recall
-        history = [single]
-        f1 = single.f1
-        for rep in range(4):
-            if f1 >= 0.9:
-                break
+        _, _, ref_rows, our_rows, _ = traced
+        reps = [np.asarray(ref_rows, np.float64)]
+        for rep in range(3):
             ref_n0, _, _ = reference_reconstruct_n0(phantom(), CFG)
-            rows = np.asarray(
-                _swc_rows(
-                    reconstruct_graph(ref_n0.copy(), CFG),
-                    tmp_path / f"ref{rep}.swc",
-                ),
-                np.float64,
-            ).copy()
-            s_i = compare_swc(our_rows, rows, dist=4.0, resample=1.0)
-            history.append(s_i)
-            best_recall = max(best_recall, s_i.recall)
-            off = max(r[:, 0].max() for r in pool) + 1
-            rows[:, 0] += off
-            rows[rows[:, 6] >= 0, 6] += off
-            pool.append(rows)
-            # one-to-one matching vs a pool larger than ours: precision
-            # ("is each of our nodes traceable by the reference?") is
-            # meaningful; pool recall is not (duplicates stay unmatched)
-            pooled = compare_swc(
-                our_rows, np.concatenate(pool, axis=0), dist=4.0, resample=1.0
+            reps.append(
+                np.asarray(
+                    _swc_rows(
+                        reconstruct_graph(ref_n0.copy(), CFG),
+                        tmp_path / f"ref{rep}.swc",
+                    ),
+                    np.float64,
+                )
             )
-            history.append(pooled)
-            p, r = pooled.precision, best_recall
-            f1 = 2.0 * p * r / max(p + r, 1e-9)
-        assert f1 >= 0.9, history
+        floor = [
+            compare_swc(reps[a], reps[b], dist=4.0, resample=1.0).f1
+            for a, b in itertools.combinations(range(len(reps)), 2)
+        ]
+        ours = [
+            compare_swc(our_rows, r, dist=4.0, resample=1.0) for r in reps
+        ]
+        ours_f1 = [s.f1 for s in ours]
+        floor_mean = float(np.mean(floor))
+        ours_mean = float(np.mean(ours_f1))
+        # the floor itself must be sane (replicates trace one phantom)
+        assert floor_mean >= 0.8, (floor, "reference replicates disagree")
+        # margin = replicate noise (calibrated std 0.035, ~1.5 std)
+        assert ours_mean >= floor_mean - 0.05, (ours_mean, floor_mean, ours)
+        # hard absolute floors, independent of the measured yardstick
+        assert ours_mean >= 0.85, (ours_mean, ours)
+        assert min(s.recall for s in ours) >= 0.8, ours
 
     def test_n0_clouds_overlap(self, traced):
         """Raw tracer output (pre-post-processing): every reference node

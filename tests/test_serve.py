@@ -42,8 +42,11 @@ class TestServe:
             out = os.path.join(d, name + "_Advantra.swc")
             assert os.path.exists(out)
             assert len(open(out).read().splitlines()) > 3
-        # one JSON line appended per served stack
+        # a run-start line (params + timestamp, so consumers can split
+        # appended runs), then one JSON line per served stack
         lines = [json.loads(L) for L in open(metrics)]
+        assert "run_start" in lines[0] and "params" in lines[0]
+        lines = lines[1:]
         assert sorted(os.path.basename(e["image"]) for e in lines) == [
             "a.tif", "b.tif",
         ]
