@@ -83,6 +83,36 @@ def _replicator(mesh: Mesh):
     return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
 
 
+def allgather_host_rows(rows: np.ndarray) -> np.ndarray:
+    """All-gather small per-process host arrays of shape (n_p, k) with
+    VARYING n_p across processes; returns their concatenation in
+    process order on every process.
+
+    Intended for KB-scale metadata (per-shard seed lists), not volumes:
+    counts are gathered first, each process pads its rows to the max
+    count, and one fixed-shape all-gather ships the padded block. The
+    result is value-identical on every process (redundant-host-driver
+    invariant)."""
+    rows = np.ascontiguousarray(rows)
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils as mhu
+
+    counts = np.asarray(
+        mhu.process_allgather(np.asarray(rows.shape[0], np.int32))
+    ).reshape(-1)
+    maxn = int(counts.max())
+    if maxn == 0:
+        return rows[:0]
+    pad = np.zeros((maxn - rows.shape[0],) + rows.shape[1:], rows.dtype)
+    gathered = np.asarray(
+        mhu.process_allgather(np.concatenate([rows, pad], axis=0))
+    )
+    return np.concatenate(
+        [gathered[p, : counts[p]] for p in range(len(counts))], axis=0
+    )
+
+
 def shard_volume_global(vol: np.ndarray, mesh: Mesh) -> jax.Array:
     """Place a (Z, Y, X) volume Z-sharded over a (possibly multi-host)
     mesh. Unlike `shard_volume` (single-process `device_put`), each

@@ -65,6 +65,17 @@ class ReconstructionResult:
     midres: Optional[Dict[str, np.ndarray]] = None  # when cfg.save_midres
 
 
+def smap_to_u8(smap: np.ndarray) -> np.ndarray:
+    """Min-max normalized soma label map for the midres dump
+    (Advantra_plugin.cpp:2450-2470)."""
+    smin, smax = int(smap.min()), int(smap.max())
+    if smax == smin:
+        return np.full(smap.shape, smin & 0xFF, np.uint8)
+    return np.clip(
+        np.round((smap - smin) / float(smax - smin) * 255), 0, 255
+    ).astype(np.uint8)
+
+
 class _StageTimer:
     def __init__(self, verbose: bool):
         self.timings: Dict[str, float] = {}
@@ -664,14 +675,7 @@ def reconstruction_func(
             "trace_density": np.clip(committer.npervol, 0, 255).astype(np.uint8),
         }
         if smap is not None:
-            # min-max normalized soma label map (Advantra_plugin.cpp:2450-2470)
-            smin, smax = int(smap.min()), int(smap.max())
-            if smax == smin:
-                midres["smap8"] = np.full(smap.shape, smin & 0xFF, np.uint8)
-            else:
-                midres["smap8"] = np.clip(
-                    np.round((smap - smin) / float(smax - smin) * 255), 0, 255
-                ).astype(np.uint8)
+            midres["smap8"] = smap_to_u8(smap)
 
     tm.start("reconstruct")
     tree = reconstruct_graph(n0.copy(), cfg, midres=midres)

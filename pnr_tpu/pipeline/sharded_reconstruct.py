@@ -12,9 +12,10 @@ reference's first-class 2-D path (P == 1, Advantra_plugin.cpp:2339):
   host (tiny, one uint8 volume fetch) — bit-identical to single-device;
 * Frangi + J8: halo-exchange stencils, global min/max by mesh reduction
   (`frangi3d_sharded`);
-* seed extraction: per-shard MaximumFinder (exact — the tolerance flood
-  is per-z-slice) + per-shard ZNCC scoring against halo-padded local
-  likelihood fields (`seeds_sharded`, `build_seed_scorer`);
+* seed extraction: slab-local exact MaximumFinder flood (the tolerance
+  flood is per-z-slice, so each process floods only its own slabs —
+  `_seeds_per_shard_multiprocess`) + per-shard ZNCC scoring against
+  halo-padded local likelihood fields (`build_seed_scorer`);
 * tracing: shard-local SMC with boundary handoff — the volume never
   replicates (`build_handoff_tracer`), run STAGED with the same
   in-order commit wavefront + kill-back as the single-device path, so
@@ -69,7 +70,6 @@ from pnr_tpu.parallel.sharded import (
     frangi2d_sharded,
     frangi3d_sharded,
     normalize_to_u8_sharded,
-    seeds_sharded,
     shard_volume,
 )
 from pnr_tpu.pipeline.reconstruct import ReconstructionResult, reconstruct_graph
@@ -111,13 +111,6 @@ def _handoff_tracer_cached(cfg, mesh, lanes, stage_iters, z_total, is2d):
     )
 
 
-#: largest volume (voxels) whose J8/direction maps the multi-process
-#: seed path will gather to every process for the fast exact host
-#: flood; a gather materializes one transient replicated copy per
-#: device, so past this the on-mesh device flood takes over
-_HOST_FLOOD_MAX_VOX = 1 << 28
-
-
 def _host_flood(j8_np: np.ndarray, tolerance) -> np.ndarray:
     """Exact MaximumFinder tolerance flood on a host copy of J8 —
     native C++ when built, device label propagation otherwise."""
@@ -139,6 +132,59 @@ def _decode_seed_dirs(vx, vy, vz, pos: np.ndarray):
     if jax.process_count() > 1:
         vx, vy, vz = (jnp.asarray(fetch_replicated(a)) for a in (vx, vy, vz))
     return decode_directions_device(vx, vy, vz, pos)
+
+
+def _seeds_per_shard_multiprocess(j8, vx, vy, vz, tolerance, span_orig):
+    """Slab-local exact seed extraction for multi-process meshes
+    (VERDICT r3 item 2): the reference's tolerance flood is strictly
+    per z-slice (seed.cpp:574-791 — MaximumFinder runs on each slice
+    independently, with the edge-touch rejection against the slice's
+    own x/y borders), and Z-sharded slabs hold WHOLE slices, so each
+    process floods only the slabs its devices own with the exact native
+    MaximumFinder. No process ever materializes the full J8 or any
+    direction map, there is no volume-size cliff, and the flood is
+    embarrassingly parallel across hosts. Directions decode against the
+    LOCAL map shards (the decode reads only the seed's own voxel).
+
+    The tiny per-process (x, y, z, dir) row lists are all-gathered and
+    lex-sorted by (z, y, x) — exactly `np.nonzero`'s order on the full
+    volume — so every process ends with the identical global seed list
+    in single-device order (redundant-host-driver invariant)."""
+    from pnr_tpu.parallel.multihost import allgather_host_rows
+    from pnr_tpu.seeds.extract import decode_directions_device
+
+    def by_z0(arr):
+        return {s.index[0].start or 0: s for s in arr.addressable_shards}
+
+    vx_sh, vy_sh, vz_sh = by_z0(vx), by_z0(vy), by_z0(vz)
+    rows = []
+    for sh in j8.addressable_shards:
+        z0 = sh.index[0].start or 0
+        slab = np.asarray(sh.data)
+        zmax = min(slab.shape[0], span_orig - z0)
+        if zmax <= 0:
+            continue  # shard lies fully in the replicate Z padding
+        zz, yy, xx = np.nonzero(_host_flood(slab[:zmax], tolerance))
+        if not len(zz):
+            continue
+        pos_local = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
+        d = decode_directions_device(
+            np.asarray(vx_sh[z0].data),
+            np.asarray(vy_sh[z0].data),
+            np.asarray(vz_sh[z0].data),
+            pos_local,
+        )
+        pos_local[:, 2] += z0
+        rows.append(np.concatenate([pos_local, d], axis=1))
+    local = (
+        np.concatenate(rows, axis=0)
+        if rows
+        else np.zeros((0, 6), np.float32)
+    )
+    allrows = allgather_host_rows(local)
+    order = np.lexsort((allrows[:, 0], allrows[:, 1], allrows[:, 2]))
+    allrows = allrows[order]
+    return allrows[:, :3].copy(), allrows[:, 3:].copy()
 
 
 def _pad_axis_replicate(vol: np.ndarray, n_dev: int, axis: int = 0) -> np.ndarray:
@@ -423,38 +469,24 @@ def reconstruction_func_sharded(
         ).astype(np.float32)
         pos_t = np.stack([xx, np.zeros_like(xx), yy], axis=-1).astype(np.float32)
         dirs = _decode_seed_dirs(vx, vy, vz, pos_t)
-    elif jax.process_count() == 1 or j8.size <= _HOST_FLOOD_MAX_VOX:
+    elif jax.process_count() == 1:
         # the host owns the full volume (API contract): fetch J8 once
         # and run the exact native tolerance flood, like the
         # single-device pipeline. The device label-propagation
-        # (`seeds_sharded`, the branch below) is exact too but iterates
-        # whole-slab passes to convergence — measured 275 s of a 337 s
-        # run on a 52-Mvox noisy stack vs ~3 s for this path (PARITY.md
-        # round 3; 44.8 s vs 0.14 s on the 2-process CPU cluster).
-        # Multi-process gathers J8 + the direction maps through a
-        # device-replicating all-gather, so beyond _HOST_FLOOD_MAX_VOX
-        # (where a replicated volume copy strains HBM) the on-mesh
-        # device flood takes over.
-        multi = jax.process_count() > 1
-        j8_np = (fetch_replicated(j8) if multi else np.asarray(j8))[:span_orig]
+        # (`seeds_sharded`, kept as a library routine) is exact too but
+        # iterates whole-slab passes to convergence — measured 275 s of
+        # a 337 s run on a 52-Mvox noisy stack vs ~3 s for this path
+        # (PARITY.md round 3).
+        j8_np = np.asarray(j8)[:span_orig]
         zz, yy, xx = np.nonzero(_host_flood(j8_np, cfg.tolerance))
         pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
         dirs = _decode_seed_dirs(vx, vy, vz, pos)
     else:
-        cap = max(64, vol.shape[1] * vol.shape[2] // 64)
-        pos_s, dirs_s, valid_s, found = seeds_sharded(
-            j8, vx, vy, vz, cfg.tolerance, mesh, cap
+        # multi-process: slab-local exact flood per shard, no gather of
+        # J8 or the direction maps, no volume-size cliff (r3 item 2)
+        pos, dirs = _seeds_per_shard_multiprocess(
+            j8, vx, vy, vz, cfg.tolerance, span_orig
         )
-        valid_np = fetch_replicated(valid_s)
-        pos = fetch_replicated(pos_s)[valid_np]
-        dirs = fetch_replicated(dirs_s)[valid_np]
-        n_found = int(fetch_replicated(found).sum())
-        if n_found > len(pos) and verbose:
-            print(f"warning: seed cap dropped {n_found - len(pos)} seeds")
-        # discard seeds in the replicated Z padding (duplicates of the
-        # top slice)
-        keep = pos[:, 2] < span_orig
-        pos, dirs = pos[keep], dirs[keep]
     # drop seeds inside the soma
     if smap is not None and len(pos):
         zi = np.floor(pos[:, 2] + 0.5).astype(int)
@@ -596,8 +628,33 @@ def reconstruction_func_sharded(
         print(f"traced {trace_count} seeds{extra}, |n0|={len(nodes)}")
 
     n0 = nodes
+
+    def _fetch_map(a):
+        # de-transpose the internal (Y, 1, X) 2-D layout and drop the
+        # replicate padding, like the returned J8
+        m = fetch_replicated(a)
+        return m.transpose(1, 0, 2)[:, :span_orig] if is2d else m[:span_orig]
+
+    midres = None
+    if cfg.save_midres:
+        # same artifact set as the single-device path (r3 item 7):
+        # direction maps, trace density, normalized soma map; the
+        # per-stage n0/n1/n2 snapshots fill in reconstruct_graph below
+        from pnr_tpu.pipeline.reconstruct import smap_to_u8
+
+        midres = {
+            "vx": _fetch_map(vx),
+            "vy": _fetch_map(vy),
+            "vz": _fetch_map(vz),
+            "trace_density": np.clip(committer.npervol, 0, 255).astype(
+                np.uint8
+            ),
+        }
+        if smap is not None:
+            midres["smap8"] = smap_to_u8(smap)
+
     tm.start("reconstruct")
-    tree = reconstruct_graph(n0.copy(), cfg)
+    tree = reconstruct_graph(n0.copy(), cfg, midres=midres)
     tm.stop()
 
     return ReconstructionResult(
@@ -607,11 +664,8 @@ def reconstruction_func_sharded(
         seeds_corr=corr,
         trace_count=trace_count,
         timings=tm.timings,
-        j8=(
-            fetch_replicated(j8).transpose(1, 0, 2)[:, :span_orig]
-            if is2d
-            else fetch_replicated(j8)[:span_orig]
-        ),
+        j8=_fetch_map(j8),
+        midres=midres,
     )
 
 

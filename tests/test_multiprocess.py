@@ -77,6 +77,16 @@ def test_two_process_sharded_frangi():
         assert "bitwise across the process boundary" in out
 
 
+def test_two_process_per_shard_seeds():
+    """Per-shard seed extraction (VERDICT r3 item 2): each process
+    floods only its local slabs, fetch_replicated is instrumented to
+    fail on any volume-sized gather, and the all-gathered seed set is
+    identical to the single-device host flood."""
+    outs = _run_cluster(os.path.join(REPO, "tests", "_mp_seeds_child.py"))
+    for out in outs:
+        assert "per-shard seeds OK" in out
+
+
 def test_two_process_full_pipeline(tmp_path):
     """The FULL sharded reconstruction over a 2-process 8-device mesh
     equals a single-process 8-device run: identical J8 (bitwise), node
