@@ -25,6 +25,129 @@ def frangi_halo_z(sigmas, zdist) -> int:
     return int(math.ceil(3.0 * max(sigmas) / zdist)) + 2
 
 
+def frangi_halo_y(sigmas) -> int:
+    #: xy Gaussian reach (ceil(3*sigma) half-width) + the two chained
+    #: central-difference taps of the Hessian
+    return int(math.ceil(3.0 * max(sigmas))) + 2
+
+
+def pick_blocks(
+    shape: Tuple[int, int, int],
+    sigmas: Tuple[float, ...],
+    zdist: float,
+    tile_vox_budget: int = 32 * 1024 * 1024,
+):
+    """(block_z, block_y) for `frangi3d_tiled` so one tile's working set
+    stays near `tile_vox_budget` voxels (~94 B/voxel of temp arena at 3
+    sigmas — see parallel/plan.py), preferring large Y tiles (less halo
+    re-compute). Returns None only when even a minimal (1, 8) tile
+    exceeds the budget (absurdly wide X — caller falls back)."""
+    z, y, x = shape
+    hz, hy = frangi_halo_z(sigmas, zdist), frangi_halo_y(sigmas)
+    by_max = tile_vox_budget // ((min(z, 32) + 2 * hz) * x) - 2 * hy
+    by = min(y, max(8, by_max // 8 * 8))
+    bz_max = tile_vox_budget // ((min(by, y) + 2 * hy) * x) - 2 * hz
+    bz = min(z, max(1, bz_max))
+    if (min(bz, z) + 2 * hz) * (min(by, y) + 2 * hy) * x > tile_vox_budget * 1.5:
+        return None
+    return bz, by
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sigmas", "zdist", "alpha", "beta", "c", "block_z", "block_y"),
+)
+def frangi3d_tiled(
+    vol: jax.Array,
+    sigmas: Tuple[float, ...],
+    zdist: float,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    c: float = 500.0,
+    block_z: int = 16,
+    block_y: int = 256,
+):
+    """2-axis tiled Frangi, BITWISE-exact vs `frangi3d` (borders
+    included) with an O(outputs + tile) peak memory.
+
+    Aligned-window tiling (the halo_exchange_z_aligned trick from the
+    sharded path, applied per tile in Z AND Y): each tile's fetch
+    window is shifted to stay inside the volume, so a window edge
+    coincides with the true volume border exactly when the kept region
+    is close enough to be affected — the one-sided border differences
+    (frangi.cpp:305-381 / jnp.gradient semantics) then fire at true
+    borders and nowhere else, and interior voxels see a full stencil
+    halo of REAL data (no padding anywhere). Arbitrary extents: tail
+    tiles clamp their kept start (z0 = min(i*bz, z-bz)), recomputing a
+    few overlap rows with identical values.
+
+    Tiles stream through a `fori_loop` whose carries ARE the output
+    volumes (`dynamic_update_slice` writes each kept block in place —
+    XLA aliases loop carries, so no stacked per-tile copies and no
+    assembly transpose exist). This is what makes pod-shard planes
+    (2048^2+) feasible: the Z-only streaming variant needs
+    (bz + 2*halo_z) full planes of temp arena, which at 4.2-Mvox planes
+    exceeds HBM at every usable bz (measured on v5e via
+    memory_analysis: 18.7-23.7 GiB at bz 4-16, compiler crash at 32;
+    the lax.map formulation of THIS tiler measured 11.15 GiB — the
+    fori_loop one cuts the stacked-output term as well).
+    """
+    z, y, x = vol.shape
+    hz = frangi_halo_z(sigmas, zdist)
+    hy = frangi_halo_y(sigmas)
+    bz, by = min(block_z, z), min(block_y, y)
+    wz = min(bz + 2 * hz, z)
+    wy = min(by + 2 * hy, y)
+    nz, ny = -(-z // bz), -(-y // by)
+    if nz * ny == 1:
+        return frangi3d(vol, sigmas, zdist, alpha, beta, c)
+
+    init = (
+        jnp.zeros((z, y, x), jnp.float32),
+        jnp.float32(jnp.inf),
+        jnp.float32(-jnp.inf),
+        jnp.zeros((z, y, x), jnp.uint8),
+        jnp.zeros((z, y, x), jnp.uint8),
+        jnp.zeros((z, y, x), jnp.uint8),
+    )
+
+    def body(i, carry):
+        j_o, jmin, jmax, vx_o, vy_o, vz_o = carry
+        iz, iy = i // ny, i % ny
+        z0 = jnp.minimum(iz * bz, z - bz)
+        y0 = jnp.minimum(iy * by, y - by)
+        sz = jnp.clip(z0 - hz, 0, z - wz)
+        sy = jnp.clip(y0 - hy, 0, y - wy)
+        tile = jax.lax.dynamic_slice(vol, (sz, sy, 0), (wz, wy, x))
+        j, _, _, vx, vy, vz = frangi3d(tile, sigmas, zdist, alpha, beta, c)
+
+        def crop(a):
+            return jax.lax.dynamic_slice(
+                a, (z0 - sz, y0 - sy, 0), (bz, by, x)
+            )
+
+        def put(o, a):
+            return jax.lax.dynamic_update_slice(o, a, (z0, y0, 0))
+
+        jc = crop(j)
+        # overlap rows recompute identical values: min/max unaffected
+        # (Jmin is the final-response min, same documented note as the
+        # Z-only variant)
+        return (
+            put(j_o, jc),
+            jnp.minimum(jmin, jnp.min(jc)),
+            jnp.maximum(jmax, jnp.max(jc)),
+            put(vx_o, crop(vx)),
+            put(vy_o, crop(vy)),
+            put(vz_o, crop(vz)),
+        )
+
+    j, jmin, jmax, vx, vy, vz = jax.lax.fori_loop(
+        0, nz * ny, body, init
+    )
+    return j, jmin, jmax, vx, vy, vz
+
+
 @partial(
     jax.jit,
     static_argnames=("sigmas", "zdist", "alpha", "beta", "c", "block_z"),

@@ -82,8 +82,15 @@ def _pallas_conv(vol, kernel, axis, grad_border, interpret=False):
 
     kern = _conv_kernel_factory(tuple(float(t) for t in kernel), axis, grad_border)
 
+    # Pallas DOUBLE-BUFFERS in/out blocks across grid steps, so the
+    # scoped-VMEM footprint is 2x (in + out). The tile along the free
+    # axis shrinks adaptively so big planes (2048^2 — the pod-scale
+    # shard shape) stay under budget instead of OOMing at compile
+    # (observed: 16.03M > 16M hard limit at y=2048 with the old fixed
+    # by/bx caps).
     if axis == 2:
-        by = min(256, y)
+        per_row = (2 * x + 2 * half) * 4  # in+out bytes per y row
+        by = min(256, y, max(8, _VMEM_BUDGET // (2 * per_row) // 8 * 8))
         grid = (z, _cdiv(y, by))
         in_spec = pl.BlockSpec(
             (1, by, x + 2 * half), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -91,9 +98,10 @@ def _pallas_conv(vol, kernel, axis, grad_border, interpret=False):
         out_spec = pl.BlockSpec(
             (1, by, x), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         )
-        blk_bytes = by * (2 * x + 2 * half) * 4
+        blk_bytes = 2 * by * per_row
     elif axis == 1:
-        bx = min(512, x)
+        per_col = (2 * y + 2 * half) * 4  # in+out bytes per x lane
+        bx = min(512, x, max(128, _VMEM_BUDGET // (2 * per_col) // 128 * 128))
         grid = (z, _cdiv(x, bx))
         in_spec = pl.BlockSpec(
             (1, y + 2 * half, bx), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
@@ -101,9 +109,10 @@ def _pallas_conv(vol, kernel, axis, grad_border, interpret=False):
         out_spec = pl.BlockSpec(
             (1, y, bx), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         )
-        blk_bytes = bx * (2 * y + 2 * half) * 4
+        blk_bytes = 2 * bx * per_col
     else:  # axis == 0
-        bx = min(256, x)
+        per = (2 * z + 2 * half) * 4
+        bx = min(256, x, max(128, _VMEM_BUDGET // (2 * 8 * per) // 128 * 128))
         by = 8
         grid = (_cdiv(y, by), _cdiv(x, bx))
         in_spec = pl.BlockSpec(
@@ -112,7 +121,7 @@ def _pallas_conv(vol, kernel, axis, grad_border, interpret=False):
         out_spec = pl.BlockSpec(
             (z, by, bx), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         )
-        blk_bytes = by * bx * (2 * z + 2 * half) * 4
+        blk_bytes = 2 * by * bx * per
 
     if blk_bytes > _VMEM_BUDGET:
         raise ValueError("block exceeds VMEM budget")
@@ -156,15 +165,18 @@ def mosaic_available() -> bool:
 
 
 def _blocking_fits(shape, kernel_len: int, axis: int) -> bool:
+    # mirrors _pallas_conv's adaptive tiling, incl. the 2x double-buffer
+    # factor: fits iff the SMALLEST allowed tile (8 rows / 128 lanes)
+    # stays under budget
     k = int(kernel_len)
     half = k // 2
     z, y, x = shape
     if axis == 2:
-        blk = min(256, y) * (2 * x + 2 * half) * 4
+        blk = 2 * min(8, y) * (2 * x + 2 * half) * 4
     elif axis == 1:
-        blk = min(512, x) * (2 * y + 2 * half) * 4
+        blk = 2 * min(128, x) * (2 * y + 2 * half) * 4
     else:
-        blk = 8 * min(256, x) * (2 * z + 2 * half) * 4
+        blk = 2 * 8 * min(128, x) * (2 * z + 2 * half) * 4
     return blk <= _VMEM_BUDGET
 
 
@@ -246,7 +258,10 @@ def pallas_conv_yx(vol: jax.Array, kernel_y, kernel_x) -> jax.Array:
     ky = np.asarray(kernel_y, np.float32)
     kx = np.asarray(kernel_x, np.float32)
     z, y, x = vol.shape
-    blk = (y + len(ky)) * (x + len(kx)) * 4 * 2  # in block + temp
+    # scoped VMEM: in + out blocks double-buffered by Pallas, plus the
+    # single-buffered scratch row
+    hy2, hx2 = 2 * (len(ky) // 2), 2 * (len(kx) // 2)
+    blk = 2 * ((y + hy2) * (x + hx2) + y * x) * 4 + y * (x + hx2) * 4
     if mosaic_available() and blk <= _VMEM_BUDGET:
         return _pallas_conv_yx(
             vol, tuple(float(t) for t in ky), tuple(float(t) for t in kx)

@@ -49,8 +49,9 @@ def _frangi_temp_b_per_vox(n_sigmas: int) -> float:
     return 10.0 + 28.0 * n_sigmas
 
 
-#: J float32 + J8 + three quantized direction volumes (uint8)
-_FRANGI_OUT_B_PER_VOX = 4.0 + 1.0 + 3.0
+#: J float32 + three quantized direction volumes (uint8); J8 is
+#: produced after the filter jit and accounted in the seeds stage
+_FRANGI_OUT_B_PER_VOX = 4.0 + 3.0
 #: J8 + three direction volumes kept live through seeds/tracing
 _SEED_MAPS_B_PER_VOX = 4.0
 #: per-lane particle-filter state (pos/dir/weights/keys, float32)
@@ -145,34 +146,67 @@ def plan_sharded(
 
     stages: Dict[str, int] = {}
 
-    # --- filter: input slab (u8) + outputs + the jit's temp arena
+    # --- filter: input slab (u8) + outputs + the jit's temp arena.
+    # Mirrors the code's actual engine choice (parallel/sharded.py,
+    # pipeline/reconstruct.py): plain monolithic jit up to 80 Mvox per
+    # slab; above that the 2-axis aligned-window tiler when pick_blocks
+    # finds divisors, else the Z-only streaming variant.
     temp_vox = _frangi_temp_b_per_vox(len(cfg.sigmas))
-    temp_plain = temp_vox * slab_f
-    out_b = slab_f + _FRANGI_OUT_B_PER_VOX * vox
+    # the filter computes on the halo slab (outputs are slab-sized
+    # before the crop)
+    out_b = slab_f + _FRANGI_OUT_B_PER_VOX * slab_f
     usable = hbm_gb * (1 << 30) * usable_fraction
-    if blocked_frangi is None:
-        blocked_frangi = out_b + temp_plain > usable
-        if blocked_frangi:
-            # largest Z tile whose temp arena fits next to the outputs
-            # (the tile is a pure throughput/VMEM-occupancy knob — any
-            # size >= 1 is exact, ops/frangi_blocked.py)
-            for bz in (32, 16, 8, 4, 2, 1):
-                frangi_block_z = bz
-                if (
-                    out_b + temp_vox * (bz + 2 * hf) * plane
-                    <= usable
-                ):
-                    break
-    temp_blocked = temp_vox * (frangi_block_z + 2 * hf) * plane
-    temp = temp_blocked if blocked_frangi else temp_plain
-    name = "frangi" + (
-        f" (Z-blocked, bz={frangi_block_z})" if blocked_frangi else ""
+    slab_shape = (
+        (slab_f // plane, z, x) if is2d else (slab_f // plane, y, x)
     )
+    tiled_blocks = None
+    if blocked_frangi is None:
+        blocked_frangi = slab_f > 80_000_000
+    if blocked_frangi and not is2d:
+        from pnr_tpu.ops.frangi_blocked import (
+            frangi_halo_y,
+            frangi_halo_z,
+            pick_blocks,
+        )
+
+        tiled_blocks = pick_blocks(slab_shape, cfg.sigmas, cfg.zdist)
+    if not blocked_frangi:
+        name = "frangi"
+        temp = temp_vox * slab_f
+    elif tiled_blocks is not None:
+        # 2-axis fori-loop tiler: outputs are written in place into the
+        # loop carries, so temp is ONE tile's arena regardless of
+        # volume size. Calibrated against the v5e executable's
+        # memory_analysis: (150, 2048, 2048) measured 6.82 GiB total
+        # vs 7.6 modeled; (1024, 1024, 1024) measured 10.12 vs 10.9
+        # (+8-11% conservative).
+        bz, by = tiled_blocks
+        tile_vox = (
+            (min(bz, slab_shape[0]) + 2 * frangi_halo_z(cfg.sigmas, cfg.zdist))
+            * (min(by, y) + 2 * frangi_halo_y(cfg.sigmas)) * x
+        )
+        temp = temp_vox * tile_vox
+        name = f"frangi (tiled, bz={bz}, by={by})"
+    else:
+        # Z-only streaming: temp is one (bz + 2*halo) plane run of the
+        # monolithic jit. Measured on v5e at 4.2-Mvox planes: the REAL
+        # executable needs 14-19 GiB temp at bz 4-16 (the compiler holds
+        # ~2 tiles live) — model 2 live tiles, which is why pod-scale
+        # planes route to the tiled variant above.
+        for bz in (32, 16, 8, 4, 2, 1):
+            frangi_block_z = bz
+            if (
+                out_b + 2 * temp_vox * (bz + 2 * hf) * plane <= usable
+            ):
+                break
+        temp = 2 * temp_vox * (frangi_block_z + 2 * hf) * plane
+        name = f"frangi (Z-blocked, bz={frangi_block_z})"
     stages[name] = int(out_b + temp)
 
-    # --- seeds: J8 + direction maps live; flood runs on host (or the
-    # device label propagation on a J8-sized u8+i32 working set)
-    stages["seeds"] = int(slab_f + _SEED_MAPS_B_PER_VOX * vox + 8.0 * vox)
+    # --- seeds: J8 + direction maps live; the flood runs on host —
+    # single-process fetches J8, multi-process floods each shard's own
+    # slab (no gather, no device working set beyond the live maps)
+    stages["seeds"] = int(slab_f + _SEED_MAPS_B_PER_VOX * vox)
 
     # --- likelihood field + tracing: the field lives on the TRACE halo
     # slab next to the u8 slab it was built from; J8/dir maps stay live

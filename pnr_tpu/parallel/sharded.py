@@ -79,13 +79,27 @@ def frangi3d_sharded(
         if slab.size > 80_000_000:
             # large shards hit the same ~180 B/voxel transient peak as
             # the monolithic path (pipeline/reconstruct.py): stream the
-            # halo slab through Z-tiles — identical results, tile-sized
-            # temp arena (see parallel.plan for the per-shard budget)
-            from pnr_tpu.ops.frangi_blocked import frangi3d_blocked
-
-            j, _, _, vx, vy, vz = frangi3d_blocked(
-                slab, sigmas, zdist, alpha, beta, c
+            # halo slab through tiles — identical results, tile-sized
+            # temp arena (see parallel.plan for the per-shard budget).
+            # 2-axis aligned-window tiling when divisors allow (required
+            # for pod-shard planes like 2048^2, where Z-only tiles
+            # exceed HBM at any usable bz); Z-only streaming otherwise.
+            from pnr_tpu.ops.frangi_blocked import (
+                frangi3d_blocked,
+                frangi3d_tiled,
+                pick_blocks,
             )
+
+            blocks = pick_blocks(slab.shape, sigmas, zdist)
+            if blocks is not None:
+                j, _, _, vx, vy, vz = frangi3d_tiled(
+                    slab, sigmas, zdist, alpha, beta, c,
+                    block_z=blocks[0], block_y=blocks[1],
+                )
+            else:
+                j, _, _, vx, vy, vz = frangi3d_blocked(
+                    slab, sigmas, zdist, alpha, beta, c
+                )
         else:
             j, _, _, vx, vy, vz = frangi3d(slab, sigmas, zdist, alpha, beta, c)
         j, vx, vy, vz = (

@@ -487,16 +487,30 @@ def _stack_front(
                 cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
             )
         elif vol.size > 80_000_000:
-            # stream in Z-tiles: the fused XLA graph peaks at ~180
+            # stream in tiles: the fused XLA graph peaks at ~180
             # B/voxel, beyond one v5e's 16 GB HBM around ~80 Mvox (52
             # Mvox monolithic measured fine with headroom for the
-            # field maps)
-            from pnr_tpu.ops.frangi_blocked import frangi3d_blocked
-
-            j, jmin, jmax, vx, vy, vz = frangi3d_blocked(
-                img, cfg.sigmas, cfg.zdist,
-                cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
+            # field maps). 2-axis aligned-window tiling when divisors
+            # allow (pod-shard planes need Y tiled too); Z-only
+            # streaming otherwise.
+            from pnr_tpu.ops.frangi_blocked import (
+                frangi3d_blocked,
+                frangi3d_tiled,
+                pick_blocks,
             )
+
+            blocks = pick_blocks(vol.shape, cfg.sigmas, cfg.zdist)
+            if blocks is not None:
+                j, jmin, jmax, vx, vy, vz = frangi3d_tiled(
+                    img, cfg.sigmas, cfg.zdist,
+                    cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
+                    block_z=blocks[0], block_y=blocks[1],
+                )
+            else:
+                j, jmin, jmax, vx, vy, vz = frangi3d_blocked(
+                    img, cfg.sigmas, cfg.zdist,
+                    cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c,
+                )
         else:
             j, jmin, jmax, vx, vy, vz = frangi3d(
                 img, cfg.sigmas, cfg.zdist, cfg.frangi_alpha, cfg.frangi_beta, cfg.frangi_c

@@ -73,6 +73,19 @@ def fetch_u8_sparse(arr, nonzero_cap: int = 1 << 22) -> np.ndarray:
         return np.asarray(arr)
     if arr.dtype != np.uint8 or arr.size * 8 < (1 << 21) or arr.size <= nonzero_cap:
         return fetch_volume(arr)
+    if arr.ndim == 3 and arr.size > (128 << 20):
+        # Gvox-scale: jnp.nonzero over the flat array materializes
+        # ~12 B/voxel of int32 index intermediates on device — at
+        # 1024^3 that alone OOMs a 16 GiB chip next to the live J8 +
+        # direction maps (observed). Sparsify per Z-chunk instead: the
+        # intermediates stay ~1.5 GiB and each chunk ships its own
+        # nonzero pairs.
+        plane = arr.shape[1] * arr.shape[2]
+        cz = max(1, (128 << 20) // plane)
+        out = np.empty(arr.shape, np.uint8)
+        for z0 in range(0, arr.shape[0], cz):
+            out[z0 : z0 + cz] = fetch_u8_sparse(arr[z0 : z0 + cz], nonzero_cap)
+        return out
     import jax
     import jax.numpy as jnp
 

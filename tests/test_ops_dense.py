@@ -352,6 +352,53 @@ class TestFrangiBlocked:
         j = np.asarray(frangi3d_blocked(jnp.asarray(vol), (2.0, 3.0), 2.0, block_z=8)[0])
         np.testing.assert_array_equal(j, j_ref)
 
+    def test_tiled_2d_matches_unblocked(self, rng):
+        """2-axis aligned-window tiling (the pod-shard-plane variant) is
+        BITWISE frangi3d including every border and corner: windows
+        shift inside the volume, so a tile edge is the true border
+        exactly when the kept region needs one-sided semantics there —
+        no padding, no recompute strips."""
+        from pnr_tpu.ops.frangi_blocked import frangi3d_tiled
+
+        vol = make_tube_volume(shape=(48, 64, 48))
+        vol = np.clip(
+            vol.astype(np.int16) + rng.normal(0, 4, vol.shape), 0, 255
+        ).astype(np.uint8)
+        sigmas = (2.0, 3.0)
+        ref = frangi3d(jnp.asarray(vol), sigmas, 2.0)
+        # 16 | 48 and 16 | 64 (exact grid) AND a non-dividing block_y
+        # (tail tiles clamp their kept start — overlap rows recompute
+        # identical values)
+        for bz, by in ((16, 16), (16, 24)):
+            got = frangi3d_tiled(
+                jnp.asarray(vol), sigmas, 2.0, block_z=bz, block_y=by
+            )
+            for g, r in zip(
+                (got[0], got[3], got[4], got[5]),
+                (ref[0], ref[3], ref[4], ref[5]),
+            ):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+            np.testing.assert_allclose(float(got[2]), float(ref[2]), rtol=1e-6)
+
+    def test_pick_blocks_bounds(self):
+        from pnr_tpu.ops.frangi_blocked import (
+            frangi_halo_y,
+            frangi_halo_z,
+            pick_blocks,
+        )
+
+        sig = (2.0, 4.0, 6.0)
+        for shape in ((150, 2048, 2048), (128, 1024, 1024), (256, 768, 768),
+                      (534, 1024, 1024)):
+            blocks = pick_blocks(shape, sig, 2.0)
+            assert blocks is not None, shape
+            bz, by = blocks
+            assert 1 <= bz <= shape[0] and 8 <= by <= shape[1]
+            tile = (min(bz, shape[0]) + 2 * frangi_halo_z(sig, 2.0)) * (
+                min(by, shape[1]) + 2 * frangi_halo_y(sig)
+            ) * shape[2]
+            assert tile <= 32 * 1024 * 1024 * 1.5, (shape, blocks, tile)
+
 
 class TestPallasConvInterpret:
     """CPU (interpret-mode) coverage of the Mosaic conv kernels' logic —

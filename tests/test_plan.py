@@ -43,9 +43,10 @@ class TestPlanSharded:
         finite power-of-two mesh for the exact engine."""
         p = min_devices((2048, 2048, 2048), cfg("exact"))
         assert p.fits and 8 <= p.n_devices <= 64, p.summary()
-        # and the plan auto-selected the Z-blocked filter (the plain
-        # temp arena can't fit at any shard size with these halos)
-        assert any("Z-blocked" in k for k in p.stages)
+        # and the plan auto-selected the 2-axis tiled filter (neither
+        # the plain temp arena nor the Z-only streaming variant fits at
+        # 2048^2 planes — measured on v5e, see PARITY round 4)
+        assert any("tiled" in k for k in p.stages), p.stages
 
     def test_tube_mode_at_pod_scale_reports_binding_stage(self):
         """2048^3 tube maps (37 B/voxel on the trace-halo slab) exceed a
@@ -65,7 +66,7 @@ class TestPlanSharded:
 
     def test_forced_blocked_frangi(self):
         p = plan_sharded((128, 640, 640), cfg(), 1, blocked_frangi=True)
-        assert any("Z-blocked" in k for k in p.stages)
+        assert any(("tiled" in k or "Z-blocked" in k) for k in p.stages)
 
     def test_larger_stage_iters_grows_trace_halo(self):
         shape = (256, 512, 512)
