@@ -541,6 +541,10 @@ def main():
                 extras["ref_cpp_e2e_mvox"] = round(ref[1], 2)
 
         def ph_tracer_tube():
+            # device-stage throughput UPPER BOUND (monolithic launch,
+            # no host commit machinery); e2e_s_per_stack covers the
+            # honest full path
+            extras["tracer_metric"] = "device_stage_upper_bound"
             extras["particle_updates_per_s"] = round(bench_tracer(tracer_vol))
 
         def ph_tracer_exact():
