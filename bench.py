@@ -564,6 +564,35 @@ def main():
                 bench_tracer(tracer_vol, zncc_mode="tube", sigmas=(2.0, 3.0), ni=25)
             )
 
+        def ph_frangi_large():
+            # the half-Gvox filter class (BASELINE scale axis): volume
+            # generated ON DEVICE so the number is link-independent.
+            # Fused Pallas engine — measured 950 Mvox/s on v5e r4.
+            import jax
+            import jax.numpy as jnp
+
+            from pnr_tpu.ops.frangi_fused import best_fused_geom, frangi3d_fused
+            from pnr_tpu.ops.pallas_conv import mosaic_available
+
+            shape = (512, 1024, 1024)
+            if not (
+                mosaic_available()
+                and best_fused_geom(shape, SIGMAS, ZDIST) is not None
+            ):
+                return
+            big = jax.random.randint(jax.random.key(0), shape, 0, 255, jnp.uint8)
+            float(big[0, 0, 0])
+
+            def force():
+                return float(frangi3d_fused(big, SIGMAS, ZDIST)[0][5, 5, 5])
+
+            force()
+            t0 = time.perf_counter()
+            force()
+            extras["frangi_fused_537mvox_s"] = round(
+                big.size / (time.perf_counter() - t0) / 1e6, 1
+            )
+
         def ph_ref_f1():
             f1 = bench_reference_swc_f1()
             if f1 is not None:
@@ -604,6 +633,7 @@ def main():
             ("particle_updates", ph_tracer_tube, 60),
             ("exact_particle_updates", ph_tracer_exact, 90),
             ("default_sigma_tracer", ph_default_sigmas, 90),
+            ("frangi_537mvox", ph_frangi_large, 90),
             ("reference_swc_f1", ph_ref_f1, 150),
             ("phantom_swc", ph_quality, 120),
             ("f1_vs_snr", ph_snr, 150),

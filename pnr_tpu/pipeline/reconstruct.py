@@ -478,6 +478,10 @@ def _stack_front(
             (cfg.fused_frangi or fused_frangi_enabled())
             and mosaic_available()
             and best_fused_geom(vol.shape, cfg.sigmas, cfg.zdist) is not None
+            # the fused kernel's ~13 B/voxel HBM peak caps it near
+            # 1 Gvox on a 16 GiB chip; beyond that the 2-axis tiler
+            # below (O(tile) arena) is the only engine that fits
+            and vol.size * 13 <= 13 * (1 << 30)
         )
         if use_fused:
             # one raw-volume read; O(ring) VMEM and ~13 B/voxel HBM
