@@ -116,9 +116,15 @@ def _mean_shift_device(p4: jax.Array, sig2rad: float, max_iter: int, eps2: float
                 - 2.0 * jnp.matmul(cxyz, pts.T, precision=jax.lax.Precision.HIGHEST)
             )  # (B, N) — MXU matmul, f32
             mask = (d2 <= r2[:, None]).astype(jnp.float32)
-            cnt = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+            cnt0 = jnp.sum(mask, axis=1)
             summ = jnp.matmul(mask, p4, precision=jax.lax.Precision.HIGHEST)  # (B, 4)
-            return summ / cnt[:, None]
+            nxt = summ / jnp.maximum(cnt0, 1.0)[:, None]
+            # a node always covers itself, so an empty mask can only be
+            # numeric cancellation in the |c|^2+|p|^2-2cp expansion at
+            # extreme coordinate magnitudes — hold position instead of
+            # collapsing to the origin (observed on a 12288^2 slide:
+            # ulp(|p|^2) ~ 32 exceeded the kernel radius^2)
+            return jnp.where(cnt0[:, None] > 0.0, nxt, c_blk)
 
         nblk = -(-n // _BLOCK)
         pad = nblk * _BLOCK - n
@@ -164,15 +170,25 @@ def non_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float) ->
     # -1e6 with zero mask overlap against any real kernel radius and
     # contribute exact 0.0 terms to the masked sums, so results are
     # bitwise unchanged; their own updates converge after one iteration.
+    # centroid-center the cloud before the MXU distance expansion:
+    # |c|^2 + |p|^2 - 2cp cancels catastrophically once coordinates
+    # reach ~4k (ulp(|p|^2) rivals the kernel radius^2 — nodes at the
+    # far corner of a gigapixel slide saw ±32 of d2 noise against
+    # r2 ~ 16). Centering bounds the magnitudes by the cloud's spread;
+    # the kernel test is translation-invariant, so results only gain
+    # accuracy.
+    centroid = p4[:, :3].mean(axis=0, dtype=np.float64).astype(np.float32)
+    p4[:, :3] -= centroid
     nr = p4.shape[0]
     npad = max(256, 1 << (nr - 1).bit_length()) - nr
     if npad:
         filler = np.full((npad, 4), -1.0e6, np.float32)
         filler[:, 3] = 1.0
         p4 = np.concatenate([p4, filler], axis=0)
-    conv = np.asarray(
+    conv = np.array(  # copy: the device fetch can be read-only
         _mean_shift_device(jnp.asarray(p4), float(sig2rad), int(max_iter), float(eps2))
     )[:nr]
+    conv[:, :3] += centroid
     out.x[1:] = conv[:, 0].tolist()
     out.y[1:] = conv[:, 1].tolist()
     out.z[1:] = conv[:, 2].tolist()

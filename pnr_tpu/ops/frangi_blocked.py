@@ -53,6 +53,89 @@ def pick_blocks(
     return bz, by
 
 
+def pick_blocks_2d(
+    shape_yx: Tuple[int, int],
+    sigmas: Tuple[float, ...],
+    tile_pix_budget: int = 32 * 1024 * 1024,
+):
+    """(block_y, block_x) for `frangi2d_tiled` with a ~32-Mpix tile."""
+    h = frangi_halo_y(sigmas)
+    y, x = shape_yx
+    side = max(256, int(tile_pix_budget**0.5) - 2 * h)
+    by = min(y, side)
+    bx = min(x, max(256, tile_pix_budget // (by + 2 * h) - 2 * h))
+    return by, bx
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sigmas", "beta_one", "beta_two", "block_y", "block_x"),
+)
+def frangi2d_tiled(
+    img: jax.Array,
+    sigmas: Tuple[float, ...],
+    beta_one: float = 0.5,
+    beta_two: float = 15.0,
+    block_y: int = 4096,
+    block_x: int = 4096,
+):
+    """2-axis tiled 2-D Frangi over a (Y, X) image, BITWISE-exact vs
+    `ops.frangi.frangi2d` (borders included) with an O(tile) temp arena
+    — the gigapixel-slide variant of `frangi3d_tiled` (the reference's
+    P == 1 path is first-class, Advantra_plugin.cpp:2339; its images
+    can exceed the f32 working set of a whole-slide jit).
+
+    Same aligned-window + in-place fori-loop carry design as the 3-D
+    tiler; see its docstring for the exactness argument.
+    Returns (J, Jmin, Jmax, Vx, Vy) — the caller adds the zero Vz.
+    """
+    from pnr_tpu.ops.frangi import frangi2d
+
+    y, x = img.shape
+    h = frangi_halo_y(sigmas)
+    by, bx = min(block_y, y), min(block_x, x)
+    wy, wx = min(by + 2 * h, y), min(bx + 2 * h, x)
+    ny, nx = -(-y // by), -(-x // bx)
+    if ny * nx == 1:
+        j, jmin, jmax, vx, vy, _vz = frangi2d(img, sigmas, beta_one, beta_two)
+        return j, jmin, jmax, vx, vy
+
+    init = (
+        jnp.zeros((y, x), jnp.float32),
+        jnp.float32(jnp.inf),
+        jnp.float32(-jnp.inf),
+        jnp.zeros((y, x), jnp.uint8),
+        jnp.zeros((y, x), jnp.uint8),
+    )
+
+    def body(i, carry):
+        j_o, jmin, jmax, vx_o, vy_o = carry
+        iy, ix = i // nx, i % nx
+        y0 = jnp.minimum(iy * by, y - by)
+        x0 = jnp.minimum(ix * bx, x - bx)
+        sy = jnp.clip(y0 - h, 0, y - wy)
+        sx = jnp.clip(x0 - h, 0, x - wx)
+        tile = jax.lax.dynamic_slice(img, (sy, sx), (wy, wx))
+        j, _, _, vx, vy, _vz = frangi2d(tile, sigmas, beta_one, beta_two)
+
+        def crop(a):
+            return jax.lax.dynamic_slice(a, (y0 - sy, x0 - sx), (by, bx))
+
+        def put(o, a):
+            return jax.lax.dynamic_update_slice(o, a, (y0, x0))
+
+        jc = crop(j)
+        return (
+            put(j_o, jc),
+            jnp.minimum(jmin, jnp.min(jc)),
+            jnp.maximum(jmax, jnp.max(jc)),
+            put(vx_o, crop(vx)),
+            put(vy_o, crop(vy)),
+        )
+
+    return jax.lax.fori_loop(0, ny * nx, body, init)
+
+
 @partial(
     jax.jit,
     static_argnames=("sigmas", "zdist", "alpha", "beta", "c", "block_z", "block_y"),

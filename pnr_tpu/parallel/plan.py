@@ -170,6 +170,10 @@ def plan_sharded(
         )
 
         tiled_blocks = pick_blocks(slab_shape, cfg.sigmas, cfg.zdist)
+    elif blocked_frangi and is2d:
+        from pnr_tpu.ops.frangi_blocked import frangi_halo_y, pick_blocks_2d
+
+        tiled_blocks = pick_blocks_2d((slab_shape[0], x), cfg.sigmas)
     if not blocked_frangi:
         name = "frangi"
         temp = temp_vox * slab_f
@@ -181,10 +185,15 @@ def plan_sharded(
         # vs 7.6 modeled; (1024, 1024, 1024) measured 10.12 vs 10.9
         # (+8-11% conservative).
         bz, by = tiled_blocks
-        tile_vox = (
-            (min(bz, slab_shape[0]) + 2 * frangi_halo_z(cfg.sigmas, cfg.zdist))
-            * (min(by, y) + 2 * frangi_halo_y(cfg.sigmas)) * x
-        )
+        hy2 = 2 * frangi_halo_y(cfg.sigmas)
+        if is2d:  # (block_y, block_x) over the (Y, X) slab plane
+            tile_vox = (min(bz, slab_shape[0]) + hy2) * (min(by, x) + hy2)
+        else:
+            tile_vox = (
+                (min(bz, slab_shape[0])
+                 + 2 * frangi_halo_z(cfg.sigmas, cfg.zdist))
+                * (min(by, y) + hy2) * x
+            )
         temp = temp_vox * tile_vox
         name = f"frangi (tiled, bz={bz}, by={by})"
     else:

@@ -148,9 +148,26 @@ def frangi2d_sharded(
     def local_fn(v):
         slab, off = halo_exchange_z_aligned(v, halo, axis)
         yl = v.shape[0]
-        j, _jmin, _jmax, vx, vy, vz = frangi2d(
-            slab[:, 0, :], tuple(sigmas), beta_one, beta_two
-        )
+        if slab.size > 80_000_000:
+            # gigapixel Y-slabs: the same O(tile) aligned-window tiler
+            # as the monolithic 2-D path (bitwise frangi2d)
+            from pnr_tpu.ops.frangi_blocked import (
+                frangi2d_tiled,
+                pick_blocks_2d,
+            )
+
+            by, bx = pick_blocks_2d(
+                (slab.shape[0], slab.shape[2]), tuple(sigmas)
+            )
+            j, _jmin, _jmax, vx, vy = frangi2d_tiled(
+                slab[:, 0, :], tuple(sigmas), beta_one, beta_two,
+                block_y=by, block_x=bx,
+            )
+            vz = jnp.zeros_like(vx)
+        else:
+            j, _jmin, _jmax, vx, vy, vz = frangi2d(
+                slab[:, 0, :], tuple(sigmas), beta_one, beta_two
+            )
         j, vx, vy, vz = (
             lax.dynamic_slice_in_dim(a, off, yl, 0)[:, None, :]
             for a in (j, vx, vy, vz)

@@ -464,9 +464,24 @@ def _stack_front(
     tm.start("frangi")
     img = jnp.asarray(vol)
     if is2d:
-        j, jmin, jmax, vx, vy, vz = frangi2d(
-            img[0], cfg.sigmas, cfg.frangi_betaone, cfg.frangi_betatwo
-        )
+        if vol.size > 80_000_000:
+            # gigapixel slides: O(tile) arena via the 2-D aligned-window
+            # tiler (bitwise frangi2d; see ops/frangi_blocked.py)
+            from pnr_tpu.ops.frangi_blocked import (
+                frangi2d_tiled,
+                pick_blocks_2d,
+            )
+
+            by, bx = pick_blocks_2d(vol.shape[1:], cfg.sigmas)
+            j, jmin, jmax, vx, vy = frangi2d_tiled(
+                img[0], cfg.sigmas, cfg.frangi_betaone, cfg.frangi_betatwo,
+                block_y=by, block_x=bx,
+            )
+            vz = jnp.zeros_like(vx)
+        else:
+            j, jmin, jmax, vx, vy, vz = frangi2d(
+                img[0], cfg.sigmas, cfg.frangi_betaone, cfg.frangi_betatwo
+            )
         j, vx, vy, vz = j[None], vx[None], vy[None], vz[None]
     else:
         from pnr_tpu.ops.frangi_fused import (

@@ -73,7 +73,10 @@ def fetch_u8_sparse(arr, nonzero_cap: int = 1 << 22) -> np.ndarray:
         return np.asarray(arr)
     if arr.dtype != np.uint8 or arr.size * 8 < (1 << 21) or arr.size <= nonzero_cap:
         return fetch_volume(arr)
-    if arr.ndim == 3 and arr.size > (128 << 20):
+    if arr.ndim == 3 and arr.size > (128 << 20) and arr.shape[0] > 1:
+        # (single-slice giant planes fall through to the direct path:
+        # a 1-slice chunk would recurse onto itself, and one plane's
+        # nonzero intermediates are bounded by the plane size)
         # Gvox-scale: jnp.nonzero over the flat array materializes
         # ~12 B/voxel of int32 index intermediates on device — at
         # 1024^3 that alone OOMs a 16 GiB chip next to the live J8 +

@@ -138,6 +138,34 @@ class TestMeanShift:
         np.testing.assert_allclose(got.y[1:], want.y[1:], atol=2e-3)
         np.testing.assert_allclose(got.z[1:], want.z[1:], atol=2e-3)
 
+    def test_far_offset_cloud_no_origin_collapse(self, rng):
+        """Gigapixel-extent regression: at coordinates ~12000 the MXU
+        |c|^2+|p|^2-2cp expansion used to cancel catastrophically
+        (ulp(|p|^2) ~ 32 vs kernel radius^2 ~ 16), giving some nodes an
+        empty mask and teleporting them to the origin — 343k spurious
+        interpolated tree nodes on a 151-Mpix slide. Centroid centering
+        + hold-position-on-empty-mask must keep the refine translation-
+        consistent with the near-origin cloud."""
+        base = NodeList()
+        far = NodeList()
+        off = np.array([12000.0, 11000.0, 0.0])
+        for _ in range(300):
+            p = rng.normal(0, 2.5, 3) + np.array([20.0, 20.0, 8.0])
+            base.add(p[0], p[1], p[2], sig=2.0, corr=0.5)
+            far.add(p[0] + off[0], p[1] + off[1], p[2] + off[2], sig=2.0, corr=0.5)
+        rb = non_blurring(base, 1.5, 4, 1e-4)
+        rf = non_blurring(far, 1.5, 4, 1e-4)
+        fx = np.asarray(rf.x[1:])
+        fy = np.asarray(rf.y[1:])
+        # no node may leave the cloud's neighbourhood (the old bug sent
+        # empty-mask nodes to (0, 0, 0))
+        assert fx.min() > 11900 and fy.min() > 10900, (fx.min(), fy.min())
+        # translation consistency with the near-origin result (f32
+        # rounding differs at offset coordinates; 0.1 px is far below
+        # any downstream grouping radius)
+        np.testing.assert_allclose(fx - off[0], np.asarray(rb.x[1:]), atol=0.1)
+        np.testing.assert_allclose(fy - off[1], np.asarray(rb.y[1:]), atol=0.1)
+
     def test_contracts_toward_centerline(self, rng):
         nodes = NodeList()
         xs = np.linspace(0, 40, 80)

@@ -380,6 +380,31 @@ class TestFrangiBlocked:
                 np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
             np.testing.assert_allclose(float(got[2]), float(ref[2]), rtol=1e-6)
 
+    def test_frangi2d_tiled_matches_unblocked(self, rng):
+        """The gigapixel-slide 2-D tiler is bitwise frangi2d, borders
+        and non-dividing tails included (the reference's first-class
+        P == 1 path at whole-slide scale)."""
+        from pnr_tpu.ops.frangi import frangi2d
+        from pnr_tpu.ops.frangi_blocked import frangi2d_tiled
+
+        y, x = np.meshgrid(np.arange(96), np.arange(112), indexing="ij")
+        img = np.clip(
+            200.0 * np.exp(-((y - 48) ** 2) / (2 * 2.5**2))
+            * (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 6) * (x < 100)
+            + rng.normal(0, 5, (96, 112)),
+            0, 255,
+        ).astype(np.uint8)
+        sigmas = (2.0, 3.0)
+        ref = frangi2d(jnp.asarray(img), sigmas)
+        for by, bx in ((32, 48), (40, 33)):  # dividing and tail cases
+            got = frangi2d_tiled(
+                jnp.asarray(img), sigmas, block_y=by, block_x=bx
+            )
+            np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+            np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+            np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+            np.testing.assert_allclose(float(got[2]), float(ref[2]), rtol=1e-6)
+
     def test_pick_blocks_bounds(self):
         from pnr_tpu.ops.frangi_blocked import (
             frangi_halo_y,
