@@ -69,6 +69,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.c_int,
                 ]
+                lib.max_finder_stack.restype = ctypes.c_long
+                lib.max_finder_stack.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_double,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int,
+                ]
                 lib.group_nodes.restype = ctypes.c_int
                 lib.group_nodes.argtypes = [
                     ctypes.POINTER(ctypes.c_float),
@@ -124,6 +134,30 @@ def max_finder_2d(img: np.ndarray, tolerance: float) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
     )
     return out[:n].copy()
+
+
+def max_finder_stack(
+    vol: np.ndarray, tolerance: float, n_threads: int = 0
+) -> Optional[np.ndarray]:
+    """Per-slice tolerance flood over a (Z, H, W) uint8 stack -> bool
+    mask, sliced round-robin over a native std::thread pool (the flood
+    is strictly per z-slice — seed.cpp:574 — so slices are
+    embarrassingly parallel and results are deterministic at any thread
+    count). n_threads=0 uses hardware concurrency; honours the
+    PNR_TPU_FLOOD_THREADS env override. Returns None without the
+    native library (callers fall back to the per-slice loop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vol = np.ascontiguousarray(vol, dtype=np.uint8)
+    l, h, w = vol.shape
+    if n_threads == 0:
+        n_threads = int(os.environ.get("PNR_TPU_FLOOD_THREADS", "0"))
+    mask = np.empty((l, h, w), np.uint8)
+    lib.max_finder_stack(
+        _u8p(vol), w, h, l, float(tolerance), _u8p(mask), int(n_threads)
+    )
+    return mask.astype(bool)
 
 
 def _max_finder_2d_py(img: np.ndarray, tolerance: float) -> np.ndarray:

@@ -21,6 +21,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -36,12 +37,58 @@ extern "C" {
 
 // Find single-point maxima of one 2-D slice with the given tolerance.
 // img: h*w uint8 (row-major, y*w+x). Emits up to max_out points as
-// (x, y) int pairs into out_xy; returns the number of points found.
-// Maxima are processed in descending (value, offset) order; a candidate is
-// rejected when its tolerance flood reaches a higher pixel, a previously
-// processed region, or the image border.
+// (x, y) int pairs into out_xy (when non-null) and/or sets
+// out_mask[offset] = 1 (when non-null); returns the number of points
+// found. Maxima are processed in descending (value, offset) order; a
+// candidate is rejected when its tolerance flood reaches a higher
+// pixel, a previously processed region, or the image border.
+static int find_maxima_slice(const uint8_t* img, int w, int h,
+                             double tolerance, int* out_xy, int max_out,
+                             uint8_t* out_mask);
+
 int max_finder_2d(const uint8_t* img, int w, int h, double tolerance,
                   int* out_xy, int max_out) {
+  return find_maxima_slice(img, w, h, tolerance, out_xy, max_out, nullptr);
+}
+
+// Per-slice tolerance flood over a whole (L, H, W) stack, writing a
+// voxel mask (the reference flood is strictly per z-slice,
+// seed.cpp:574, so slices are embarrassingly parallel): slices are
+// distributed round-robin over up to n_threads std::threads, each
+// writing only its own slices' mask region — results are deterministic
+// and identical at any thread count. Returns the total maxima found.
+long max_finder_stack(const uint8_t* vol, int w, int h, int l,
+                      double tolerance, uint8_t* out_mask, int n_threads) {
+  const long plane = (long)w * h;
+  std::memset(out_mask, 0, (size_t)plane * l);
+  int t_n = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  t_n = std::max(1, std::min(t_n, l));
+  std::vector<long> counts(t_n, 0);
+
+  auto work = [&](int t) {
+    long c = 0;
+    for (int z = t; z < l; z += t_n) {
+      c += find_maxima_slice(vol + (long)z * plane, w, h, tolerance,
+                             nullptr, 0, out_mask + (long)z * plane);
+    }
+    counts[t] = c;
+  };
+  if (t_n == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(t_n);
+    for (int t = 0; t < t_n; ++t) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  long total = 0;
+  for (long c : counts) total += c;
+  return total;
+}
+
+static int find_maxima_slice(const uint8_t* img, int w, int h,
+                             double tolerance, int* out_xy, int max_out,
+                             uint8_t* out_mask) {
   const long n = (long)w * h;
   if (n == 0 || w < 3 || h < 3) return 0;
 
@@ -154,9 +201,13 @@ int max_finder_2d(const uint8_t* img, int w, int h, double tolerance,
       }
     }
 
-    if (max_possible && !edge_max && n_out < max_out) {
-      out_xy[2 * n_out] = best_off % w;
-      out_xy[2 * n_out + 1] = best_off / w;
+    if (max_possible && !edge_max) {
+      if (out_xy != nullptr && n_out >= max_out) continue;
+      if (out_xy != nullptr) {
+        out_xy[2 * n_out] = best_off % w;
+        out_xy[2 * n_out + 1] = best_off / w;
+      }
+      if (out_mask != nullptr) out_mask[best_off] = 1;
       ++n_out;
     }
   }

@@ -172,8 +172,15 @@ def max_points_device(j8: jax.Array, tolerance: float) -> jax.Array:
 
 
 def max_points_host(j8: np.ndarray, tolerance: float) -> np.ndarray:
-    """Exact sequential maxima via the native C++ runtime; (Z,Y,X) bool mask."""
+    """Exact maxima via the native C++ runtime; (Z,Y,X) bool mask.
+
+    The whole stack floods through the native std::thread pool (one
+    slice per task — deterministic at any thread count); falls back to
+    the per-slice python loop without the native library."""
     j8 = np.asarray(j8)
+    mask = native.max_finder_stack(j8, float(tolerance))
+    if mask is not None:
+        return mask
     mask = np.zeros(j8.shape, bool)
     for z in range(j8.shape[0]):
         pts = native.max_finder_2d(j8[z], tolerance)

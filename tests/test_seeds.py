@@ -67,6 +67,21 @@ class TestNativeMaxFinder:
             want = native._max_finder_2d_py(img, 10.0)
             assert {tuple(p) for p in got} == {tuple(p) for p in want}
 
+    def test_threaded_stack_equals_per_slice(self, rng):
+        """The std::thread stack flood is slice-deterministic: identical
+        mask to the sequential per-slice loop at every thread count."""
+        vol = np.stack([smooth_random_slice(rng) for _ in range(9)])
+        ref = np.zeros(vol.shape, bool)
+        for z in range(vol.shape[0]):
+            pts = native.max_finder_2d(vol[z], 10.0)
+            if len(pts):
+                ref[z, pts[:, 1], pts[:, 0]] = True
+        assert ref.sum() > 0, "vacuous phantom"
+        for threads in (1, 3, 8):
+            mask = native.max_finder_stack(vol, 10.0, n_threads=threads)
+            assert mask is not None
+            np.testing.assert_array_equal(mask, ref)
+
 
 class TestDeviceMaxPoints:
     @pytest.mark.parametrize("tol", [0.0, 5.0, 10.0, 20.0])
