@@ -173,6 +173,44 @@ class TestReference2D:
         assert np.all(np.abs(np.asarray(res.n0.z[1:])) < 1.5)
 
 
+class TestReferenceConfigSweep:
+    """End-to-end parity across the config axes that change the
+    bookkeeping semantics, each against the compiled reference's full
+    seed loop: the vol=5/19/27 suppression stamps (incl. the
+    documented y-clamp divergence class at 19/27), a step-3/kappa-4
+    prior-table geometry, and a different particle count. Calibrated
+    2026-08-20: single-replicate F1 0.914-0.970 across all axes; gates
+    sit below the measured reference replicate-noise floor (min pair
+    0.873)."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(vol=5),
+            dict(vol=19),
+            dict(vol=27),
+            dict(step=3, kappa=4.0),
+            dict(np=12),
+        ],
+        ids=lambda kw: "_".join(f"{k}{v:g}" for k, v in kw.items()),
+    )
+    def test_config_axis_parity(self, kw, tmp_path):
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, **kw)
+        vol = phantom()
+        ref_n0, n_seeds, _ = reference_reconstruct_n0(vol, cfg)
+        assert n_seeds > 0 and len(ref_n0) > 20
+        ref_rows = _swc_rows(
+            reconstruct_graph(ref_n0.copy(), cfg), tmp_path / "ref.swc"
+        )
+        res = reconstruction_func(vol, cfg, verbose=False)
+        our_rows = _swc_rows(res.tree, tmp_path / "ours.swc")
+        s = compare_swc(our_rows, ref_rows, dist=4.0, resample=1.0)
+        assert s.recall >= 0.85, (kw, s)
+        assert s.f1 >= 0.80, (kw, s)
+
+
 class TestReferenceMorePhantoms:
     """The branching phantom above carries the deep pooled-replicate
     gate; these battery phantoms add structural diversity (an X
