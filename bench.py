@@ -434,18 +434,19 @@ def main():
     def left():
         return budget - (time.perf_counter() - t_start)
 
-    def emit():
+    def emit(final=False):
         with lock:
-            if state["value"] is None:
+            if state["value"] is None and not (final and extras.get("fatal_error")):
                 return
+            value = state["value"] or 0.0
             base = state["base"] or 1e-9
             sys.stdout.write(
                 json.dumps(
                     {
                         "metric": "frangi_throughput",
-                        "value": round(state["value"], 2),
+                        "value": round(value, 2),
                         "unit": "Mvoxels/s",
-                        "vs_baseline": round(state["value"] / base, 2),
+                        "vs_baseline": round(value / base, 2),
                         "extras": dict(extras),
                     }
                 )
@@ -653,12 +654,18 @@ def main():
         extras["total_s"] = round(time.perf_counter() - t_start, 1)
         emit()
 
-    worker = threading.Thread(target=run_all, daemon=True)
+    def run_all_guarded():
+        try:
+            run_all()
+        except BaseException as e:  # a dead device must still leave a record
+            extras["fatal_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    worker = threading.Thread(target=run_all_guarded, daemon=True)
     worker.start()
     worker.join(max(5.0, left()))
     if worker.is_alive():
         extras["budget_exhausted_at"] = round(time.perf_counter() - t_start, 1)
-    emit()
+    emit(final=True)
     sys.stdout.flush()
     # daemon worker may be blocked inside a device fetch; exit hard
     os._exit(0)
