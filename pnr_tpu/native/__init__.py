@@ -79,6 +79,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_uint8),
                     ctypes.c_int,
                 ]
+                lib.commit_steps_native.restype = ctypes.c_int
+                lib.commit_steps_native.argtypes = [
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
                 lib.group_nodes.restype = ctypes.c_int
                 lib.group_nodes.argtypes = [
                     ctypes.POINTER(ctypes.c_float),
@@ -134,6 +152,44 @@ def max_finder_2d(img: np.ndarray, tolerance: float) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_out,
     )
     return out[:n].copy()
+
+
+def commit_steps_native(
+    npervol: np.ndarray,
+    nidx: np.ndarray,
+    smap,
+    offs: np.ndarray,
+    nodepervol: int,
+    pos: np.ndarray,
+    valid: np.ndarray,
+    i0: int,
+    upto: int,
+    base_nid: int,
+):
+    """Raw binding for the native FCFS commit inner loop; returns
+    (n_new, finished, ti_limit_or_None, stop_link_or_None) or None when
+    the native library is unavailable (caller falls back to the Python
+    loop). Mutates npervol/nidx in place."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    l, h, w = npervol.shape
+    result = np.empty(4, np.int32)
+    smap_p = (
+        _i32p(smap)
+        if smap is not None
+        else ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+    )
+    n_new = lib.commit_steps_native(
+        _i32p(npervol), _i32p(nidx), smap_p, w, h, l,
+        _i32p(offs), len(offs), int(nodepervol),
+        _f32p(pos), _u8p(valid), int(i0), int(upto), int(base_nid),
+        result.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    finished = bool(result[0])
+    ti_limit = None if result[1] == -2 else int(result[1])
+    stop_link = (int(result[2]), int(result[3])) if result[2] >= 0 else None
+    return n_new, finished, ti_limit, stop_link
 
 
 def max_finder_stack(

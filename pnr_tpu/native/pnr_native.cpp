@@ -214,6 +214,88 @@ static int find_maxima_slice(const uint8_t* img, int w, int h,
   return n_out;
 }
 
+// Incremental FCFS trace commit — the hot inner loop of
+// graph/build.py TraceCommitter.commit_steps (parity with the
+// reference's interleaved compute-and-commit bookkeeping,
+// tracker.cpp:850-896 + Advantra_plugin.cpp:2602-2670): replay
+// estimates i0..upto-1 against the live visit-count / node-index /
+// soma maps, stopping on the first invalid estimate, soma hit, or
+// saturated voxel. Mutates npervol/nidx exactly like the Python loop
+// (center voxel plus each CLAMPED `vol`-neighbourhood offset — border
+// clamps double-stamp, as the reference does). The created nodes' data
+// is the input rows i0..i0+n_new-1 (the Python side bulk-appends
+// them); this function only owns the map mutations and stop detection.
+//
+// result[4]: [finished(0/1), ti_limit(-2 = none), stop_link_a,
+// stop_link_b] — a >= 0 requests the bidirectional link (a, b) that
+// the Python loop would have made at the stop. Returns n_new.
+int commit_steps_native(int32_t* npervol, int32_t* nidx,
+                        const int32_t* smap, int w, int h, int l,
+                        const int32_t* offs, int n_offs, int nodepervol,
+                        const float* pos, const uint8_t* valid, int i0,
+                        int upto, int base_nid, int32_t* result) {
+  const long plane = (long)w * h;
+  int i = i0;
+  int n_new = 0;
+  result[0] = 0;
+  result[1] = -2;
+  result[2] = -1;
+  result[3] = -1;
+
+  auto round_half_away = [](float v) -> int {
+    return v >= 0.0f ? (int)std::floor(v + 0.5f) : (int)std::ceil(v - 0.5f);
+  };
+
+  while (i < upto) {
+    if (!valid[i]) {
+      result[0] = 1;
+      result[1] = i;
+      break;
+    }
+    const float x = pos[3 * i];
+    const float y = pos[3 * i + 1];
+    const float z = pos[3 * i + 2];
+    const int zi = round_half_away(z);
+    const int yi = round_half_away(y);
+    const int xi = round_half_away(x);
+    const long off0 = (long)zi * plane + (long)yi * w + xi;
+
+    if (smap != nullptr && smap[off0] > 0) {
+      if (i > 0) {
+        result[2] = smap[off0];
+        result[3] = base_nid + n_new - 1;
+      }
+      result[0] = 1;
+      result[1] = i;
+      break;
+    }
+    if (npervol[off0] >= nodepervol) {
+      if (i > 0) {
+        result[2] = nidx[off0];
+        result[3] = base_nid + n_new - 1;
+      }
+      result[0] = 1;
+      result[1] = i;
+      break;
+    }
+
+    const int nid = base_nid + n_new;
+    npervol[off0] += 1;
+    nidx[off0] = nid;
+    for (int k = 0; k < n_offs; ++k) {
+      const int qx = std::min(std::max(xi + offs[3 * k], 0), w - 1);
+      const int qy = std::min(std::max(yi + offs[3 * k + 1], 0), h - 1);
+      const int qz = std::min(std::max(zi + offs[3 * k + 2], 0), l - 1);
+      const long q = (long)qz * plane + (long)qy * w + qx;
+      npervol[q] += 1;
+      nidx[q] = nid;
+    }
+    ++n_new;
+    ++i;
+  }
+  return n_new;
+}
+
 // Same-value 3-D connected components by region growing (26- or
 // 6-connectivity). img: d*h*w uint8; labels: same-size int32 output
 // (1-based region ids, 0 elsewhere). Per accepted region (>= min_size

@@ -47,6 +47,61 @@ class TestIncrementalCommitApi:
         np.testing.assert_array_equal(ca.npervol, cb.npervol)
         np.testing.assert_array_equal(ca.nidx, cb.nidx)
 
+    def test_native_commit_equals_python_oracle(self, monkeypatch, rng):
+        """The native inner loop (commit_steps_native) must be
+        step-for-step identical to the Python loop: randomized traces
+        with stops (invalid tails, saturation collisions, soma hits),
+        identical nodes/links/types and BITWISE-equal maps."""
+        from pnr_tpu import native
+
+        if not native.have_native():
+            pytest.skip("native runtime unavailable")
+        shape = (12, 40, 48)
+        smap = np.zeros(shape, np.int32)
+        smap[6, 20, 40] = 3  # a soma voxel some traces walk into
+
+        def run(use_native):
+            if not use_native:
+                monkeypatch.setattr(
+                    "pnr_tpu.native.have_native", lambda: False
+                )
+            nodes = NodeList()
+            nodes.add(40, 20, 6, ntype=1)  # soma nodes 1..3
+            nodes.add(1, 1, 1, ntype=1)
+            nodes.add(2, 2, 2, ntype=1)
+            c = TraceCommitter(shape, vol=19, nodepervol=2, nodes=nodes,
+                               smap=smap)
+            r = np.random.default_rng(7)
+            for t in range(60):
+                n = int(r.integers(3, 14))
+                x0 = r.uniform(2, 30)
+                y0 = r.uniform(2, 36)
+                z0 = r.uniform(1, 10)
+                d = r.normal(0, 1, 3)
+                d /= np.linalg.norm(d)
+                pos = (np.array([x0, y0, z0]) + np.arange(n)[:, None] * 1.5 * d)
+                pos = np.clip(pos, 0.6, [46.4, 38.4, 10.4]).astype(np.float32)
+                dirs = np.tile(d.astype(np.float32), (n, 1))
+                sig = np.full(n, 2.0, np.float32)
+                corr = r.random(n).astype(np.float32)
+                valid = (r.random(n) > 0.1).astype(np.float32)  # float, like
+                # the pipeline's packed estimate column
+                cur = c.begin_trace()
+                for cut in sorted(set([int(r.integers(1, n + 1)), n])):
+                    c.commit_steps(cur, pos, dirs, sig, corr, valid, cut)
+                c.finish_trace(cur)
+            monkeypatch.undo()
+            return nodes, c
+
+        na, ca = run(use_native=True)
+        nb, cb = run(use_native=False)
+        assert na.x == nb.x and na.y == nb.y and na.z == nb.z
+        assert na.type == nb.type
+        assert na.nbr == nb.nbr
+        assert na.corr == nb.corr and na.sig == nb.sig
+        np.testing.assert_array_equal(ca.npervol, cb.npervol)
+        np.testing.assert_array_equal(ca.nidx, cb.nidx)
+
     def test_finish_without_steps_is_empty(self):
         nodes = NodeList()
         c = TraceCommitter((8, 8, 8), vol=1, nodepervol=4, nodes=nodes)
