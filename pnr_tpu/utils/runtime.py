@@ -56,6 +56,12 @@ def fetch_volume(arr, slabs: int = 8) -> np.ndarray:
     return np.concatenate([np.asarray(p) for p in parts], axis=0)
 
 
+#: volumes above this many voxels sparsify per Z-chunk (bounds the
+#: ~12 B/voxel device intermediates of jnp.nonzero); module-level so
+#: tests can exercise the chunked path at CI-sized volumes
+_SPARSE_CHUNK_VOX = 128 << 20
+
+
 def fetch_u8_sparse(arr, nonzero_cap: int = 1 << 22) -> np.ndarray:
     """Exact device->host fetch of a mostly-zero uint8 array via its
     nonzero (index, value) pairs.
@@ -73,7 +79,7 @@ def fetch_u8_sparse(arr, nonzero_cap: int = 1 << 22) -> np.ndarray:
         return np.asarray(arr)
     if arr.dtype != np.uint8 or arr.size * 8 < (1 << 21) or arr.size <= nonzero_cap:
         return fetch_volume(arr)
-    if arr.ndim == 3 and arr.size > (128 << 20) and arr.shape[0] > 1:
+    if arr.ndim == 3 and arr.size > _SPARSE_CHUNK_VOX and arr.shape[0] > 1:
         # (single-slice giant planes fall through to the direct path:
         # a 1-slice chunk would recurse onto itself, and one plane's
         # nonzero intermediates are bounded by the plane size)
@@ -84,7 +90,7 @@ def fetch_u8_sparse(arr, nonzero_cap: int = 1 << 22) -> np.ndarray:
         # intermediates stay ~1.5 GiB and each chunk ships its own
         # nonzero pairs.
         plane = arr.shape[1] * arr.shape[2]
-        cz = max(1, (128 << 20) // plane)
+        cz = max(1, _SPARSE_CHUNK_VOX // plane)
         out = np.empty(arr.shape, np.uint8)
         for z0 in range(0, arr.shape[0], cz):
             out[z0 : z0 + cz] = fetch_u8_sparse(arr[z0 : z0 + cz], nonzero_cap)

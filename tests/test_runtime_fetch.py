@@ -46,6 +46,36 @@ class TestFetchU8Sparse:
         got = fetch_u8_sparse(jnp.asarray(a), nonzero_cap=1 << 16)
         assert (got == a).all()
 
+    def test_chunked_gvox_path(self, rng, monkeypatch):
+        """The Z-chunked sparsify (the Gvox OOM guard: jnp.nonzero's
+        ~12 B/voxel intermediates) is bitwise the direct path —
+        exercised at CI size by shrinking the chunk threshold, incl.
+        an uneven tail chunk and a dense chunk falling back to the
+        dense fetch."""
+        import pnr_tpu.utils.runtime as rt
+
+        monkeypatch.setattr(rt, "_SPARSE_CHUNK_VOX", 5 * 128 * 128)
+        a = np.zeros((13, 128, 128), np.uint8)  # 13 = 2 chunks + tail
+        n = 800
+        a[
+            rng.integers(0, 13, n), rng.integers(0, 128, n), rng.integers(0, 128, n)
+        ] = rng.integers(1, 256, n).astype(np.uint8)
+        a[7] = rng.integers(0, 256, (128, 128), dtype=np.uint8)  # dense slice
+        got = rt.fetch_u8_sparse(jnp.asarray(a), nonzero_cap=1 << 14)
+        assert got.dtype == np.uint8 and (got == a).all()
+
+    def test_single_slice_giant_plane_no_recursion(self, rng, monkeypatch):
+        """A (1, H, W) plane above the chunk threshold must take the
+        direct path (a 1-slice chunk would recurse onto itself —
+        regression for the gigapixel 2-D hang)."""
+        import pnr_tpu.utils.runtime as rt
+
+        monkeypatch.setattr(rt, "_SPARSE_CHUNK_VOX", 1024)
+        a = np.zeros((1, 128, 128), np.uint8)
+        a[0, 3, 5] = 77
+        got = rt.fetch_u8_sparse(jnp.asarray(a), nonzero_cap=1 << 10)
+        assert (got == a).all()
+
     def test_exactly_cap_nonzeros(self, rng):
         cap = 4096
         a = np.zeros((32, 128, 128), np.uint8)
