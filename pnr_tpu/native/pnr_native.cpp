@@ -242,8 +242,12 @@ int commit_steps_native(int32_t* npervol, int32_t* nidx,
   result[2] = -1;
   result[3] = -1;
 
-  auto round_half_away = [](float v) -> int {
-    return v >= 0.0f ? (int)std::floor(v + 0.5f) : (int)std::ceil(v - 0.5f);
+  // double arithmetic, exactly like the Python loop's
+  // _round_half_away(float(v)) — f32 inputs promote losslessly, and
+  // v + 0.5 must round in f64 (an f32 add can flip voxels whose
+  // coordinate sits within an ulp of an x.5 boundary)
+  auto round_half_away = [](double v) -> int {
+    return v >= 0.0 ? (int)std::floor(v + 0.5) : (int)std::ceil(v - 0.5);
   };
 
   while (i < upto) {
@@ -252,9 +256,9 @@ int commit_steps_native(int32_t* npervol, int32_t* nidx,
       result[1] = i;
       break;
     }
-    const float x = pos[3 * i];
-    const float y = pos[3 * i + 1];
-    const float z = pos[3 * i + 2];
+    const double x = pos[3 * i];
+    const double y = pos[3 * i + 1];
+    const double z = pos[3 * i + 2];
     const int zi = round_half_away(z);
     const int yi = round_half_away(y);
     const int xi = round_half_away(x);

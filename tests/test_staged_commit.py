@@ -72,6 +72,25 @@ class TestIncrementalCommitApi:
             c = TraceCommitter(shape, vol=19, nodepervol=2, nodes=nodes,
                                smap=smap)
             r = np.random.default_rng(7)
+            # coordinates AT and within an f32 ulp of the x.5 rounding
+            # boundary: the native loop must round in double like the
+            # Python loop (an f32 v + 0.5f add flips these voxels)
+            half_edge = np.array(
+                [10.5, np.nextafter(np.float32(10.5), np.float32(10.0)),
+                 np.nextafter(np.float32(10.5), np.float32(11.0))],
+                np.float32,
+            )
+            pos_h = np.stack(
+                [half_edge, np.full(3, 8.5, np.float32),
+                 np.full(3, 4.4999995, np.float32)], axis=-1,
+            )
+            ones3 = np.ones(3, np.float32)
+            cur = c.begin_trace()
+            c.commit_steps(
+                cur, pos_h, np.tile([[1.0, 0, 0]], (3, 1)).astype(np.float32),
+                2 * ones3, 0.5 * ones3, ones3, 3,
+            )
+            c.finish_trace(cur)
             for t in range(60):
                 n = int(r.integers(3, 14))
                 x0 = r.uniform(2, 30)
