@@ -440,6 +440,17 @@ def main():
                 return
             value = state["value"] or 0.0
             base = state["base"] or 1e-9
+            # The worker thread mutates extras without the lock; dict()
+            # during a concurrent insert raises RuntimeError. Retry the
+            # snapshot (mutations are tiny) and degrade to empty extras
+            # rather than ever letting the final watchdog emit fail.
+            snap = {}
+            for _ in range(16):
+                try:
+                    snap = dict(extras)
+                    break
+                except RuntimeError:
+                    continue
             sys.stdout.write(
                 json.dumps(
                     {
@@ -447,7 +458,7 @@ def main():
                         "value": round(value, 2),
                         "unit": "Mvoxels/s",
                         "vs_baseline": round(value / base, 2),
-                        "extras": dict(extras),
+                        "extras": snap,
                     }
                 )
                 + "\n"

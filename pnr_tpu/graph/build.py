@@ -197,10 +197,13 @@ class TraceCommitter:
             if self.smap is not None
             else None
         )
+        # float64 hand-off: the native loop rounds at the same precision
+        # as the Python oracle's _round_half_away(float(v)) whatever the
+        # caller's dtype (f32 pipeline arrays promote losslessly)
         res = _native.commit_steps_native(
             self.npervol, self.nidx, smap, self._offs_np,
             self.nodepervol,
-            np.ascontiguousarray(pos[:upto], np.float32),
+            np.ascontiguousarray(pos[:upto], np.float64),
             np.ascontiguousarray(valid[:upto], np.uint8),
             i0, int(upto), base,
         )

@@ -90,7 +90,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.c_int,
                     ctypes.c_int,
-                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_double),
                     ctypes.POINTER(ctypes.c_uint8),
                     ctypes.c_int,
                     ctypes.c_int,
@@ -128,6 +128,10 @@ def _f32p(a):
 
 def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
 def have_native() -> bool:
@@ -169,11 +173,25 @@ def commit_steps_native(
     """Raw binding for the native FCFS commit inner loop; returns
     (n_new, finished, ti_limit_or_None, stop_link_or_None) or None when
     the native library is unavailable (caller falls back to the Python
-    loop). Mutates npervol/nidx in place."""
+    loop). Mutates npervol/nidx in place.
+
+    pos is float64 so the native rounding happens at the Python
+    oracle's precision for any caller dtype; an estimate that rounds
+    outside the volume raises IndexError (the oracle would too) instead
+    of corrupting the maps."""
     lib = get_lib()
     if lib is None:
         return None
     l, h, w = npervol.shape
+    pos = np.ascontiguousarray(pos, np.float64)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    if pos.ndim != 2 or pos.shape[1] != 3:
+        raise ValueError(f"pos must be (N, 3), got {pos.shape}")
+    if not (0 <= i0 <= upto <= len(pos)) or upto > len(valid):
+        raise ValueError(
+            f"commit range [{i0}, {upto}) exceeds pos/valid length "
+            f"{len(pos)}/{len(valid)}"
+        )
     result = np.empty(4, np.int32)
     smap_p = (
         _i32p(smap)
@@ -183,9 +201,14 @@ def commit_steps_native(
     n_new = lib.commit_steps_native(
         _i32p(npervol), _i32p(nidx), smap_p, w, h, l,
         _i32p(offs), len(offs), int(nodepervol),
-        _f32p(pos), _u8p(valid), int(i0), int(upto), int(base_nid),
+        _f64p(pos), _u8p(valid), int(i0), int(upto), int(base_nid),
         result.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if n_new < 0:
+        raise IndexError(
+            f"commit_steps_native: estimate {int(result[1])} rounds "
+            f"outside the ({l}, {h}, {w}) volume"
+        )
     finished = bool(result[0])
     ti_limit = None if result[1] == -2 else int(result[1])
     stop_link = (int(result[2]), int(result[3])) if result[2] >= 0 else None

@@ -229,10 +229,18 @@ static int find_maxima_slice(const uint8_t* img, int w, int h,
 // result[4]: [finished(0/1), ti_limit(-2 = none), stop_link_a,
 // stop_link_b] — a >= 0 requests the bidirectional link (a, b) that
 // the Python loop would have made at the stop. Returns n_new.
+// Positions arrive as float64 so voxel rounding happens at the SAME
+// precision as the Python loop's `_round_half_away(float(pos[i]))`
+// regardless of the caller's array dtype (f32 inputs promote
+// losslessly; f64 inputs are no longer silently truncated).
+// A rounded voxel outside [0,w)x[0,h)x[0,l) aborts with return -1 and
+// result[1] = the offending estimate index — the Python oracle would
+// raise IndexError there, and silently clamping (or writing through
+// off0) would corrupt the maps instead of surfacing the bug.
 int commit_steps_native(int32_t* npervol, int32_t* nidx,
                         const int32_t* smap, int w, int h, int l,
                         const int32_t* offs, int n_offs, int nodepervol,
-                        const float* pos, const uint8_t* valid, int i0,
+                        const double* pos, const uint8_t* valid, int i0,
                         int upto, int base_nid, int32_t* result) {
   const long plane = (long)w * h;
   int i = i0;
@@ -262,6 +270,11 @@ int commit_steps_native(int32_t* npervol, int32_t* nidx,
     const int zi = round_half_away(z);
     const int yi = round_half_away(y);
     const int xi = round_half_away(x);
+    if (zi < 0 || zi >= l || yi < 0 || yi >= h || xi < 0 || xi >= w) {
+      result[0] = 2;  // hard error: estimate rounds outside the volume
+      result[1] = i;
+      return -1;
+    }
     const long off0 = (long)zi * plane + (long)yi * w + xi;
 
     if (smap != nullptr && smap[off0] > 0) {

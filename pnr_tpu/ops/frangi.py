@@ -72,7 +72,10 @@ def _vesselness3d_scale(
 
 @partial(
     jax.jit,
-    static_argnames=("sigmas", "zdist", "alpha", "beta", "c", "blackwhite"),
+    static_argnames=(
+        "sigmas", "zdist", "alpha", "beta", "c", "blackwhite",
+        "keep_first_scale",
+    ),
 )
 def frangi3d(
     vol: jax.Array,
@@ -82,6 +85,7 @@ def frangi3d(
     beta: float = 0.5,
     c: float = 500.0,
     blackwhite: bool = False,
+    keep_first_scale: bool = False,
 ):
     """Multi-scale 3-D Frangi over a (Z, Y, X) volume.
 
@@ -89,16 +93,22 @@ def frangi3d(
     min/max (reference running-min/max semantics: min over the
     first-scale response, max over the final response — values only
     grow across scales), and uint8-quantized directions.
+
+    keep_first_scale=True appends the first scale's response volume
+    (the one Jmin reduces) so tiled/blocked engines can reduce an
+    EXACT Jmin over their kept region instead of the final-response
+    min — costs one tile-sized f32 live across the scale loop.
     """
     j = None
     out_vx = out_vy = out_vz = None
-    jmin = None
+    jmin = v1 = None
     for si, sig in enumerate(sigmas):
         v, vx, vy, vz = _vesselness3d_scale(
             vol, float(sig), float(zdist), alpha, beta, c, blackwhite
         )
         if si == 0:
             j = v
+            v1 = v
             jmin = jnp.min(v)
             out_vx = _quantize_dir(vx)
             out_vy = _quantize_dir(vy)
@@ -110,12 +120,16 @@ def frangi3d(
             out_vy = jnp.where(upd, _quantize_dir(vy), out_vy)
             out_vz = jnp.where(upd, _quantize_dir(vz), out_vz)
     jmax = jnp.max(j)
+    if keep_first_scale:
+        return j, jmin, jmax, out_vx, out_vy, out_vz, v1
     return j, jmin, jmax, out_vx, out_vy, out_vz
 
 
 @partial(
     jax.jit,
-    static_argnames=("sigmas", "beta_one", "beta_two", "blackwhite"),
+    static_argnames=(
+        "sigmas", "beta_one", "beta_two", "blackwhite", "keep_first_scale",
+    ),
 )
 def frangi2d(
     img: jax.Array,
@@ -123,20 +137,22 @@ def frangi2d(
     beta_one: float = 0.5,
     beta_two: float = 15.0,
     blackwhite: bool = False,
+    keep_first_scale: bool = False,
 ):
     """Multi-scale 2-D Frangi over a (Y, X) image (frangi.cpp:392-505).
 
     Replicates the reference's intentional eigen-axis swap
     (frangi.cpp:444): Lambda1 carries the larger |mu|; the emitted
     direction is the eigenvector v2 when the swap triggers.
-    Returns (J, Jmin, Jmax, Vx, Vy, Vz) with Vz == 0.
+    Returns (J, Jmin, Jmax, Vx, Vy, Vz) with Vz == 0;
+    keep_first_scale appends the first scale's response (see frangi3d).
     """
     beta_term = 2.0 * beta_one * beta_one
     c_term = 2.0 * beta_two * beta_two
 
     j = None
     out_vx = out_vy = None
-    jmin = None
+    jmin = v1 = None
     for si, sig in enumerate(sigmas):
         dyy, dxy, dxx = hessian2d(img, float(sig))
 
@@ -175,6 +191,7 @@ def frangi2d(
 
         if si == 0:
             j = v
+            v1 = v
             jmin = jnp.min(v)
             out_vx, out_vy = qx, qy
         else:
@@ -184,6 +201,8 @@ def frangi2d(
             out_vy = jnp.where(upd, qy, out_vy)
     jmax = jnp.max(j)
     out_vz = jnp.zeros_like(out_vx)
+    if keep_first_scale:
+        return j, jmin, jmax, out_vx, out_vy, out_vz, v1
     return j, jmin, jmax, out_vx, out_vy, out_vz
 
 

@@ -116,7 +116,9 @@ def frangi2d_tiled(
         sy = jnp.clip(y0 - h, 0, y - wy)
         sx = jnp.clip(x0 - h, 0, x - wx)
         tile = jax.lax.dynamic_slice(img, (sy, sx), (wy, wx))
-        j, _, _, vx, vy, _vz = frangi2d(tile, sigmas, beta_one, beta_two)
+        j, _, _, vx, vy, _vz, v1 = frangi2d(
+            tile, sigmas, beta_one, beta_two, keep_first_scale=True
+        )
 
         def crop(a):
             return jax.lax.dynamic_slice(a, (y0 - sy, x0 - sx), (by, bx))
@@ -125,9 +127,13 @@ def frangi2d_tiled(
             return jax.lax.dynamic_update_slice(o, a, (y0, x0))
 
         jc = crop(j)
+        # Jmin reduces the FIRST-scale response over the kept block
+        # (reference running-min semantics, frangi.cpp:392-505) — the
+        # kept region's v1 is bitwise the monolithic first-scale
+        # response, so the tile-reduced min is bitwise frangi2d's Jmin.
         return (
             put(j_o, jc),
-            jnp.minimum(jmin, jnp.min(jc)),
+            jnp.minimum(jmin, jnp.min(crop(v1))),
             jnp.maximum(jmax, jnp.max(jc)),
             put(vx_o, crop(vx)),
             put(vy_o, crop(vy)),
@@ -202,7 +208,9 @@ def frangi3d_tiled(
         sz = jnp.clip(z0 - hz, 0, z - wz)
         sy = jnp.clip(y0 - hy, 0, y - wy)
         tile = jax.lax.dynamic_slice(vol, (sz, sy, 0), (wz, wy, x))
-        j, _, _, vx, vy, vz = frangi3d(tile, sigmas, zdist, alpha, beta, c)
+        j, _, _, vx, vy, vz, v1 = frangi3d(
+            tile, sigmas, zdist, alpha, beta, c, keep_first_scale=True
+        )
 
         def crop(a):
             return jax.lax.dynamic_slice(
@@ -213,12 +221,15 @@ def frangi3d_tiled(
             return jax.lax.dynamic_update_slice(o, a, (z0, y0, 0))
 
         jc = crop(j)
-        # overlap rows recompute identical values: min/max unaffected
-        # (Jmin is the final-response min, same documented note as the
-        # Z-only variant)
+        # overlap rows recompute identical values: min/max unaffected.
+        # Jmin reduces the FIRST-scale response over the kept block
+        # (reference running-min semantics): the kept region's v1 is
+        # bitwise the monolithic first-scale response (same aligned-
+        # window argument as J), so the reduced min is bitwise
+        # frangi3d's Jmin.
         return (
             put(j_o, jc),
-            jnp.minimum(jmin, jnp.min(jc)),
+            jnp.minimum(jmin, jnp.min(crop(v1))),
             jnp.maximum(jmax, jnp.max(jc)),
             put(vx_o, crop(vx)),
             put(vy_o, crop(vy)),
@@ -261,13 +272,15 @@ def frangi3d_blocked(
         tile = jax.lax.dynamic_slice(
             vp, (i * block_z, 0, 0), (block_z + 2 * halo, y, x)
         )
-        j, _, _, vx, vy, vz = frangi3d(tile, sigmas, zdist, alpha, beta, c)
+        j, _, _, vx, vy, vz, v1 = frangi3d(
+            tile, sigmas, zdist, alpha, beta, c, keep_first_scale=True
+        )
         sl = slice(halo, halo + block_z)
         jc = j[sl]
         # Jmin/Jmax over the CROPPED interior only (halo values carry
-        # boundary effects). Note: the unblocked frangi3d tracks Jmin over
-        # the first-scale response; here it is the min of the final J —
-        # both are 0 for any volume with background (documented).
+        # boundary effects). Jmin reduces the FIRST-scale response
+        # (reference running-min semantics, matching frangi3d bitwise);
+        # Jmax the final response.
         zi = jax.lax.broadcasted_iota(jnp.int32, jc.shape, 0) + i * block_z
         in_range = zi < z
         if border_fix:
@@ -275,7 +288,7 @@ def frangi3d_blocked(
             # border semantics; they are recomputed exactly below and
             # folded into the reductions there
             in_range &= (zi >= 2) & (zi < z - 2)
-        jmin = jnp.min(jnp.where(in_range, jc, jnp.inf))
+        jmin = jnp.min(jnp.where(in_range, v1[sl], jnp.inf))
         jmax = jnp.max(jnp.where(in_range, jc, -jnp.inf))
         return jc, jmin, jmax, vx[sl], vy[sl], vz[sl]
 
@@ -295,15 +308,21 @@ def frangi3d_blocked(
     # `frangi3d`. Mirrors halo_exchange_z_aligned in the sharded path.
     fix = halo + 4
     if border_fix:
-        jh, _, _, vxh, vyh, vzh = frangi3d(vol[:fix], sigmas, zdist, alpha, beta, c)
-        jt, _, _, vxt, vyt, vzt = frangi3d(vol[z - fix:], sigmas, zdist, alpha, beta, c)
+        jh, _, _, vxh, vyh, vzh, v1h = frangi3d(
+            vol[:fix], sigmas, zdist, alpha, beta, c, keep_first_scale=True
+        )
+        jt, _, _, vxt, vyt, vzt, v1t = frangi3d(
+            vol[z - fix:], sigmas, zdist, alpha, beta, c, keep_first_scale=True
+        )
         j = j.at[:2].set(jh[:2]).at[z - 2:].set(jt[-2:])
         vx = vx.at[:2].set(vxh[:2]).at[z - 2:].set(vxt[-2:])
         vy = vy.at[:2].set(vyh[:2]).at[z - 2:].set(vyt[-2:])
         vz = vz.at[:2].set(vzh[:2]).at[z - 2:].set(vzt[-2:])
-        # the interior tiles' min/max skipped the corrected slices'
-        # final values; fold them in (min stays the documented
-        # final-response min)
-        jmin = jnp.minimum(jmin, jnp.minimum(jnp.min(jh[:2]), jnp.min(jt[-2:])))
+        # the interior tiles' reductions skipped the corrected slices;
+        # fold them in (min over the first-scale response, like the
+        # interior tiles)
+        jmin = jnp.minimum(
+            jnp.minimum(jmin, jnp.min(v1h[:2])), jnp.min(v1t[-2:])
+        )
         jmax = jnp.maximum(jmax, jnp.maximum(jnp.max(jh[:2]), jnp.max(jt[-2:])))
     return j, jmin, jmax, vx, vy, vz

@@ -154,9 +154,29 @@ def _seeds_per_shard_multiprocess(j8, vx, vy, vz, tolerance, span_orig):
     from pnr_tpu.seeds.extract import decode_directions_device
 
     def by_z0(arr):
-        return {s.index[0].start or 0: s for s in arr.addressable_shards}
+        d = {}
+        for s in arr.addressable_shards:
+            z0 = s.index[0].start or 0
+            # A replicated mesh axis would surface the same slab more
+            # than once per process — flooding it twice would emit
+            # duplicate seeds into the all-gather. Unchecked invariant
+            # of the 1-D Z mesh; make it loud.
+            if z0 in d:
+                raise AssertionError(
+                    f"duplicate addressable shard at z0={z0}: the seed "
+                    "flood requires an unreplicated Z sharding"
+                )
+            d[z0] = s
+        return d
 
     vx_sh, vy_sh, vz_sh = by_z0(vx), by_z0(vy), by_z0(vz)
+    j8_sh = by_z0(j8)
+    if not (set(j8_sh) == set(vx_sh) == set(vy_sh) == set(vz_sh)):
+        raise AssertionError(
+            "J8 and the direction maps are sharded at different "
+            f"z-starts: j8={sorted(j8_sh)} vx={sorted(vx_sh)} "
+            f"vy={sorted(vy_sh)} vz={sorted(vz_sh)}"
+        )
     rows = []
     for sh in j8.addressable_shards:
         z0 = sh.index[0].start or 0

@@ -340,6 +340,9 @@ class TestFrangiBlocked:
         np.testing.assert_array_equal(np.asarray(vx), np.asarray(vx_r))
         np.testing.assert_array_equal(np.asarray(vy), np.asarray(vy_r))
         np.testing.assert_array_equal(np.asarray(vz), np.asarray(vz_r))
+        # Jmin reduces the FIRST-scale response (reference running-min
+        # semantics) — bitwise, so J8 normalization matches exactly
+        assert float(jmin) == float(jmin_r)
         np.testing.assert_allclose(float(jmax), float(jmax_r), rtol=1e-6)
 
     def test_shallow_volume_exact(self, rng):
@@ -378,6 +381,7 @@ class TestFrangiBlocked:
                 (ref[0], ref[3], ref[4], ref[5]),
             ):
                 np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+            assert float(got[1]) == float(ref[1])  # first-scale Jmin, bitwise
             np.testing.assert_allclose(float(got[2]), float(ref[2]), rtol=1e-6)
 
     def test_frangi2d_tiled_matches_unblocked(self, rng):
@@ -403,6 +407,7 @@ class TestFrangiBlocked:
             np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
             np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
             np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+            assert float(got[1]) == float(ref[1])  # first-scale Jmin, bitwise
             np.testing.assert_allclose(float(got[2]), float(ref[2]), rtol=1e-6)
 
     def test_pick_blocks_bounds(self):
