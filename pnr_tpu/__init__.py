@@ -26,20 +26,48 @@ def _enable_compilation_cache() -> None:
 
     TPU compile times for the tracer graph run to minutes; the persistent
     cache makes every run after the first start instantly.
+
+    Configured through jax's env-var config defaults so importing
+    pnr_tpu does NOT import jax (~1.8 s — the host one-shot fast path
+    never pays it). If jax is already imported the config is applied
+    directly; otherwise the env settings take effect whenever jax
+    loads.
     """
     if _os.environ.get("PNR_TPU_NO_CACHE"):
         return
-    try:
-        import jax
+    cache_dir = _os.environ.get(
+        "PNR_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "pnr_tpu_xla"),
+    )
+    # Cache EVERY compile. The pipeline is ~24 jits; at the 52-Mvox
+    # serving shape only 2 of them exceed 5 s of compile each, but
+    # the sub-5 s ones SUM to ~15 s — a 5 s threshold re-pays them
+    # in every fresh process (the round-4 ~30 s first-stack cost).
+    settings = {
+        "JAX_COMPILATION_CACHE_DIR": cache_dir,
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.1",
+        "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "-1",
+    }
+    for k, v in settings.items():
+        _os.environ.setdefault(k, v)
+    import sys as _sys
 
-        cache_dir = _os.environ.get(
-            "PNR_TPU_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "pnr_tpu_xla"),
-        )
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    if "jax" in _sys.modules:
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir",
+                              _os.environ["JAX_COMPILATION_CACHE_DIR"])
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs",
+                float(_os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes",
+                int(_os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"]),
+            )
+        except Exception:
+            pass
 
 
 _enable_compilation_cache()

@@ -40,6 +40,29 @@ Output SWC is named automatically from the input image file name."""
     )
 
 
+def _host_path_eligible(args, cfg: PNRConfig, vol) -> bool:
+    """Route a one-shot invocation to the host engine?
+
+    Auto: single stack, no checkpoint/midres, volume under
+    PNR_TPU_HOST_MAX_MVOX (default 8) and the native runtime built.
+    PNR_TPU_HOST_PATH=1 forces, =0 disables."""
+    import os
+
+    forced = os.environ.get("PNR_TPU_HOST_PATH")
+    if forced == "0":
+        return False
+    if args.checkpoint or args.resume or cfg.save_midres:
+        return False
+    if forced == "1":
+        return True
+    max_mvox = float(os.environ.get("PNR_TPU_HOST_MAX_MVOX", "8"))
+    if vol.size > max_mvox * 1e6:
+        return False
+    from pnr_tpu import native
+
+    return native.have_native()
+
+
 def _write_metrics(path: str, cfg: PNRConfig, entries: list) -> None:
     import json
 
@@ -281,6 +304,20 @@ def main(argv=None) -> int:
             vol, cfg, mesh, verbose=verbose,
             checkpoint_path=args.checkpoint, resume=args.resume,
         )
+    elif _host_path_eligible(args, cfg, vol):
+        # One-shot small-volume fast path: the full pipeline in
+        # NumPy/SciPy + the native C++ runtime, no jax import, no
+        # device init, no compiles (pnr_tpu.hostpath). On a 1.18-Mvox
+        # stack this beats the compiled single-thread reference
+        # end-to-end; the device path pays double-digit seconds of
+        # process-level setup before its first voxel. Opt out with
+        # PNR_TPU_HOST_PATH=0 (or --checkpoint/--save-midres/--mesh,
+        # which the one-shot engine doesn't carry).
+        from pnr_tpu.hostpath import host_reconstruction_func
+
+        if verbose:
+            print("host one-shot engine (PNR_TPU_HOST_PATH=0 for the device path)")
+        result = host_reconstruction_func(vol, cfg, verbose=verbose)
     else:
         from pnr_tpu.pipeline import reconstruction_func
 

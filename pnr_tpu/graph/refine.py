@@ -19,12 +19,14 @@ from __future__ import annotations
 
 from functools import partial
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pnr_tpu import native
 from pnr_tpu.graph.nodes import AXON, SOMA, NodeList
+
+# jax is imported lazily (_get_mean_shift_device): every other function
+# in this module is pure numpy/native, and the host one-shot engine
+# (pnr_tpu.hostpath) shares them without paying the ~1.8 s jax import.
 
 
 # ---------------------------------------------------------------------------
@@ -89,62 +91,76 @@ def interpolate_nodelist(nodes: NodeList, step: float) -> None:
 _BLOCK = 2048
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def _mean_shift_device(p4: jax.Array, sig2rad: float, max_iter: int, eps2: float):
-    """Lockstep non-blurring mean shift.
+_mean_shift_device_jit = None
 
-    p4: (N, 4) float32 rows (x, y, z, sig) — the ORIGINAL kernel support.
-    Returns the converged (N, 4).
-    """
-    n = p4.shape[0]
-    pts = p4[:, :3]
-    pts_norm2 = jnp.sum(pts * pts, axis=1)  # (N,)
 
-    def one_iter(state):
-        conv, active, it = state
+def _get_mean_shift_device():
+    """Lazily build + jit the device mean-shift (see module docstring)."""
+    global _mean_shift_device_jit
+    if _mean_shift_device_jit is not None:
+        return _mean_shift_device_jit
+    import jax
+    import jax.numpy as jnp
 
-        def block_update(c_blk):
-            # c_blk: (B, 4) current estimates for a block of nodes
-            cxyz = c_blk[:, :3]
-            r2 = (sig2rad * c_blk[:, 3]) ** 2  # (B,)
-            # PRECISION MATTERS: TPU matmuls default to bf16; with
-            # coordinates ~100 the d2 error would exceed the kernel
-            # radius and nodes with empty masks collapse to the origin.
-            d2 = (
-                jnp.sum(cxyz * cxyz, axis=1)[:, None]
-                + pts_norm2[None, :]
-                - 2.0 * jnp.matmul(cxyz, pts.T, precision=jax.lax.Precision.HIGHEST)
-            )  # (B, N) — MXU matmul, f32
-            mask = (d2 <= r2[:, None]).astype(jnp.float32)
-            cnt0 = jnp.sum(mask, axis=1)
-            summ = jnp.matmul(mask, p4, precision=jax.lax.Precision.HIGHEST)  # (B, 4)
-            nxt = summ / jnp.maximum(cnt0, 1.0)[:, None]
-            # a node always covers itself, so an empty mask can only be
-            # numeric cancellation in the |c|^2+|p|^2-2cp expansion at
-            # extreme coordinate magnitudes — hold position instead of
-            # collapsing to the origin (observed on a 12288^2 slide:
-            # ulp(|p|^2) ~ 32 exceeded the kernel radius^2)
-            return jnp.where(cnt0[:, None] > 0.0, nxt, c_blk)
+    @partial(jax.jit, static_argnames=("max_iter",))
+    def _mean_shift_device(p4, sig2rad: float, max_iter: int, eps2: float):
+        """Lockstep non-blurring mean shift.
 
-        nblk = -(-n // _BLOCK)
-        pad = nblk * _BLOCK - n
-        conv_p = jnp.pad(conv, ((0, pad), (0, 0)))
-        blocks = conv_p.reshape(nblk, _BLOCK, 4)
-        nxt = jax.lax.map(block_update, blocks).reshape(nblk * _BLOCK, 4)[:n]
+        p4: (N, 4) float32 rows (x, y, z, sig) — the ORIGINAL kernel
+        support. Returns the converged (N, 4).
+        """
+        n = p4.shape[0]
+        pts = p4[:, :3]
+        pts_norm2 = jnp.sum(pts * pts, axis=1)  # (N,)
 
-        move2 = jnp.sum((nxt[:, :3] - conv[:, :3]) ** 2, axis=1)
-        new_conv = jnp.where(active[:, None], nxt, conv)
-        new_active = active & (move2 > eps2)
-        return new_conv, new_active, it + 1
+        def one_iter(state):
+            conv, active, it = state
 
-    def cond(state):
-        _, active, it = state
-        return (it < max_iter) & jnp.any(active)
+            def block_update(c_blk):
+                # c_blk: (B, 4) current estimates for a block of nodes
+                cxyz = c_blk[:, :3]
+                r2 = (sig2rad * c_blk[:, 3]) ** 2  # (B,)
+                # PRECISION MATTERS: TPU matmuls default to bf16; with
+                # coordinates ~100 the d2 error would exceed the kernel
+                # radius and nodes with empty masks collapse to the origin.
+                d2 = (
+                    jnp.sum(cxyz * cxyz, axis=1)[:, None]
+                    + pts_norm2[None, :]
+                    - 2.0 * jnp.matmul(cxyz, pts.T, precision=jax.lax.Precision.HIGHEST)
+                )  # (B, N) — MXU matmul, f32
+                mask = (d2 <= r2[:, None]).astype(jnp.float32)
+                cnt0 = jnp.sum(mask, axis=1)
+                summ = jnp.matmul(mask, p4, precision=jax.lax.Precision.HIGHEST)  # (B, 4)
+                nxt = summ / jnp.maximum(cnt0, 1.0)[:, None]
+                # a node always covers itself, so an empty mask can only be
+                # numeric cancellation in the |c|^2+|p|^2-2cp expansion at
+                # extreme coordinate magnitudes — hold position instead of
+                # collapsing to the origin (observed on a 12288^2 slide:
+                # ulp(|p|^2) ~ 32 exceeded the kernel radius^2)
+                return jnp.where(cnt0[:, None] > 0.0, nxt, c_blk)
 
-    conv, _, _ = jax.lax.while_loop(
-        cond, one_iter, (p4, jnp.ones((n,), jnp.bool_), jnp.int32(0))
-    )
-    return conv
+            nblk = -(-n // _BLOCK)
+            pad = nblk * _BLOCK - n
+            conv_p = jnp.pad(conv, ((0, pad), (0, 0)))
+            blocks = conv_p.reshape(nblk, _BLOCK, 4)
+            nxt = jax.lax.map(block_update, blocks).reshape(nblk * _BLOCK, 4)[:n]
+
+            move2 = jnp.sum((nxt[:, :3] - conv[:, :3]) ** 2, axis=1)
+            new_conv = jnp.where(active[:, None], nxt, conv)
+            new_active = active & (move2 > eps2)
+            return new_conv, new_active, it + 1
+
+        def cond(state):
+            _, active, it = state
+            return (it < max_iter) & jnp.any(active)
+
+        conv, _, _ = jax.lax.while_loop(
+            cond, one_iter, (p4, jnp.ones((n,), jnp.bool_), jnp.int32(0))
+        )
+        return conv
+
+    _mean_shift_device_jit = _mean_shift_device
+    return _mean_shift_device
 
 
 def non_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float) -> NodeList:
@@ -186,7 +202,7 @@ def non_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float) ->
         filler[:, 3] = 1.0
         p4 = np.concatenate([p4, filler], axis=0)
     conv = np.array(  # copy: the device fetch can be read-only
-        _mean_shift_device(jnp.asarray(p4), float(sig2rad), int(max_iter), float(eps2))
+        _get_mean_shift_device()(p4, float(sig2rad), int(max_iter), float(eps2))
     )[:nr]
     conv[:, :3] += centroid
     out.x[1:] = conv[:, 0].tolist()

@@ -97,6 +97,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int32),
                 ]
+                lib.zncc_exact_queries.restype = None
+                lib.zncc_exact_queries.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int,
+                ]
                 lib.group_nodes.restype = ctypes.c_int
                 lib.group_nodes.argtypes = [
                     ctypes.POINTER(ctypes.c_float),
@@ -213,6 +236,40 @@ def commit_steps_native(
     ti_limit = None if result[1] == -2 else int(result[1])
     stop_link = (int(result[2]), int(result[3])) if result[2] >= 0 else None
     return n_new, finished, ti_limit, stop_link
+
+
+def zncc_exact_queries(vol_f32, templates, pos, dirs, n_threads: int = 0):
+    """Exact znccBBB correlation for (N, 3) queries via the native
+    kernel; returns (corr, sig) or None without the native library.
+    `templates` is an ops.zncc_model.ZnccTemplates."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vol_f32 = np.ascontiguousarray(vol_f32, np.float32)
+    l, h, w = vol_f32.shape
+    pos = np.ascontiguousarray(pos, np.float32)
+    dirs = np.ascontiguousarray(dirs, np.float32)
+    n = len(pos)
+    out_corr = np.empty(n, np.float32)
+    out_sig = np.empty(n, np.float32)
+    t = templates
+    offs = np.ascontiguousarray(t.offs, np.float32)
+    wgt = np.ascontiguousarray(t.wgt, np.float32)
+    msk = np.ascontiguousarray(t.mask, np.float32)
+    cnt = np.ascontiguousarray(t.cnt, np.float32)
+    avg = np.ascontiguousarray(t.avg, np.float32)
+    corrc = np.ascontiguousarray(t.corrc, np.float32)
+    sig = np.ascontiguousarray(np.asarray(t.sigmas), np.float32)
+    if n_threads == 0:
+        n_threads = int(os.environ.get("PNR_TPU_ZNCC_THREADS", "0"))
+    lib.zncc_exact_queries(
+        _f32p(vol_f32), w, h, l,
+        _f32p(offs), _f32p(wgt), _f32p(msk), _f32p(cnt), _f32p(avg),
+        _f32p(corrc), _f32p(sig), len(t.sigmas), int(t.kmax),
+        int(bool(t.is2d)), _f32p(pos), _f32p(dirs), n,
+        _f32p(out_corr), _f32p(out_sig), int(n_threads),
+    )
+    return out_corr, out_sig
 
 
 def max_finder_stack(

@@ -24,6 +24,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr uint8_t kMaximum = 1;
@@ -512,6 +516,266 @@ int group_nodes(const float* x, const float* y, const float* z,
     }
   }
   return ngroups;
+}
+
+// Exact znccBBB template correlation for a batch of host queries
+// (behavioural parity with pnr-vaa3d/tracker.cpp:1891-1964 via the
+// pnr_tpu.ops.zncc formulation — the template tables arrive prebuilt
+// from ops/zncc_model.py ZnccTemplates, so this kernel only samples
+// and reduces). The one-shot host engine's exact-mode likelihood: the
+// full K-sample lattice per (query, sigma) is gather-bound in NumPy
+// (~200 s on a 1.18-Mvox one-shot stack) but streams here at C speed.
+//
+// vol: l*h*w float32. offs: s_count*kmax*3 (v, u, w local coords);
+// wgt/msk: s_count*kmax; cnt/avg/corrc/sigmas: s_count.
+// pos/dirs: n*3 (x, y, z)/(vx, vy, vz). Outputs n corr + n sig.
+// Threaded over queries (deterministic: each query is independent).
+void zncc_exact_queries(const float* vol, int w, int h, int l,
+                        const float* offs, const float* wgt,
+                        const float* msk, const float* cnt,
+                        const float* avg, const float* corrc,
+                        const float* sigmas, int s_count, int kmax,
+                        int is2d, const float* pos, const float* dirs,
+                        long n, float* out_corr, float* out_sig,
+                        int n_threads) {
+  const float FLT_MIN_REF = 1.175494e-38f;
+  const long plane = (long)w * h;
+
+  auto interp = [&](float x, float y, float z) -> float {
+    // ops/interp.py trilinear: clamp to [0, dim-1.001] before floor
+    float xc = std::min(std::max(x, 0.0f), (float)w - 1.001f);
+    float yc = std::min(std::max(y, 0.0f), (float)h - 1.001f);
+    int x1 = (int)std::floor(xc);
+    int y1 = (int)std::floor(yc);
+    float xf = xc - x1;
+    float yf = yc - y1;
+    if (l == 1) {
+      const float* p = vol;
+      float r1 = (1 - xf) * p[(long)y1 * w + x1] + xf * p[(long)y1 * w + x1 + 1];
+      float r2 = (1 - xf) * p[(long)(y1 + 1) * w + x1] + xf * p[(long)(y1 + 1) * w + x1 + 1];
+      return (1 - yf) * r1 + yf * r2;
+    }
+    float zc = std::min(std::max(z, 0.0f), (float)l - 1.001f);
+    int z1 = (int)std::floor(zc);
+    float zf = zc - z1;
+    const float* p1 = vol + (long)z1 * plane + (long)y1 * w + x1;
+    const float* p2 = p1 + plane;
+    float a1 = (1 - yf) * ((1 - xf) * p1[0] + xf * p1[1]) +
+               yf * ((1 - xf) * p1[w] + xf * p1[w + 1]);
+    float a2 = (1 - yf) * ((1 - xf) * p2[0] + xf * p2[1]) +
+               yf * ((1 - xf) * p2[w] + xf * p2[w + 1]);
+    return (1 - zf) * a1 + zf * a2;
+  };
+
+  // Per-sigma template reach (max |world offset|) for the interior
+  // fast path: when the whole lattice's bounding sphere is inside the
+  // volume, samples skip the 6 clamps and the branchy interp.
+  // Offsets are also transposed to per-component contiguous arrays so
+  // the vector path can load them with plain vector loads.
+  std::vector<float> reach(s_count, 0.0f);
+  std::vector<double> dwsum(s_count, 0.0);  // sum_k (g_k - avg)
+  std::vector<float> ovs((size_t)s_count * kmax), ous((size_t)s_count * kmax),
+      ows((size_t)s_count * kmax);
+  for (int si = 0; si < s_count; ++si) {
+    const float* o = offs + (long)si * kmax * 3;
+    const float* g = wgt + (long)si * kmax;
+    const int k_real = (int)cnt[si];
+    float r = 0.0f;
+    double dws = 0.0;
+    for (int k = 0; k < k_real; ++k) {
+      const float ov = o[3 * k], ou = o[3 * k + 1], ow = o[3 * k + 2];
+      ovs[(size_t)si * kmax + k] = ov;
+      ous[(size_t)si * kmax + k] = ou;
+      ows[(size_t)si * kmax + k] = ow;
+      r = std::max(r, std::sqrt(ov * ov + ou * ou + ow * ow));
+      dws += (double)(g[k] - avg[si]);
+    }
+    reach[si] = r + 1.0f;
+    dwsum[si] = dws;
+  }
+  const bool idx32_ok = (long)w * h * l < (1L << 31);
+
+  auto run_range = [&](long q0, long q1) {
+    for (long q = q0; q < q1; ++q) {
+      const float vx = dirs[3 * q], vy = dirs[3 * q + 1], vz = dirs[3 * q + 2];
+      const float px = pos[3 * q], py = pos[3 * q + 1], pz = pos[3 * q + 2];
+      // local frame (ops/zncc.py local_frame, tracker.cpp:1893-1917)
+      float nrm = std::sqrt(vx * vx + vy * vy);
+      float ux, uy, uz = 0.0f, wx, wy, wz;
+      if (nrm > 1e-4f) {
+        float sg = vy < 0 ? -1.0f : 1.0f;
+        ux = sg * (vy / nrm);
+        uy = -sg * (vx / nrm);
+      } else {
+        ux = 1.0f;
+        uy = 0.0f;
+      }
+      if (is2d) {
+        wx = wy = wz = 0.0f;
+      } else {
+        wx = uy * vz - uz * vy;
+        wy = -ux * vz + uz * vx;
+        wz = ux * vy - uy * vx;
+      }
+      float best_corr = -1e30f;
+      float best_sig = 1.0f;
+      for (int si = 0; si < s_count; ++si) {
+        const int k_real = (int)cnt[si];
+        const float* o = offs + (long)si * kmax * 3;
+        const float* g = wgt + (long)si * kmax;
+        // single-pass sums: corrb = S2 - cnt*ag^2, corra = Svg - ag*dwsum
+        double s1 = 0.0, s2 = 0.0, svg = 0.0;
+        const bool interior =
+            l > 1 && px - reach[si] >= 0.0f && px + reach[si] < (float)(w - 1) &&
+            py - reach[si] >= 0.0f && py + reach[si] < (float)(h - 1) &&
+            pz - reach[si] >= 0.0f && pz + reach[si] < (float)(l - 1);
+        if (interior) {
+          const float* pov = ovs.data() + (size_t)si * kmax;
+          const float* pou = ous.data() + (size_t)si * kmax;
+          const float* pow_ = ows.data() + (size_t)si * kmax;
+          int k = 0;
+#if defined(__AVX2__)
+          if (idx32_ok) {
+            // 8 samples per iteration: vector coords + 8-lane gathers
+            const __m256 vvx = _mm256_set1_ps(vx), vvy = _mm256_set1_ps(vy),
+                         vvz = _mm256_set1_ps(vz);
+            const __m256 vux = _mm256_set1_ps(ux), vuy = _mm256_set1_ps(uy),
+                         vuz = _mm256_set1_ps(uz);
+            const __m256 vwx = _mm256_set1_ps(wx), vwy = _mm256_set1_ps(wy),
+                         vwz = _mm256_set1_ps(wz);
+            const __m256 vpx = _mm256_set1_ps(px), vpy = _mm256_set1_ps(py),
+                         vpz = _mm256_set1_ps(pz);
+            const __m256i vw = _mm256_set1_epi32(w);
+            const __m256i vplane = _mm256_set1_epi32((int)plane);
+            const __m256 one = _mm256_set1_ps(1.0f);
+            __m256d acc1a = _mm256_setzero_pd(), acc1b = _mm256_setzero_pd();
+            __m256d acc2a = _mm256_setzero_pd(), acc2b = _mm256_setzero_pd();
+            __m256d acc3a = _mm256_setzero_pd(), acc3b = _mm256_setzero_pd();
+            for (; k + 8 <= k_real; k += 8) {
+              const __m256 ov8 = _mm256_loadu_ps(pov + k);
+              const __m256 ou8 = _mm256_loadu_ps(pou + k);
+              const __m256 ow8 = _mm256_loadu_ps(pow_ + k);
+              __m256 sx = _mm256_fmadd_ps(ow8, vwx,
+                          _mm256_fmadd_ps(ou8, vux,
+                          _mm256_fnmadd_ps(ov8, vvx, vpx)));
+              __m256 sy = _mm256_fmadd_ps(ow8, vwy,
+                          _mm256_fmadd_ps(ou8, vuy,
+                          _mm256_fnmadd_ps(ov8, vvy, vpy)));
+              __m256 sz = _mm256_fmadd_ps(ow8, vwz,
+                          _mm256_fmadd_ps(ou8, vuz,
+                          _mm256_fnmadd_ps(ov8, vvz, vpz)));
+              const __m256i x1 = _mm256_cvttps_epi32(sx);
+              const __m256i y1 = _mm256_cvttps_epi32(sy);
+              const __m256i z1 = _mm256_cvttps_epi32(sz);
+              const __m256 xf = _mm256_sub_ps(sx, _mm256_cvtepi32_ps(x1));
+              const __m256 yf = _mm256_sub_ps(sy, _mm256_cvtepi32_ps(y1));
+              const __m256 zf = _mm256_sub_ps(sz, _mm256_cvtepi32_ps(z1));
+              __m256i base = _mm256_add_epi32(
+                  _mm256_add_epi32(_mm256_mullo_epi32(z1, vplane),
+                                   _mm256_mullo_epi32(y1, vw)),
+                  x1);
+              const __m256 c000 = _mm256_i32gather_ps(vol, base, 4);
+              const __m256 c001 = _mm256_i32gather_ps(vol + 1, base, 4);
+              const __m256 c010 = _mm256_i32gather_ps(vol + w, base, 4);
+              const __m256 c011 = _mm256_i32gather_ps(vol + w + 1, base, 4);
+              const __m256 c100 = _mm256_i32gather_ps(vol + plane, base, 4);
+              const __m256 c101 = _mm256_i32gather_ps(vol + plane + 1, base, 4);
+              const __m256 c110 = _mm256_i32gather_ps(vol + plane + w, base, 4);
+              const __m256 c111 =
+                  _mm256_i32gather_ps(vol + plane + w + 1, base, 4);
+              const __m256 mxf = _mm256_sub_ps(one, xf);
+              const __m256 myf = _mm256_sub_ps(one, yf);
+              const __m256 r1 = _mm256_fmadd_ps(xf, c001, _mm256_mul_ps(mxf, c000));
+              const __m256 r2 = _mm256_fmadd_ps(xf, c011, _mm256_mul_ps(mxf, c010));
+              const __m256 r3 = _mm256_fmadd_ps(xf, c101, _mm256_mul_ps(mxf, c100));
+              const __m256 r4 = _mm256_fmadd_ps(xf, c111, _mm256_mul_ps(mxf, c110));
+              const __m256 a1 = _mm256_fmadd_ps(yf, r2, _mm256_mul_ps(myf, r1));
+              const __m256 a2 = _mm256_fmadd_ps(yf, r4, _mm256_mul_ps(myf, r3));
+              const __m256 val = _mm256_fmadd_ps(
+                  zf, a2, _mm256_mul_ps(_mm256_sub_ps(one, zf), a1));
+              const __m256 g8 = _mm256_loadu_ps(g + k);
+              const __m256 v2 = _mm256_mul_ps(val, val);
+              const __m256 vg = _mm256_mul_ps(val, g8);
+              acc1a = _mm256_add_pd(acc1a, _mm256_cvtps_pd(_mm256_castps256_ps128(val)));
+              acc1b = _mm256_add_pd(acc1b, _mm256_cvtps_pd(_mm256_extractf128_ps(val, 1)));
+              acc2a = _mm256_add_pd(acc2a, _mm256_cvtps_pd(_mm256_castps256_ps128(v2)));
+              acc2b = _mm256_add_pd(acc2b, _mm256_cvtps_pd(_mm256_extractf128_ps(v2, 1)));
+              acc3a = _mm256_add_pd(acc3a, _mm256_cvtps_pd(_mm256_castps256_ps128(vg)));
+              acc3b = _mm256_add_pd(acc3b, _mm256_cvtps_pd(_mm256_extractf128_ps(vg, 1)));
+            }
+            alignas(32) double tmp[4];
+            _mm256_store_pd(tmp, _mm256_add_pd(acc1a, acc1b));
+            s1 += tmp[0] + tmp[1] + tmp[2] + tmp[3];
+            _mm256_store_pd(tmp, _mm256_add_pd(acc2a, acc2b));
+            s2 += tmp[0] + tmp[1] + tmp[2] + tmp[3];
+            _mm256_store_pd(tmp, _mm256_add_pd(acc3a, acc3b));
+            svg += tmp[0] + tmp[1] + tmp[2] + tmp[3];
+          }
+#endif
+          for (; k < k_real; ++k) {
+            const float ov = pov[k], ou = pou[k], ow = pow_[k];
+            const float sx = px - ov * vx + ou * ux + ow * wx;
+            const float sy = py - ov * vy + ou * uy + ow * wy;
+            const float sz = pz - ov * vz + ou * uz + ow * wz;
+            // coords guaranteed in [0, dim-2]: trunc == floor, no clamps
+            const int x1 = (int)sx, y1 = (int)sy, z1 = (int)sz;
+            const float xf = sx - x1, yf = sy - y1, zf = sz - z1;
+            const float* p1 = vol + (long)z1 * plane + (long)y1 * w + x1;
+            const float* p2 = p1 + plane;
+            const float a1 = (1 - yf) * ((1 - xf) * p1[0] + xf * p1[1]) +
+                             yf * ((1 - xf) * p1[w] + xf * p1[w + 1]);
+            const float a2 = (1 - yf) * ((1 - xf) * p2[0] + xf * p2[1]) +
+                             yf * ((1 - xf) * p2[w] + xf * p2[w + 1]);
+            const float val = (1 - zf) * a1 + zf * a2;
+            s1 += val;
+            s2 += (double)val * val;
+            svg += (double)val * g[k];
+          }
+        } else {
+          for (int k = 0; k < k_real; ++k) {
+            const float ov = o[3 * k], ou = o[3 * k + 1], ow = o[3 * k + 2];
+            const float sx = px - ov * vx + ou * ux + ow * wx;
+            const float sy = py - ov * vy + ou * uy + ow * wy;
+            const float sz = pz - ov * vz + ou * uz + ow * wz;
+            const float val = interp(sx, sy, sz);
+            s1 += val;
+            s2 += (double)val * val;
+            svg += (double)val * g[k];
+          }
+        }
+        const double ag = s1 / (double)cnt[si];
+        // corra = sum (val-ag)(g-av) = svg - av*s1 - ag*dwsum
+        const double corra = svg - (double)avg[si] * s1 - ag * dwsum[si];
+        // corrb = sum (val-ag)^2 = s2 - cnt*ag^2
+        double corrb = s2 - (double)cnt[si] * ag * ag;
+        if (corrb < 0.0) corrb = 0.0;
+        const double denom = corrb * (double)corrc[si];
+        float corr = 0.0f;
+        if (denom > (double)FLT_MIN_REF)
+          corr = (float)(corra / std::sqrt(denom));
+        if (corr > best_corr) {
+          best_corr = corr;
+          best_sig = sigmas[si];
+        }
+      }
+      out_corr[q] = best_corr;
+      out_sig[q] = best_sig;
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  if (nt <= 1 || n < 64) {
+    run_range(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long per = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    long q0 = t * per, q1 = std::min(n, q0 + per);
+    if (q0 >= q1) break;
+    threads.emplace_back(run_range, q0, q1);
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

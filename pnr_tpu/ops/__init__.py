@@ -2,36 +2,41 @@
 
 All ops are pure JAX array programs over (Z, Y, X)-ordered volumes,
 designed to fuse under `jit` and shard under `shard_map`.
+
+Re-exports resolve lazily (PEP 562): importing a jax-free submodule
+(ops.zncc_model) must not pull the whole jax op surface — the host
+one-shot engine's import budget depends on it.
 """
 
-from pnr_tpu.ops.gaussian import gaussian_kernel, imgaussian2d, imgaussian3d, imgaussian_xy
-from pnr_tpu.ops.hessian import hessian2d, hessian3d
-from pnr_tpu.ops.eig3 import eigh3x3_vessel
-from pnr_tpu.ops.frangi import frangi2d, frangi3d, normalize_to_u8
-from pnr_tpu.ops.morphology import imdilate_xy, imerode_xy, imerode_xyz
-from pnr_tpu.ops.thresholds import histogram256, intermodes_th, maxentropy_th, otsu_th
-from pnr_tpu.ops.interp import trilinear
-from pnr_tpu.ops.zncc import ZnccTemplates, zncc_batch
+_EXPORTS = {
+    "gaussian_kernel": "pnr_tpu.ops.gaussian",
+    "imgaussian2d": "pnr_tpu.ops.gaussian",
+    "imgaussian3d": "pnr_tpu.ops.gaussian",
+    "imgaussian_xy": "pnr_tpu.ops.gaussian",
+    "hessian2d": "pnr_tpu.ops.hessian",
+    "hessian3d": "pnr_tpu.ops.hessian",
+    "eigh3x3_vessel": "pnr_tpu.ops.eig3",
+    "frangi2d": "pnr_tpu.ops.frangi",
+    "frangi3d": "pnr_tpu.ops.frangi",
+    "normalize_to_u8": "pnr_tpu.ops.frangi",
+    "imdilate_xy": "pnr_tpu.ops.morphology",
+    "imerode_xy": "pnr_tpu.ops.morphology",
+    "imerode_xyz": "pnr_tpu.ops.morphology",
+    "histogram256": "pnr_tpu.ops.thresholds",
+    "intermodes_th": "pnr_tpu.ops.thresholds",
+    "maxentropy_th": "pnr_tpu.ops.thresholds",
+    "otsu_th": "pnr_tpu.ops.thresholds",
+    "trilinear": "pnr_tpu.ops.interp",
+    "ZnccTemplates": "pnr_tpu.ops.zncc_model",
+    "zncc_batch": "pnr_tpu.ops.zncc",
+}
 
-__all__ = [
-    "gaussian_kernel",
-    "imgaussian2d",
-    "imgaussian3d",
-    "imgaussian_xy",
-    "hessian2d",
-    "hessian3d",
-    "eigh3x3_vessel",
-    "frangi2d",
-    "frangi3d",
-    "normalize_to_u8",
-    "imerode_xy",
-    "imerode_xyz",
-    "imdilate_xy",
-    "histogram256",
-    "maxentropy_th",
-    "otsu_th",
-    "intermodes_th",
-    "trilinear",
-    "ZnccTemplates",
-    "zncc_batch",
-]
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(name)

@@ -32,56 +32,9 @@ from pnr_tpu.ops.interp import trilinear
 _FLT_MIN = 1.175494e-38
 
 
-def _frac_range(half: int, pitch: float) -> np.ndarray:
-    """Values -half, -half+pitch, ... while <= half (+FLT_MIN), as the reference loop."""
-    n = int(math.floor((2.0 * half) / pitch + 1e-6)) + 1
-    return (-half + np.arange(n) * pitch).astype(np.float32)
-
-
-class ZnccTemplates:
-    """Precomputed per-sigma template offsets/weights (Tracker ctor :178-232)."""
-
-    def __init__(self, sigmas: Sequence[float], is2d: bool, samples_per_3sig: int = 12):
-        self.sigmas = tuple(float(s) for s in sigmas)
-        self.is2d = bool(is2d)
-        offs_list = []
-        wgt_list = []
-        for sig in self.sigmas:
-            v2 = int(round(1.0 * sig))
-            u2 = int(round(3.0 * sig))
-            pitch = max(1.0, (3.0 * sig) / samples_per_3sig)
-            vv = _frac_range(v2, pitch)
-            uu = _frac_range(u2, pitch)
-            if self.is2d:
-                v_g, u_g = np.meshgrid(vv, uu, indexing="ij")
-                w_g = np.zeros_like(v_g)
-                wgt = np.exp(-(u_g**2) / (2.0 * sig * sig))
-            else:
-                v_g, u_g, w_g = np.meshgrid(vv, uu, uu, indexing="ij")
-                wgt = np.exp(-(u_g**2 + w_g**2) / (2.0 * sig * sig))
-            offs = np.stack(
-                [v_g.reshape(-1), u_g.reshape(-1), w_g.reshape(-1)], axis=-1
-            ).astype(np.float32)
-            offs_list.append(offs)
-            wgt_list.append(wgt.reshape(-1).astype(np.float32))
-
-        kmax = max(o.shape[0] for o in offs_list)
-        s = len(self.sigmas)
-        self.offs = np.zeros((s, kmax, 3), np.float32)
-        self.wgt = np.zeros((s, kmax), np.float32)
-        self.mask = np.zeros((s, kmax), np.float32)
-        self.cnt = np.zeros((s,), np.float32)
-        self.avg = np.zeros((s,), np.float32)
-        self.corrc = np.zeros((s,), np.float32)
-        for i, (o, g) in enumerate(zip(offs_list, wgt_list)):
-            k = o.shape[0]
-            self.offs[i, :k] = o
-            self.wgt[i, :k] = g
-            self.mask[i, :k] = 1.0
-            self.cnt[i] = k
-            self.avg[i] = g.sum() / k
-            self.corrc[i] = np.sum((g - self.avg[i]) ** 2)
-        self.kmax = kmax
+# Model tables live in the jax-free ops/zncc_model.py (shared with the
+# host one-shot engine); re-exported here for compatibility.
+from pnr_tpu.ops.zncc_model import ZnccTemplates, _frac_range  # noqa: F401
 
 
 def local_frame(

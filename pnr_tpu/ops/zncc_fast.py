@@ -43,59 +43,9 @@ from pnr_tpu.ops.zncc import _frac_range
 _FLT_MIN = 1.175494e-38
 
 
-class TubeZnccModel:
-    """Per-sigma constants for the tube ZNCC (host-precomputed)."""
-
-    def __init__(self, sigmas: Sequence[float], is2d: bool, samples_per_3sig: int = 12):
-        self.sigmas = tuple(float(s) for s in sigmas)
-        self.is2d = bool(is2d)
-        s = len(self.sigmas)
-
-        self.v_grids = []  # per sigma: v-axis sample offsets
-        self.alpha1 = np.zeros(s, np.float32)
-        self.alpha2 = np.zeros(s, np.float32)
-        self.gbar = np.zeros(s, np.float32)
-        self.n = np.zeros(s, np.float32)
-        self.corrc = np.zeros(s, np.float32)
-        self.gauss_kernels = []  # unnormalized exp(-t^2/2s^2) 1-D kernels
-        self.box_half = []
-
-        for i, sig in enumerate(self.sigmas):
-            v2 = int(round(1.0 * sig))
-            u2 = int(round(3.0 * sig))
-            pitch = max(1.0, (3.0 * sig) / samples_per_3sig)
-            vv = _frac_range(v2, pitch)
-            uu = _frac_range(u2, pitch)
-            self.v_grids.append(vv)
-
-            if self.is2d:
-                u_g = uu
-                g = np.exp(-(u_g**2) / (2.0 * sig * sig))
-            else:
-                u_g, w_g = np.meshgrid(uu, uu, indexing="ij")
-                g = np.exp(-(u_g**2 + w_g**2) / (2.0 * sig * sig)).reshape(-1)
-            n_uw = g.size
-            n_total = len(vv) * n_uw
-            gsum = float(g.sum())
-            gbar = gsum / n_uw  # template mean per v-plane == overall mean
-            self.n[i] = n_total
-            self.gbar[i] = gbar
-            # template auto-correlation sum_k (g_k - gbar)^2 over ALL samples
-            self.corrc[i] = float(len(vv) * np.sum((g - gbar) ** 2))
-
-            half = int(math.ceil(3.0 * sig))
-            t = np.arange(-half, half + 1, dtype=np.float64)
-            k1 = np.exp(-(t * t) / (2.0 * sig * sig))
-            self.gauss_kernels.append(k1.astype(np.float32))
-            s1d = float(k1.sum())
-            dims = 2 if self.is2d else 3
-            # match I==1: sum_v M1 = n_v * s1d^dims  ->  a1 * that == n_v * gsum
-            self.alpha1[i] = gsum / (s1d**dims)
-
-            bh = u2
-            self.box_half.append(bh)
-            box_total = float((2 * bh + 1) ** dims)
-            self.alpha2[i] = n_uw / box_total
+# TubeZnccModel lives in the jax-free ops/zncc_model.py (shared with
+# the host one-shot engine); re-exported here for compatibility.
+from pnr_tpu.ops.zncc_model import TubeZnccModel  # noqa: F401
 
 
 def _box_filter(vol: jax.Array, half: int, is2d: bool) -> jax.Array:

@@ -2,7 +2,6 @@
 
 from pnr_tpu.smc.directions import generate_directions, nearest_direction
 from pnr_tpu.smc.priors import PriorTables, build_prior_tables
-from pnr_tpu.smc.tracker import BatchedTracker, TraceResult
 
 __all__ = [
     "generate_directions",
@@ -12,3 +11,13 @@ __all__ = [
     "BatchedTracker",
     "TraceResult",
 ]
+
+
+def __getattr__(name):
+    # tracker pulls jax (~1.8 s); loaded lazily so the host one-shot
+    # engine can import smc.priors/directions jax-free
+    if name in ("BatchedTracker", "TraceResult"):
+        from pnr_tpu.smc import tracker
+
+        return getattr(tracker, name)
+    raise AttributeError(name)

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
 import numpy as np
 
 NDIRS_2D = 30
@@ -67,12 +66,14 @@ def sphere_directions_frangi(ndirs: int) -> np.ndarray:
     return out
 
 
-def nearest_direction(dirs: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+def nearest_direction(dirs, codebook):
     """Index of the codebook direction with max dot product (first max wins).
 
     dirs: (..., 3); codebook: (N, 3). Returns (...,) int32.
+    (jax imported lazily: the host engine shares this module jax-free.)
     """
     import jax
+    import jax.numpy as jnp
 
     dots = jnp.matmul(dirs, codebook.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.argmax(dots, axis=-1).astype(jnp.int32)
