@@ -163,9 +163,25 @@ def _get_mean_shift_device():
     return _mean_shift_device
 
 
+#: Above this node count the O(N^2) blocked device kernel cedes to the
+#: native grid engine: at 300k nodes one device block's (2048, N) mask
+#: alone is ~2.4 GB of HBM traffic per iteration, while the grid visits
+#: only each node's local density. Override with PNR_TPU_REFINE_GRID_N.
+REFINE_GRID_CUTOVER = 50_000
+
+
 def non_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float) -> NodeList:
     """Mean-shift refine all nodes (incl. soma, as the live reference does:
-    the soma exclusions in Advantra_plugin.cpp:987,1007 are commented out)."""
+    the soma exclusions in Advantra_plugin.cpp:987,1007 are commented out).
+
+    Two engines, same reference semantics (Advantra_plugin.cpp:968-1052):
+    the MXU-blocked lockstep kernel below the size cutover, and the
+    native grid-binned engine above it (O(N * density), scalar-oracle
+    double-precision interior — also immune to the coordinate-magnitude
+    cancellation the blocked path handles by centroid-centering).
+    Agreement is gated at small N in tests/test_graph.py."""
+    import os
+
     out = nodes.copy()
     n = len(nodes)
     if n <= 1:
@@ -179,6 +195,15 @@ def non_blurring(nodes: NodeList, sig2rad: float, max_iter: int, eps2: float) ->
         ],
         axis=-1,
     )
+    cutover = int(os.environ.get("PNR_TPU_REFINE_GRID_N", REFINE_GRID_CUTOVER))
+    if n - 1 > cutover and native.have_native():
+        conv = native.mean_shift_grid(p4, float(sig2rad), int(max_iter), float(eps2))
+        if conv is not None:
+            out.x[1:] = conv[:, 0].astype(float).tolist()
+            out.y[1:] = conv[:, 1].astype(float).tolist()
+            out.z[1:] = conv[:, 2].astype(float).tolist()
+            out.sig[1:] = conv[:, 3].astype(float).tolist()
+            return out
     # bucket N to the next power of two so a streaming batch of stacks
     # with varying node counts does not recompile the blocked kernel per
     # stack (a fresh XLA compile costs ~5-10 s on remote runtimes —

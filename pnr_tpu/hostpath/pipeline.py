@@ -196,6 +196,8 @@ def host_reconstruct_graph(n0: NodeList, cfg: PNRConfig) -> NodeList:
     """pipeline.reconstruct.reconstruct_graph with the reference
     (scalar numpy) mean-shift instead of the device one — the only
     jax-touching stage of the graph sub-pipeline."""
+    import numpy as _np
+
     from pnr_tpu.graph.refine import (
         group1,
         interpolate_nodelist,
@@ -211,7 +213,25 @@ def host_reconstruct_graph(n0: NodeList, cfg: PNRConfig) -> NodeList:
     from pnr_tpu.graph.nodes import AXON
 
     interpolate_nodelist(n0, cfg.trace_rsmpl)
-    n1 = non_blurring_reference(n0, cfg.sig2radius, cfg.refine_iter, cfg.epsilon2)
+    conv = None
+    if len(n0) > 1 and native.have_native():
+        p4 = _np.stack(
+            [_np.asarray(n0.x[1:], _np.float32),
+             _np.asarray(n0.y[1:], _np.float32),
+             _np.asarray(n0.z[1:], _np.float32),
+             _np.asarray(n0.sig[1:], _np.float32)], axis=-1,
+        )
+        conv = native.mean_shift_grid(
+            p4, float(cfg.sig2radius), int(cfg.refine_iter), float(cfg.epsilon2)
+        )
+    if conv is not None:
+        n1 = n0.copy()
+        n1.x[1:] = conv[:, 0].astype(float).tolist()
+        n1.y[1:] = conv[:, 1].astype(float).tolist()
+        n1.z[1:] = conv[:, 2].astype(float).tolist()
+        n1.sig[1:] = conv[:, 3].astype(float).tolist()
+    else:
+        n1 = non_blurring_reference(n0, cfg.sig2radius, cfg.refine_iter, cfg.epsilon2)
     n2 = group1(n1, cfg.group_radius)
     n2tree = bfs_forest(n2)
     if cfg.enforce_single_tree:

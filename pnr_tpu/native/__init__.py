@@ -120,6 +120,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.c_int,
                 ]
+                lib.mean_shift_grid.restype = None
+                lib.mean_shift_grid.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_long,
+                    ctypes.c_float,
+                    ctypes.c_int,
+                    ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int,
+                ]
                 lib.group_nodes.restype = ctypes.c_int
                 lib.group_nodes.argtypes = [
                     ctypes.POINTER(ctypes.c_float),
@@ -270,6 +280,27 @@ def zncc_exact_queries(vol_f32, templates, pos, dirs, n_threads: int = 0):
         _f32p(out_corr), _f32p(out_sig), int(n_threads),
     )
     return out_corr, out_sig
+
+
+def mean_shift_grid(p4: np.ndarray, sig2rad: float, max_iter: int,
+                    eps2: float, n_threads: int = 0):
+    """Grid-binned non-blurring mean shift over (N, 4) float32 rows
+    (x, y, z, sig); returns the converged (N, 4) or None without the
+    native library. O(N * local density); double-precision interior
+    (reference-oracle numerics — no coordinate-magnitude cancellation).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    p4 = np.ascontiguousarray(p4, np.float32)
+    out = np.empty_like(p4)
+    if n_threads == 0:
+        n_threads = int(os.environ.get("PNR_TPU_REFINE_THREADS", "0"))
+    lib.mean_shift_grid(
+        _f32p(p4), len(p4), float(sig2rad), int(max_iter), float(eps2),
+        _f32p(out), int(n_threads),
+    )
+    return out
 
 
 def max_finder_stack(

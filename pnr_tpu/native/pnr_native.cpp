@@ -778,4 +778,122 @@ void zncc_exact_queries(const float* vol, int w, int h, int l,
   for (auto& th : threads) th.join();
 }
 
+// Grid-binned non-blurring mean shift (parity target
+// Advantra_plugin.cpp:968-1052 `non_blurring`): each node's estimate
+// iterates toward the mean of the ORIGINAL nodes within radius
+// sig2rad * its current sig. The kernel support set is fixed, so the
+// uniform grid is built ONCE over the original points with cell size
+// >= the largest possible kernel radius (sig averages can never exceed
+// the max original sig); every query then scans at most 2 cells per
+// axis. O(N * density) instead of the O(N^2) blocked matmul — the
+// cutover engine for 100k+ node graphs (VERDICT r4 item 3), and
+// numerically exact at any coordinate magnitude (no |a|^2+|b|^2-2ab
+// cancellation; plain double-precision differences like the scalar
+// reference). Threaded over nodes; deterministic at any thread count.
+void mean_shift_grid(const float* p4, long n, float sig2rad, int max_iter,
+                     float eps2, float* out, int n_threads) {
+  if (n <= 0) return;
+  // bounding box + max sig
+  float minx = p4[0], maxx = p4[0], miny = p4[1], maxy = p4[1],
+        minz = p4[2], maxz = p4[2], smax = p4[3];
+  for (long i = 1; i < n; ++i) {
+    minx = std::min(minx, p4[4 * i]);
+    maxx = std::max(maxx, p4[4 * i]);
+    miny = std::min(miny, p4[4 * i + 1]);
+    maxy = std::max(maxy, p4[4 * i + 1]);
+    minz = std::min(minz, p4[4 * i + 2]);
+    maxz = std::max(maxz, p4[4 * i + 2]);
+    smax = std::max(smax, p4[4 * i + 3]);
+  }
+  const double cell = std::max(1e-6, (double)sig2rad * smax * 1.0000001);
+  auto ncells = [&](float lo, float hi) {
+    long c = (long)std::floor((hi - lo) / cell) + 1;
+    return std::max(1L, c);
+  };
+  const long nx = ncells(minx, maxx), ny = ncells(miny, maxy),
+             nz = ncells(minz, maxz);
+  auto cidx = [&](float x, float y, float z) {
+    long cx = std::min(nx - 1, std::max(0L, (long)((x - minx) / cell)));
+    long cy = std::min(ny - 1, std::max(0L, (long)((y - miny) / cell)));
+    long cz = std::min(nz - 1, std::max(0L, (long)((z - minz) / cell)));
+    return (cz * ny + cy) * nx + cx;
+  };
+  const long ncell = nx * ny * nz;
+  std::vector<int32_t> starts(ncell + 1, 0);
+  std::vector<int32_t> order(n);
+  for (long i = 0; i < n; ++i)
+    starts[cidx(p4[4 * i], p4[4 * i + 1], p4[4 * i + 2]) + 1]++;
+  for (long c = 0; c < ncell; ++c) starts[c + 1] += starts[c];
+  {
+    std::vector<int32_t> cur(starts.begin(), starts.end() - 1);
+    for (long i = 0; i < n; ++i) {
+      long c = cidx(p4[4 * i], p4[4 * i + 1], p4[4 * i + 2]);
+      order[cur[c]++] = (int32_t)i;
+    }
+  }
+
+  auto run_range = [&](long i0, long i1) {
+    for (long i = i0; i < i1; ++i) {
+      double cx = p4[4 * i], cy = p4[4 * i + 1], cz = p4[4 * i + 2],
+             cs = p4[4 * i + 3];
+      for (int it = 0; it < max_iter; ++it) {
+        const double r = (double)sig2rad * cs;
+        const double r2 = r * r;
+        long cx0 = std::min(nx - 1, std::max(0L, (long)((cx - r - minx) / cell)));
+        long cx1 = std::min(nx - 1, std::max(0L, (long)((cx + r - minx) / cell)));
+        long cy0 = std::min(ny - 1, std::max(0L, (long)((cy - r - miny) / cell)));
+        long cy1 = std::min(ny - 1, std::max(0L, (long)((cy + r - miny) / cell)));
+        long cz0 = std::min(nz - 1, std::max(0L, (long)((cz - r - minz) / cell)));
+        long cz1 = std::min(nz - 1, std::max(0L, (long)((cz + r - minz) / cell)));
+        double sx = 0, sy = 0, sz = 0, ss = 0;
+        long cnt = 0;
+        for (long gz = cz0; gz <= cz1; ++gz)
+          for (long gy = cy0; gy <= cy1; ++gy)
+            for (long gx = cx0; gx <= cx1; ++gx) {
+              const long c = (gz * ny + gy) * nx + gx;
+              for (int32_t k = starts[c]; k < starts[c + 1]; ++k) {
+                const float* q = p4 + 4L * order[k];
+                const double dx = q[0] - cx, dy = q[1] - cy, dz = q[2] - cz;
+                if (dx * dx + dy * dy + dz * dz <= r2) {
+                  sx += q[0];
+                  sy += q[1];
+                  sz += q[2];
+                  ss += q[3];
+                  ++cnt;
+                }
+              }
+            }
+        if (cnt == 0) break;  // hold position (cannot happen: covers self)
+        const double nxp = sx / cnt, nyp = sy / cnt, nzp = sz / cnt,
+                     nsp = ss / cnt;
+        const double move2 = (nxp - cx) * (nxp - cx) + (nyp - cy) * (nyp - cy) +
+                             (nzp - cz) * (nzp - cz);
+        cx = nxp;
+        cy = nyp;
+        cz = nzp;
+        cs = nsp;
+        if (move2 <= (double)eps2) break;
+      }
+      out[4 * i] = (float)cx;
+      out[4 * i + 1] = (float)cy;
+      out[4 * i + 2] = (float)cz;
+      out[4 * i + 3] = (float)cs;
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  if (nt <= 1 || n < 4096) {
+    run_range(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long per = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    long i0 = t * per, i1 = std::min(n, i0 + per);
+    if (i0 >= i1) break;
+    threads.emplace_back(run_range, i0, i1);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"
