@@ -299,6 +299,7 @@ def host_reconstruction_func(
         mask = _max_points_host(j8, float(cfg.tolerance))
         zz, yy, xx = np.nonzero(mask)
         pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
+        n_raw_seeds = len(pos)
         dirs = _decode_dirs(vx, vy, vz, pos)
 
     with _stage("seed selection & sorting"):
@@ -367,11 +368,22 @@ def host_reconstruction_func(
         timings: Dict[str, float]
         j8: Optional[np.ndarray] = None
         midres: Optional[Dict] = None
+        n_raw_seeds: int = -1
+        zncc_mode: str = ""
 
-    return HostResult(
+    result = HostResult(
         tree=tree, n0=n0, seeds_pos=pos, seeds_corr=corr,
         trace_count=trace_count, timings=timings, j8=j8,
+        n_raw_seeds=n_raw_seeds, zncc_mode=cfg.zncc_mode,
     )
+    from pnr_tpu.utils.exporters import low_signal_diagnostic
+
+    warn = low_signal_diagnostic(result)
+    if warn is not None:
+        import sys as _sys
+
+        _sys.stderr.write(f"WARNING low-signal: {warn['message']}\n")
+    return result
 
 
 def _make_exact_zncc_host(vol: np.ndarray, templates):

@@ -63,6 +63,11 @@ class ReconstructionResult:
     timings: Dict[str, float]
     j8: Optional[np.ndarray] = None
     midres: Optional[Dict[str, np.ndarray]] = None  # when cfg.save_midres
+    #: raw MaximumFinder count BEFORE soma/zncc selection — the
+    #: low-signal diagnostic's reference point (VERDICT r4 item 7)
+    n_raw_seeds: int = -1
+    #: engine the likelihood ran on ("tube"/"exact"), for diagnostics
+    zncc_mode: str = ""
 
 
 def smap_to_u8(smap: np.ndarray) -> np.ndarray:
@@ -431,6 +436,7 @@ class _StackFront:
     field: jax.Array
     tracker: BatchedTracker
     timings: Dict[str, float]
+    n_raw_seeds: int = -1
 
 
 def _stack_front(
@@ -555,6 +561,7 @@ def _stack_front(
         mask = np.asarray(max_points_device(j8, float(cfg.tolerance)))
     zz, yy, xx = np.nonzero(mask)
     pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
+    n_raw_seeds = len(pos)
     dirs = decode_directions_device(vx, vy, vz, pos)
     if not cfg.save_midres:
         # the direction volumes are only re-read for the midres dump;
@@ -592,7 +599,7 @@ def _stack_front(
     return _StackFront(
         nodes=nodes, smap=smap, j8_np=j8_np, vx=vx, vy=vy, vz=vz,
         pos=pos, dirs=dirs, corr=corr, field=field, tracker=tracker,
-        timings=tm.timings,
+        timings=tm.timings, n_raw_seeds=n_raw_seeds,
     )
 
 
@@ -717,7 +724,7 @@ def reconstruction_func(
     if profile_dir:
         jax.profiler.stop_trace()
 
-    return ReconstructionResult(
+    result = ReconstructionResult(
         tree=tree,
         n0=n0,
         seeds_pos=pos,
@@ -726,7 +733,17 @@ def reconstruction_func(
         timings=tm.timings,
         j8=j8_np,
         midres=midres,
+        n_raw_seeds=front.n_raw_seeds,
+        zncc_mode=cfg.zncc_mode,
     )
+    from pnr_tpu.utils.exporters import low_signal_diagnostic
+
+    warn = low_signal_diagnostic(result)
+    if warn is not None:
+        import sys as _sys
+
+        _sys.stderr.write(f"WARNING low-signal: {warn['message']}\n")
+    return result
 
 
 def reconstruction_batch(

@@ -149,12 +149,49 @@ def export_directionality_swc(
         f.write("\n".join(lines) + "\n")
 
 
+def low_signal_diagnostic(result):
+    """Flag the engine-said-no signature (VERDICT r4 item 7).
+
+    At the SNR envelope edge the exact engine mirrors the reference
+    (both trace noise fragments) while tube mode — whose
+    locally-tube-like assumption rejects pure noise — emits an empty
+    SWC with no signal that the ENGINE, not the specimen, said no.
+    When seed extraction found maxima but nothing was committed, return
+    a structured warning for --metrics / serve output (and the stderr
+    line the pipelines print). Lives here (jax-free) so the host
+    one-shot engine shares it."""
+    if getattr(result, "n_raw_seeds", -1) <= 0:
+        return None
+    n0_nodes = max(len(result.n0) - 1, 0)
+    if n0_nodes > 0:
+        return None
+    engine = getattr(result, "zncc_mode", "") or "?"
+    hint = (
+        "the tube likelihood rejected every candidate; retry with "
+        "--zncc-mode exact (reference-parity behavior on low-SNR input)"
+        if engine == "tube"
+        else "every candidate fell below znccth; lower znccth or check "
+        "acquisition SNR"
+    )
+    return {
+        "engine": engine,
+        "raw_maxima": int(result.n_raw_seeds),
+        "selected_seeds": int(len(result.seeds_pos)),
+        "trace_count": int(result.trace_count),
+        "committed_nodes": n0_nodes,
+        "message": (
+            f"{result.n_raw_seeds} local maxima found but 0 nodes "
+            f"committed under the '{engine}' engine — {hint}"
+        ),
+    }
+
+
 def metrics_entry(path: str, result) -> dict:
     """One stack's machine-readable run record (timings + counts) —
     the JSON counterpart of the reference's clock() stage prints
     (Advantra_plugin.cpp:2430-2446, 2548-2575). `result` is a
     pipeline ReconstructionResult."""
-    return {
+    entry = {
         "image": path,
         "timings_s": {k: round(float(v), 4) for k, v in result.timings.items()},
         "n_seeds": int(len(result.seeds_pos)),
@@ -162,3 +199,11 @@ def metrics_entry(path: str, result) -> dict:
         "n0_nodes": max(len(result.n0) - 1, 0),
         "tree_nodes": max(len(result.tree) - 1, 0),
     }
+    if getattr(result, "n_raw_seeds", -1) >= 0:
+        entry["n_raw_seeds"] = int(result.n_raw_seeds)
+        from pnr_tpu.utils.exporters import low_signal_diagnostic
+
+        warn = low_signal_diagnostic(result)
+        if warn is not None:
+            entry["low_signal_warning"] = warn
+    return entry

@@ -465,6 +465,46 @@ class TestSNRBattery:
         assert s.precision >= 0.0 and np.isfinite(s.f1)
 
 
+class TestLowSignalDiagnostic:
+    """VERDICT r4 item 7: tube-on-noise silence must carry a structured
+    warning (engine, counts, retry-exact hint) in the metrics record —
+    an operator getting an empty SWC must see that the ENGINE, not the
+    specimen, said no. The exact engine traces the same noise (mirroring
+    the reference) and must NOT warn."""
+
+    def test_tube_flags_exact_does_not(self):
+        import dataclasses
+
+        from pnr_tpu.pipeline import reconstruction_func
+        from pnr_tpu.hostpath import host_reconstruction_func
+        from pnr_tpu.utils.exporters import low_signal_diagnostic, metrics_entry
+
+        vol, _gold, snr = snr_phantom(40)  # SNR 3.8: the envelope edge
+        assert snr < 4.5
+
+        cfg_tube = dataclasses.replace(CFG, zncc_mode="tube")
+        res_tube = reconstruction_func(vol, cfg_tube, verbose=False)
+        warn = low_signal_diagnostic(res_tube)
+        assert warn is not None, (
+            res_tube.n_raw_seeds, len(res_tube.n0), len(res_tube.seeds_pos)
+        )
+        assert warn["engine"] == "tube"
+        assert warn["raw_maxima"] > 0
+        assert warn["committed_nodes"] == 0
+        assert "exact" in warn["message"]
+        entry = metrics_entry("x", res_tube)
+        assert entry["low_signal_warning"]["engine"] == "tube"
+
+        # exact mode (host engine — same semantics, native-fast): the
+        # engine traces the noise fragments like the reference; no flag
+        cfg_exact = dataclasses.replace(CFG, zncc_mode="exact")
+        res_exact = host_reconstruction_func(vol, cfg_exact, verbose=False)
+        assert low_signal_diagnostic(res_exact) is None, (
+            res_exact.n_raw_seeds, len(res_exact.n0)
+        )
+        assert "low_signal_warning" not in metrics_entry("x", res_exact)
+
+
 class TestMultiNeuronSoma:
     """Two somas, four neurites, two radii — scored end to end with
     soma extraction ON."""
