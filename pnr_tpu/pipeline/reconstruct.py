@@ -68,6 +68,11 @@ class ReconstructionResult:
     n_raw_seeds: int = -1
     #: engine the likelihood ran on ("tube"/"exact"), for diagnostics
     zncc_mode: str = ""
+    #: sharded runs: boundary-handoff migrations observed (lane id seen
+    #: on a different shard than the previous stage) and lane-overflow
+    #: re-queues; -1 on the single-device path
+    n_handoffs: int = -1
+    n_requeued: int = -1
 
 
 def smap_to_u8(smap: np.ndarray) -> np.ndarray:

@@ -548,6 +548,7 @@ def reconstruction_func_sharded(
     nseeds = len(pos)
     waves_done = 0
     requeued_total = 0
+    handoffs_total = 0
     # lane-overflow re-queues + the unstarted tail of a cap-cut wave;
     # persisted in the checkpoint so a resume never skips them
     pending: List[int] = []
@@ -618,15 +619,17 @@ def reconstruction_func_sharded(
         if not len(sel):
             continue
 
-        trace_count, unstarted = _trace_and_commit_wave_sharded(
+        trace_count, unstarted, wave_handoffs = _trace_and_commit_wave_sharded(
             committer, init, stage, vs, bp, bd, bi, bv, key, cfg,
             pos, sel, trace_count, n_stages, stage_iters,
+            n_shards=n_dev,
             # capacity structurally cannot bind when every trace of the
             # wave fits one shard's lanes (lanes = 2*wave >= 2*len(sel))
             # — the stale-by-one kill of the pipeline is then
             # economy-only and results are bitwise-serial
             pipelined=(_lanes_override is None and lanes >= 2 * len(sel)),
         )
+        handoffs_total += wave_handoffs
         # cap-cut wave tail goes BEFORE earlier lane-overflow re-queues:
         # in an uninterrupted run those overflow seeds trace in the wave
         # AFTER this one
@@ -686,12 +689,16 @@ def reconstruction_func_sharded(
         timings=tm.timings,
         j8=_fetch_map(j8),
         midres=midres,
+        zncc_mode=cfg.zncc_mode,
+        n_handoffs=handoffs_total,
+        n_requeued=requeued_total,
     )
 
 
 def _trace_and_commit_wave_sharded(
     committer, init, stage, vs, bp, bd, bi, bv, base_key, cfg,
     pos, sel, trace_count, n_stages, stage_iters, pipelined=False,
+    n_shards=1,
 ):
     """Staged sharded wave with the in-order commit wavefront and
     kill-back — the sharded counterpart of the single-device
@@ -714,6 +721,27 @@ def _trace_and_commit_wave_sharded(
     state, est0, ids0, field = init(vs, bp, bd, bi.astype(np.int32), bv, base_key)
     lanes_total = int(est0.shape[0])
 
+    # boundary-handoff observation: a live trace id whose lane moved to
+    # a different shard between consecutive ids snapshots migrated over
+    # the mesh (parallel/handoff.py). Counted host-side from the lane
+    # layout (lane // lanes_per_shard) — free, and the driver dryrun
+    # asserts it fires (VERDICT r4 item 5).
+    per_shard = lanes_total // max(1, n_shards)
+    shard_of: dict = {}
+    handoffs = 0
+
+    def note_ids(ids_np):
+        nonlocal handoffs
+        for lane in range(lanes_total):
+            t = int(ids_np[lane])
+            if t < 0:
+                continue
+            s = lane // per_shard
+            prev = shard_of.get(t)
+            if prev is not None and prev != s:
+                handoffs += 1
+            shard_of[t] = s
+
     def _fetch2(a, b):
         """Fetch a pair of stage outputs; single-process issues both D2H
         transfers before collecting either (the link pipelines
@@ -729,6 +757,7 @@ def _trace_and_commit_wave_sharded(
     # per-trace host-side estimate buffers, filled stage by stage
     est = {int(t): np.zeros((ni, 9), np.float32) for t in bi[bv]}
     e0, ids_cur = _fetch2(est0, ids0)
+    note_ids(ids_cur)
     for lane in range(lanes_total):
         t = int(ids_cur[lane])
         if t >= 0:
@@ -809,11 +838,12 @@ def _trace_and_commit_wave_sharded(
                 kill,
             )
             pk, ids_cur = _fetch2(packed, ids_j)
+            note_ids(ids_cur)
             fill_est(pk, ids_cur, it_done, n_it)
             it_done += n_it
 
         advance(it_done)
-        return trace_count, _unstarted()
+        return trace_count, _unstarted(), handoffs
 
     # ---- pipelined: one stage in flight ahead of the commit wavefront
     ids_dev = ids0  # device lane ids of the LAST LAUNCHED stage
@@ -854,6 +884,7 @@ def _trace_and_commit_wave_sharded(
         if inflight is not None:
             packed_p, ids_p, it0, n_p = inflight
             pk_p, ids_np = _fetch2(packed_p, ids_p)
+            note_ids(ids_np)
             fill_est(pk_p, ids_np, it0, n_p)
             it_done = it0 + n_p
         elif newflight is None:
@@ -861,4 +892,4 @@ def _trace_and_commit_wave_sharded(
         inflight = newflight
 
     advance(it_done)
-    return trace_count, _unstarted()
+    return trace_count, _unstarted(), handoffs
