@@ -71,16 +71,22 @@ def bench_tpu(vol, engine="xla", chain=4, reps=2):
     dvol = jnp.asarray(vol)
     force(chained(dvol))  # compile + first run
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # per-rep times so callers can report median + spread (r5 item 6)
+    times = []
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
         force(chained(dvol))
-    dt = (time.perf_counter() - t0) / reps / chain
+        times.append((time.perf_counter() - t0) / chain)
+    dt = sorted(times)[len(times) // 2]  # median
     # single-launch rate (includes per-call dispatch+fetch overhead)
     force(step(dvol)[0])
     t0 = time.perf_counter()
     force(step(dvol)[0])
     dt_single = time.perf_counter() - t0
-    return vol.size / dt / 1e6, vol.size / dt_single / 1e6  # Mvox/s
+    rate = vol.size / dt / 1e6
+    rate_min = vol.size / max(times) / 1e6
+    rate_max = vol.size / min(times) / 1e6
+    return rate, vol.size / dt_single / 1e6, rate_min, rate_max  # Mvox/s
 
 
 def bench_numpy_oracle(vol):
@@ -205,11 +211,16 @@ def bench_tracer(vol, zncc_mode="tube", sigmas=None, ni=None):
         return float(jnp.ravel(packed)[0])  # fetch barrier
 
     run()  # compile
-    t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
+    # reps >= 3 with median (VERDICT r4 item 6): link/launch jitter on
+    # the tunneled runtime coin-flipped single-rep tracer figures
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
     updates = t_traces * cfg.np * cfg.ni
-    return updates / dt
+    rates = sorted(updates / t for t in times)
+    return rates[1], rates[0], rates[2]  # median, min, max
 
 
 def bench_e2e(shape=(128, 640, 640), zncc_mode="tube"):
@@ -225,20 +236,26 @@ def bench_e2e(shape=(128, 640, 640), zncc_mode="tube"):
         ni=100, np=20, zdist=ZDIST, nodepervol=4, vol=9,
         zncc_mode=zncc_mode,
     )
-    # stream FOUR stacks through reconstruction_batch (shared tracker,
+    # stream FIVE stacks through reconstruction_batch (shared tracker,
     # shared compiles, prefetch-pipelined fronts — the production
-    # serving path): the first pays the shape's compiles, the mean of
-    # the last two is the warm steady-state per-stack metric
+    # serving path): the first pays the shape's compiles, the MEDIAN of
+    # the last three is the warm steady-state per-stack metric, with
+    # min/max recorded (r5 item 6: single-draw e2e figures coin-flipped
+    # 0.98-1.41 s across the two r4 runs)
     from pnr_tpu.pipeline.reconstruct import reconstruction_batch
 
     times = []
     res = None
-    gen = reconstruction_batch([vol, vol, vol, vol], cfg)
-    for _ in range(4):
+    gen = reconstruction_batch([vol] * 5, cfg)
+    for _ in range(5):
         t0 = time.perf_counter()
         res = next(gen)
         times.append(time.perf_counter() - t0)
-    return sum(times[2:]) / 2, vol.size / 1e6, len(res.n0), times[0]
+    warm = sorted(times[2:])
+    return (
+        warm[len(warm) // 2], vol.size / 1e6, len(res.n0), times[0],
+        warm[0], warm[-1],
+    )
 
 
 def bench_e2e_sharded(shape=(128, 640, 640)):
@@ -293,8 +310,12 @@ def bench_reference_swc_f1():
     reported AGAINST the reference's own replicate noise floor
     (tests/test_reference_e2e.py; the reference RNG is wall-clock
     seeded, tracker.cpp:1003,1098, so ref-vs-ref disagreement is the
-    only sound yardstick). Returns {"reference_swc_f1": ours-vs-ref
-    mean, "ref_self_f1": ref-vs-ref pair mean}."""
+    only sound yardstick).
+
+    VERDICT r4 item 4: the floor pools TWO phantom topologies
+    (branching neuron + crossing tubes) with >= 14 replicates /
+    >= 43 pairs total, and every headline number carries mean AND
+    spread — one noisy draw can no longer flip the gate."""
     import itertools
     import os
     import sys
@@ -305,35 +326,53 @@ def bench_reference_swc_f1():
 
     if get_oracle() is None:
         return None
-    from tests.test_reference_e2e import CFG, _swc_rows, phantom
+    from tests.test_phantom_neuron import (
+        branching_neuron_phantom, crossing_tubes_phantom,
+    )
+    from tests.test_reference_e2e import CFG, _swc_rows
     from pnr_tpu.parity.oracle import reference_reconstruct_n0
     from pnr_tpu.pipeline.reconstruct import reconstruction_func, reconstruct_graph
     from pnr_tpu.utils.swc_compare import compare_swc
 
-    vol = phantom()
     td = tempfile.mkdtemp()
-    reps = []
-    for i in range(3):
-        ref_n0, _, _ = reference_reconstruct_n0(vol, CFG)
-        reps.append(
-            np.asarray(
-                _swc_rows(
-                    reconstruct_graph(ref_n0.copy(), CFG),
-                    os.path.join(td, f"r{i}.swc"),
-                ),
-                np.float64,
+    floor = []
+    ours_all = []
+    n_reps_total = 0
+    for pi, (maker, n_reps) in enumerate(
+        ((branching_neuron_phantom, 8), (crossing_tubes_phantom, 6))
+    ):
+        vol = maker()[0]
+        reps = []
+        for i in range(n_reps):
+            ref_n0, _, _ = reference_reconstruct_n0(vol, CFG)
+            reps.append(
+                np.asarray(
+                    _swc_rows(
+                        reconstruct_graph(ref_n0.copy(), CFG),
+                        os.path.join(td, f"p{pi}r{i}.swc"),
+                    ),
+                    np.float64,
+                )
             )
-        )
-    floor = [
-        compare_swc(reps[a], reps[b], dist=4.0, resample=1.0).f1
-        for a, b in itertools.combinations(range(len(reps)), 2)
-    ]
-    res = reconstruction_func(vol, CFG, verbose=False)
-    our_rows = _swc_rows(res.tree, os.path.join(td, "o.swc"))
-    ours = [compare_swc(our_rows, r, dist=4.0, resample=1.0).f1 for r in reps]
+        n_reps_total += n_reps
+        floor += [
+            compare_swc(reps[a], reps[b], dist=4.0, resample=1.0).f1
+            for a, b in itertools.combinations(range(len(reps)), 2)
+        ]
+        res = reconstruction_func(vol, CFG, verbose=False)
+        our_rows = _swc_rows(res.tree, os.path.join(td, f"p{pi}o.swc"))
+        ours_all += [
+            compare_swc(our_rows, r, dist=4.0, resample=1.0).f1 for r in reps
+        ]
     return {
-        "reference_swc_f1": round(float(np.mean(ours)), 3),
+        "reference_swc_f1": round(float(np.mean(ours_all)), 3),
+        "reference_swc_f1_std": round(float(np.std(ours_all)), 3),
+        "reference_swc_f1_min": round(float(np.min(ours_all)), 3),
         "ref_self_f1": round(float(np.mean(floor)), 3),
+        "ref_self_f1_std": round(float(np.std(floor)), 3),
+        "ref_self_f1_min": round(float(np.min(floor)), 3),
+        "ref_floor_replicates": n_reps_total,
+        "ref_floor_pairs": len(floor),
     }
 
 
@@ -373,11 +412,17 @@ def bench_quality():
     return out
 
 
-def bench_snr_curve():
+def bench_snr_curve(replicates: int = 3):
     """F1 vs SNR on the realism battery (background ramp + anisotropic
     PSF + noise sweep; tests/test_phantom_neuron.py::TestSNRBattery).
     Records the operating envelope the reference's intended microscopy
-    data lives in (reference README.md:11-13)."""
+    data lives in (reference README.md:11-13).
+
+    VERDICT r4 item 4: >= 3 PRNG-varied phantom replicates per SNR
+    point, reported mean +- std (the r4 curve was one replicate per
+    point and showed sampling noise as non-monotonicity); one extra
+    point (noise 32) fills the step between SNR 6 and the 3.8
+    envelope edge."""
     import sys
     import tempfile
 
@@ -391,14 +436,55 @@ def bench_snr_curve():
     from pnr_tpu.utils.swc_compare import compare_swc
 
     out = {}
-    for ns in (5, 15, 25, 40):
-        vol, gold, snr = snr_phantom(ns)
-        res = reconstruction_func(vol, CFG, verbose=False)
-        p = tempfile.mktemp(suffix=".swc")
-        save_nodelist(res.tree, p)
-        s = compare_swc(read_swc(p), gold, dist=4.0, resample=1.0)
-        out[f"snr_{snr:.0f}"] = round(s.f1, 3)
+    for ns in (5, 15, 25, 32, 40):
+        f1s = []
+        snr = None
+        for rep in range(replicates):
+            vol, gold, snr = snr_phantom(ns, seed=11 + 97 * rep)
+            res = reconstruction_func(vol, CFG, verbose=False)
+            p = tempfile.mktemp(suffix=".swc")
+            save_nodelist(res.tree, p)
+            f1s.append(compare_swc(read_swc(p), gold, dist=4.0, resample=1.0).f1)
+        out[f"snr_{snr:.1f}"] = round(float(np.mean(f1s)), 3)
+        out[f"snr_{snr:.1f}_std"] = round(float(np.std(f1s)), 3)
     return out
+
+
+def _deltas_vs_previous(extras, prev_path="BENCH_r04.json"):
+    """Self-reporting regressions (r5 item 6): percent deltas of every
+    shared numeric extra vs the previous round's recorded JSON."""
+    import os
+
+    try:
+        if not os.path.exists(prev_path):
+            return {"error": f"{prev_path} not found"}
+        with open(prev_path) as f:
+            txt = f.read()
+        prev = None
+        for line in reversed(txt.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    prev = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if not prev:
+            return {"error": "no JSON line in previous record"}
+        prev_extras = prev.get("extras", {})
+        out = {}
+        for k, v in extras.items():
+            pv = prev_extras.get(k)
+            if (
+                isinstance(v, (int, float))
+                and isinstance(pv, (int, float))
+                and pv
+            ):
+                out[k] = round(100.0 * (float(v) - float(pv)) / abs(float(pv)), 1)
+        out["headline_prev"] = prev.get("value")
+        return out
+    except Exception as e:  # the delta section must never kill the bench
+        return {"error": str(e)[:120]}
 
 
 def main():
@@ -493,11 +579,11 @@ def main():
         # cheapest path to a complete parsable headline line.
         small = make_volume((64, 256, 256))
         try:
-            mv, mvs = bench_tpu(small, engine="fused", chain=2, reps=1)
+            mv, mvs, _, _ = bench_tpu(small, engine="fused", chain=2, reps=1)
             extras["frangi_engine"] = "fused_pallas"
         except Exception as e:
             extras["frangi_fused_error"] = str(e)[:120]
-            mv, mvs = bench_tpu(small, engine="xla", chain=2, reps=1)
+            mv, mvs, _, _ = bench_tpu(small, engine="xla", chain=2, reps=1)
             extras["frangi_engine"] = "xla"
         extras["first_probe_mvox_s"] = round(mv, 2)
         extras["first_probe_s_after_start"] = round(
@@ -512,8 +598,12 @@ def main():
         if left() > 180:
             vol = make_volume(SHAPE)
             try:
-                fused_mvox, fused_single = bench_tpu(vol, engine="fused")
+                fused_mvox, fused_single, fmin, fmax = bench_tpu(
+                    vol, engine="fused", reps=3
+                )
                 extras["frangi_fused_mvox_s"] = round(fused_mvox, 2)
+                extras["frangi_fused_mvox_s_min"] = round(fmin, 2)
+                extras["frangi_fused_mvox_s_max"] = round(fmax, 2)
                 with lock:
                     if fused_mvox > state["value"]:
                         state["value"], state["single"] = (
@@ -526,8 +616,12 @@ def main():
             emit()
             if left() > 120:
                 try:
-                    xla_mvox, xla_single = bench_tpu(vol, engine="xla")
+                    xla_mvox, xla_single, xmin, xmax = bench_tpu(
+                        vol, engine="xla", reps=3
+                    )
                     extras["frangi_xla_mvox_s"] = round(xla_mvox, 2)
+                    extras["frangi_xla_mvox_s_min"] = round(xmin, 2)
+                    extras["frangi_xla_mvox_s_max"] = round(xmax, 2)
                     with lock:
                         if xla_mvox > state["value"]:
                             state["value"], state["single"] = (
@@ -557,12 +651,16 @@ def main():
             # no host commit machinery); e2e_s_per_stack covers the
             # honest full path
             extras["tracer_metric"] = "device_stage_upper_bound"
-            extras["particle_updates_per_s"] = round(bench_tracer(tracer_vol))
+            med, lo, hi = bench_tracer(tracer_vol)
+            extras["particle_updates_per_s"] = round(med)
+            extras["particle_updates_per_s_min"] = round(lo)
+            extras["particle_updates_per_s_max"] = round(hi)
 
         def ph_tracer_exact():
-            extras["exact_particle_updates_per_s"] = round(
-                bench_tracer(tracer_vol, zncc_mode="exact")
-            )
+            med, lo, hi = bench_tracer(tracer_vol, zncc_mode="exact")
+            extras["exact_particle_updates_per_s"] = round(med)
+            extras["exact_particle_updates_per_s_min"] = round(lo)
+            extras["exact_particle_updates_per_s_max"] = round(hi)
 
         def ph_default_sigmas():
             # the default-sigma config (PNRConfig defaults: 2,3) is where
@@ -570,10 +668,10 @@ def main():
             # a 3.6x larger template sample count. Matched ni for a fair
             # ratio.
             extras["exact_updates_per_s_default_sigmas"] = round(
-                bench_tracer(tracer_vol, zncc_mode="exact", sigmas=(2.0, 3.0))
+                bench_tracer(tracer_vol, zncc_mode="exact", sigmas=(2.0, 3.0))[0]
             )
             extras["tube_updates_per_s_default_sigmas"] = round(
-                bench_tracer(tracer_vol, zncc_mode="tube", sigmas=(2.0, 3.0), ni=25)
+                bench_tracer(tracer_vol, zncc_mode="tube", sigmas=(2.0, 3.0), ni=25)[0]
             )
 
         def ph_frangi_large():
@@ -624,14 +722,79 @@ def main():
                 extras["f1_vs_snr"] = curve
 
         def ph_e2e():
-            dt, mvox, n0, dt_cold = bench_e2e()
+            dt, mvox, n0, dt_cold, lo, hi = bench_e2e()
             extras["e2e_s_per_stack"] = round(dt, 2)
+            extras["e2e_s_per_stack_min"] = round(lo, 2)
+            extras["e2e_s_per_stack_max"] = round(hi, 2)
             extras["e2e_s_first_stack"] = round(dt_cold, 2)
             extras["e2e_stack_mvox"] = round(mvox, 1)
 
         def ph_e2e_exact():
-            dt, _, _, _ = bench_e2e(zncc_mode="exact")
+            dt, _, _, _, lo, hi = bench_e2e(zncc_mode="exact")
             extras["e2e_s_per_stack_exact"] = round(dt, 2)
+            extras["e2e_s_per_stack_exact_min"] = round(lo, 2)
+            extras["e2e_s_per_stack_exact_max"] = round(hi, 2)
+
+        def ph_host_oneshot():
+            # The one-shot small-stack story (r5 item 1): the zero-jax
+            # host engine vs the compiled reference's end-to-end compute
+            # core on the SAME 1.18-Mvox stack + config (both exact
+            # znccBBB, single thread, this machine). The host number
+            # additionally INCLUDES the graph stage the reference-side
+            # measurement cannot compile. CLI all-in wall-clock is
+            # measured as a real fresh `python -S -m pnr_tpu.cli`
+            # subprocess (site init excluded: this container's
+            # site-packages scan costs ~1.9 s for ANY python process —
+            # environment tax, not framework).
+            import subprocess
+            import sys as _sys
+            import tempfile
+
+            from pnr_tpu.config import PNRConfig
+            from pnr_tpu.hostpath import host_reconstruction_func
+
+            vol = make_volume((32, 192, 192))
+            cfg = PNRConfig(
+                sigmas=SIGMAS, tolerance=10.0, znccth=0.5, kappa=3.0,
+                step=2, ni=100, np=20, zdist=ZDIST, nodepervol=4, vol=9,
+                zncc_mode="exact",
+            )
+            host_reconstruction_func(vol, cfg, verbose=False)  # warm FS
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                host_reconstruction_func(vol, cfg, verbose=False)
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            extras["host_oneshot_e2e_s"] = round(ts[1], 2)
+            extras["host_oneshot_e2e_s_min"] = round(ts[0], 2)
+            extras["host_oneshot_e2e_s_max"] = round(ts[-1], 2)
+            # all-in CLI wall-clock (fresh interpreter, -S)
+            import os as _os
+
+            with tempfile.TemporaryDirectory() as td:
+                p = _os.path.join(td, "stack.npy")
+                np.save(p, vol)
+                sp = _os.pathsep.join(
+                    [_os.path.dirname(_os.path.dirname(np.__file__)),
+                     _os.getcwd()]
+                )
+                env = dict(_os.environ)
+                env["PYTHONPATH"] = sp
+                sig = ",".join(f"{x:g}" for x in SIGMAS)
+                t0 = time.perf_counter()
+                r = subprocess.run(
+                    [_sys.executable, "-S", "-m", "pnr_tpu.cli", "-i", p,
+                     "-p", sig, "0", "10", "0.5", "3", "2", "100", "20",
+                     f"{ZDIST:g}", "4", "9", "--quiet"],
+                    env=env, capture_output=True, text=True, timeout=300,
+                )
+                if r.returncode == 0:
+                    extras["host_oneshot_cli_s"] = round(
+                        time.perf_counter() - t0, 2
+                    )
+                else:
+                    extras["host_oneshot_cli_error"] = r.stderr[-120:]
 
         def ph_e2e_sharded():
             # the multi-device pipeline on a 1-device mesh at the same
@@ -642,15 +805,16 @@ def main():
 
         phases = [
             ("ref_cpp_e2e", ph_cpp_e2e, 40),
-            ("particle_updates", ph_tracer_tube, 60),
-            ("exact_particle_updates", ph_tracer_exact, 90),
+            ("host_oneshot", ph_host_oneshot, 60),
+            ("particle_updates", ph_tracer_tube, 70),
+            ("exact_particle_updates", ph_tracer_exact, 100),
             ("default_sigma_tracer", ph_default_sigmas, 90),
             ("frangi_537mvox", ph_frangi_large, 90),
-            ("reference_swc_f1", ph_ref_f1, 150),
+            ("reference_swc_f1", ph_ref_f1, 260),
             ("phantom_swc", ph_quality, 120),
-            ("f1_vs_snr", ph_snr, 150),
-            ("e2e", ph_e2e, 240),
-            ("e2e_exact", ph_e2e_exact, 120),
+            ("f1_vs_snr", ph_snr, 240),
+            ("e2e", ph_e2e, 280),
+            ("e2e_exact", ph_e2e_exact, 140),
             ("e2e_sharded", ph_e2e_sharded, 90),
         ]
         for name, fn, est in phases:
@@ -662,6 +826,7 @@ def main():
             except Exception as e:  # never fail the headline metric
                 extras[name + "_error"] = str(e)[:120]
             emit()
+        extras["vs_r04"] = _deltas_vs_previous(extras)
         extras["total_s"] = round(time.perf_counter() - t_start, 1)
         emit()
 

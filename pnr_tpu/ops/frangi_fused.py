@@ -58,6 +58,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pnr_tpu.ops.gaussian import gaussian_kernel
 
+from pnr_tpu.utils.jax_setup import stabilize_pallas_cache_keys
+
+stabilize_pallas_cache_keys()
+
 #: bz=16,by=32 (est 13.5 MB) and bz=4,by=64 (est 14.6 MB) crash the
 #: v5e compiler; bz=4,by=48 (est 11.2 MB, the round-3 sweep's fastest:
 #: 879 Mvox/s chained vs 840 at 8x32 — throughput is flat in geometry,

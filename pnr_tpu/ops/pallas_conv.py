@@ -31,6 +31,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pnr_tpu.utils.jax_setup import stabilize_pallas_cache_keys
+
+stabilize_pallas_cache_keys()
+
 _VMEM_BUDGET = 12 * 1024 * 1024  # soft cap per block (in + out), bytes
 
 

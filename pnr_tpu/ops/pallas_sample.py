@@ -38,6 +38,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pnr_tpu.utils.jax_setup import stabilize_pallas_cache_keys
+
+stabilize_pallas_cache_keys()
+
 _VMEM_SOFT_CAP = 10 * 1024 * 1024
 
 

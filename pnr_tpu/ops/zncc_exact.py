@@ -63,6 +63,10 @@ from jax.experimental.pallas import tpu as pltpu
 from pnr_tpu.ops.interp import trilinear
 from pnr_tpu.ops.zncc import ZnccTemplates, local_frame, _FLT_MIN
 
+from pnr_tpu.utils.jax_setup import stabilize_pallas_cache_keys
+
+stabilize_pallas_cache_keys()
+
 KBLK = 512
 #: ~16 MB VMEM/core on v5e; leave headroom for Pallas block
 #: double-buffering of the patch stream

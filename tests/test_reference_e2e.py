@@ -77,13 +77,22 @@ class TestReferenceEndToEnd:
         is therefore the reference's agreement WITH ITSELF: we run N
         replicates, score every ref-vs-ref pair (the noise floor), and
         demand ours-vs-ref mean F1 within a margin of that floor.
-        Calibrated 2026-08-20 (5 replicates, 10 pairs): floor mean
-        0.931, min 0.873, std 0.035; ours-vs-ref mean 0.938 — the
-        rebuild agrees with the reference better than the reference
-        agrees with itself."""
+        The floor POOLS two phantom topologies (VERDICT r4 item 4: the
+        single-phantom 3-4-replicate floor swung 0.944 -> 0.881 between
+        same-day runs — one bad draw could flip the gate): branching
+        neuron (4 replicates) + crossing tubes (3 replicates), 9 pairs,
+        gated on the POOLED mean. Calibrated 2026-08-20 single-phantom
+        figures for scale: floor mean 0.931, std 0.035; ours-vs-ref
+        0.938 — the rebuild agrees with the reference better than the
+        reference agrees with itself."""
         import itertools
 
-        _, _, ref_rows, our_rows, _ = traced
+        from tests.test_phantom_neuron import crossing_tubes_phantom
+
+        _, _, ref_rows, our_rows, res = traced
+        floor = []
+        ours = []
+        # topology 1: branching neuron (reuses the fixture's replicate)
         reps = [np.asarray(ref_rows, np.float64)]
         for rep in range(3):
             ref_n0, _, _ = reference_reconstruct_n0(phantom(), CFG)
@@ -96,23 +105,47 @@ class TestReferenceEndToEnd:
                     np.float64,
                 )
             )
-        floor = [
+        floor += [
             compare_swc(reps[a], reps[b], dist=4.0, resample=1.0).f1
             for a, b in itertools.combinations(range(len(reps)), 2)
         ]
-        ours = [
-            compare_swc(our_rows, r, dist=4.0, resample=1.0) for r in reps
+        ours += [compare_swc(our_rows, r, dist=4.0, resample=1.0) for r in reps]
+
+        # topology 2: crossing tubes
+        vol2 = crossing_tubes_phantom()[0]
+        reps2 = []
+        for rep in range(3):
+            ref_n0, _, _ = reference_reconstruct_n0(vol2, CFG)
+            reps2.append(
+                np.asarray(
+                    _swc_rows(
+                        reconstruct_graph(ref_n0.copy(), CFG),
+                        tmp_path / f"x{rep}.swc",
+                    ),
+                    np.float64,
+                )
+            )
+        floor += [
+            compare_swc(reps2[a], reps2[b], dist=4.0, resample=1.0).f1
+            for a, b in itertools.combinations(range(len(reps2)), 2)
         ]
+        our2 = _swc_rows(
+            reconstruction_func(vol2, CFG, verbose=False).tree,
+            tmp_path / "ours2.swc",
+        )
+        ours += [compare_swc(our2, r, dist=4.0, resample=1.0) for r in reps2]
+
         ours_f1 = [s.f1 for s in ours]
         floor_mean = float(np.mean(floor))
         ours_mean = float(np.mean(ours_f1))
         # the floor itself must be sane (replicates trace one phantom)
         assert floor_mean >= 0.8, (floor, "reference replicates disagree")
-        # margin = replicate noise (calibrated std 0.035, ~1.5 std)
-        assert ours_mean >= floor_mean - 0.05, (ours_mean, floor_mean, ours)
+        # margin = replicate noise (calibrated std 0.035, ~1.5 std),
+        # against the POOLED two-topology floor
+        assert ours_mean >= floor_mean - 0.05, (ours_mean, floor_mean, ours_f1)
         # hard absolute floors, independent of the measured yardstick
-        assert ours_mean >= 0.85, (ours_mean, ours)
-        assert min(s.recall for s in ours) >= 0.8, ours
+        assert ours_mean >= 0.85, (ours_mean, ours_f1)
+        assert min(s.recall for s in ours) >= 0.8, ours_f1
 
     def test_n0_clouds_overlap(self, traced):
         """Raw tracer output (pre-post-processing): every reference node
