@@ -118,6 +118,14 @@ class PNRConfig:
     #: handoff paths force 1 — their halo budget assumes the strict
     #: windows and their stage boundaries differ from single-device.
     patch_reuse: int = 1
+    #: Tube-mode map-field dtype: "auto" keeps the f32 field below
+    #: ~4 GB of maps and switches to the Z-streamed bfloat16 field
+    #: beyond (6*S B/voxel — lifts the fast engine's single-chip cap
+    #: from ~250-350 Mvox to the half-Gvox class at a measured 1.8e-3
+    #: max corr error / 0.13% sigma flips vs f32; see
+    #: ops/zncc_fast.build_tube_maps_packed_blocked). "f32"/"bf16"
+    #: force an engine.
+    tube_map_dtype: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "sigmas", tuple(sorted(float(s) for s in self.sigmas)))
@@ -145,6 +153,8 @@ class PNRConfig:
             raise ValueError("zncc_mode must be 'exact' or 'tube'")
         if self.patch_reuse < 1:
             raise ValueError("patch_reuse out of range")
+        if self.tube_map_dtype not in ("auto", "f32", "bf16"):
+            raise ValueError("tube_map_dtype must be 'auto', 'f32' or 'bf16'")
 
     @classmethod
     def from_cli_params(cls, params: Sequence[str]) -> "PNRConfig":

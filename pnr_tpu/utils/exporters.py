@@ -201,9 +201,10 @@ def metrics_entry(path: str, result) -> dict:
     }
     if getattr(result, "n_raw_seeds", -1) >= 0:
         entry["n_raw_seeds"] = int(result.n_raw_seeds)
-        from pnr_tpu.utils.exporters import low_signal_diagnostic
-
         warn = low_signal_diagnostic(result)
         if warn is not None:
             entry["low_signal_warning"] = warn
+    if getattr(result, "n_handoffs", -1) >= 0:
+        entry["n_handoffs"] = int(result.n_handoffs)
+        entry["n_requeued"] = int(result.n_requeued)
     return entry

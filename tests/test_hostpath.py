@@ -253,6 +253,29 @@ class TestHostPipelineE2E:
         assert abs(np.median(np.asarray(rh.tree.y[1:])) -
                    np.median(np.asarray(rd.tree.y[1:]))) < 2.0
 
+    def test_2d_host_path(self):
+        """Single-slice (P == 1) images are first-class in the reference
+        (Advantra_plugin.cpp:2339); the host engine runs them through
+        frangi2d + the 2-D tube model."""
+        from pnr_tpu.hostpath import host_reconstruction_func
+
+        rng = np.random.default_rng(5)
+        y, x = np.meshgrid(np.arange(96), np.arange(128), indexing="ij")
+        img = np.clip(
+            200.0 * np.exp(-((y - 48) ** 2) / (2 * 2.5**2))
+            * (0.7 + 0.3 * np.sin(x / 4.0)) * (x > 8) * (x < 120)
+            + rng.normal(0, 5, (96, 128)),
+            0, 255,
+        ).astype(np.uint8)[None]
+        cfg = PNRConfig(
+            sigmas=(2.0, 3.0), tolerance=10.0, znccth=0.4, kappa=3.0, step=2,
+            ni=60, np=20, zdist=2.0, nodepervol=4, vol=9, zncc_mode="tube",
+        )
+        res = host_reconstruction_func(img, cfg, verbose=False)
+        assert len(res.tree) > 5
+        ys = np.asarray(res.tree.y[1:])
+        assert abs(np.median(ys) - 48) < 2.5
+
     def test_soma_host_path(self):
         """somaradius > 0 exercises the host soma extraction."""
         from pnr_tpu.hostpath import host_reconstruction_func

@@ -180,6 +180,100 @@ class TestTubeZncc:
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=0.08)
 
 
+class TestTubeFieldScaleLever:
+    """The Z-streamed / bfloat16 map field (VERDICT r4 item 2): the
+    blocked f32 build must be BITWISE the monolithic build, and the
+    bf16 field must stay inside the engine's reference-agreement
+    envelope (calibrated on v5e: 1.8e-3 max corr err, 0.13% flips)."""
+
+    def test_blocked_f32_build_ulp_exact(self):
+        """Same values, same taps, same halo-complete inputs — the only
+        divergence from the monolithic build is XLA's FMA grouping in
+        the different graph context (measured max rel 3.5e-7)."""
+        from pnr_tpu.ops.zncc_fast import (
+            TubeZnccModel,
+            build_tube_maps_packed,
+            build_tube_maps_packed_blocked,
+        )
+
+        img = make_noisy_tube(shape=(40, 48, 96))
+        model = TubeZnccModel((2.0, 3.0), is2d=False)
+        mono = np.asarray(build_tube_maps_packed(jnp.asarray(img), model))
+        for bz in (16, 24):  # dividing and tail-clamped
+            blk = np.asarray(
+                build_tube_maps_packed_blocked(
+                    jnp.asarray(img), model, block_z=bz
+                )
+            )
+            rel = np.abs(blk - mono) / np.maximum(np.abs(mono), 1.0)
+            assert rel.max() < 2e-6, rel.max()
+
+    def test_bf16_field_engine_parity(self, rng):
+        from pnr_tpu.config import PNRConfig
+        from pnr_tpu.smc.tracker import BatchedTracker
+
+        img = make_noisy_tube(shape=(40, 48, 96))
+        n = 150
+        pos = np.stack(
+            [rng.uniform(8, 88, n), rng.uniform(6, 42, n),
+             rng.uniform(3, 37, n)], -1,
+        ).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        corrs = {}
+        for dt in ("f32", "bf16"):
+            cfg = PNRConfig(
+                sigmas=(2.0, 3.0), znccth=0.3, kappa=3.0, step=2, ni=8,
+                np=10, zdist=2.0, nodepervol=4, vol=9, zncc_mode="tube",
+                tube_map_dtype=dt,
+            )
+            tracker = BatchedTracker(cfg, is2d=False)
+            field = tracker.prepare_field(jnp.asarray(img))
+            assert field.dtype == (
+                jnp.bfloat16 if dt == "bf16" else jnp.float32
+            )
+            c, s = tracker._patch_engine.eval_fused(
+                field, jnp.asarray(pos)[:, None, :], jnp.asarray(d)[:, None, :]
+            )
+            corrs[dt] = (np.asarray(c)[:, 0], np.asarray(s)[:, 0])
+        err = np.abs(corrs["bf16"][0] - corrs["f32"][0])
+        flips = (corrs["bf16"][1] != corrs["f32"][1]).mean()
+        assert err.max() < 8e-3, err.max()
+        assert flips < 0.03, flips
+
+    def test_bf16_field_e2e_same_class(self):
+        """Forced-bf16 full pipeline lands on the phantom axis with a
+        same-class tree as f32."""
+        from pnr_tpu.config import PNRConfig
+        from pnr_tpu.pipeline import reconstruction_func
+
+        rng = np.random.default_rng(9)
+        z, y, x = np.meshgrid(*[np.arange(s) for s in (24, 64, 96)], indexing="ij")
+        d2 = (y - 32) ** 2 + ((z - 12) * 2.0) ** 2
+        img = np.clip(
+            200.0 * np.exp(-d2 / (2 * 3.0**2)) * (0.7 + 0.3 * np.sin(x / 4.0))
+            * (x > 8) * (x < 88)  # interior end caps: edge-touching
+            # plateaus are rejected by the MaximumFinder (seed.cpp:700)
+            + rng.normal(0, 5, x.shape),
+            0, 255,
+        ).astype(np.uint8)
+        trees = {}
+        for dt in ("f32", "bf16"):
+            cfg = PNRConfig(
+                sigmas=(2.0, 3.0), tolerance=10.0, znccth=0.5, kappa=3.0,
+                step=2, ni=40, np=10, zdist=2.0, nodepervol=4, vol=9,
+                zncc_mode="tube", tube_map_dtype=dt, wave_size=32,
+            )
+            res = reconstruction_func(img, cfg, verbose=False)
+            trees[dt] = res.tree
+        n_f32, n_bf16 = len(trees["f32"]), len(trees["bf16"])
+        assert n_bf16 > 5
+        assert abs(n_bf16 - n_f32) <= max(5, int(0.3 * n_f32)), (n_f32, n_bf16)
+        ys = np.asarray(trees["bf16"].y[1:])
+        med_f32 = np.median(np.asarray(trees["f32"].y[1:]))
+        assert abs(np.median(ys) - med_f32) < 2.0
+
+
 class TestTubeZncc2D:
     def test_2d_maps_and_correlation(self, rng):
         """Tube mode on a single-slice volume: bilinear map sampling."""
