@@ -564,6 +564,11 @@ def _stack_front(
         mask = max_points_host(j8_np, float(cfg.tolerance))
     else:
         mask = np.asarray(max_points_device(j8, float(cfg.tolerance)))
+    # the device J8 buffer is done (the host copy serves the result and
+    # the flood): free it BEFORE the tube map field builds — at the
+    # half-Gvox class the extra ~0.5 GB tipped a 16-GiB chip over
+    # (observed RESOURCE_EXHAUSTED at 537 Mvox)
+    j8 = None
     zz, yy, xx = np.nonzero(mask)
     pos = np.stack([xx, yy, zz], axis=-1).astype(np.float32)
     n_raw_seeds = len(pos)
@@ -581,6 +586,11 @@ def _stack_front(
     if tracker is None:
         tracker = BatchedTracker(cfg, is2d)
     field = tracker.prepare_field(img)
+    # tube mode replaces the raw device volume with the map field; in
+    # exact mode `field` is a view keeping the same buffer alive —
+    # dropping the extra reference is free either way (at 537 Mvox it
+    # is another ~0.5 GB of headroom)
+    img = None
     if len(pos):
         # drop seeds inside the soma (smap > 0)
         if smap is not None:

@@ -117,15 +117,18 @@ class BatchedTracker:
                 use_bf16 = dtype_pref == "bf16" or (
                     dtype_pref == "auto" and f32_field_bytes > 4 * (1 << 30)
                 )
+                # adaptive block: ~0.8 GB of per-block f32 slab temps
+                plane = int(im.shape[-1]) * int(im.shape[-2])
+                bz = max(8, min(64, int(0.8e9 / max(1, plane * 4 * 7))))
                 if use_bf16:
                     return build_tube_maps_packed_blocked(
-                        im, model, dtype=jnp.bfloat16
+                        im, model, dtype=jnp.bfloat16, block_z=bz
                     )
                 if size > 100_000_000:
                     # f32 field fits but the monolithic build arena
                     # would not: stream the build, keep the f32 field
                     return build_tube_maps_packed_blocked(
-                        im, model, dtype=jnp.float32
+                        im, model, dtype=jnp.float32, block_z=bz
                     )
                 return build_tube_maps_packed(im, model)
 
