@@ -547,6 +547,10 @@ def _stack_front(
             )
     j8 = normalize_to_u8(j, jmin, jmax)
     j8.block_until_ready()
+    # the f32 vesselness volume is consumed: at the half-Gvox class it
+    # is 2.1 GB that would otherwise stay referenced through the tube
+    # field build (observed as the 537-Mvox RESOURCE_EXHAUSTED)
+    j = jmin = jmax = None
     tm.stop()
 
     tm.start("seed extraction")
