@@ -339,7 +339,15 @@ def host_reconstruction_func(
         trace_count = 0
         nseeds = len(pos)
         idx = 0
-        wave = max(1, cfg.wave_size)
+        # Host wave sizing: speculative lanes cost REAL CPU here (on the
+        # device they are nearly free), and the FCFS result is
+        # wave-invariant (same n0 at every size — tested). Exact mode's
+        # per-query cost is ~85x tube's, so speculation past the commit
+        # wavefront dominates: measured at the bench config (sigmas
+        # 2,4,6, 1.18 Mvox), tracing falls 17.2 s -> 3.1 s going wave
+        # 128 -> 2. Tube queries are cheap and NumPy per-op overhead
+        # dominates instead, so tube keeps the configured wave.
+        wave = max(1, cfg.wave_size if cfg.zncc_mode == "tube" else 2)
         while idx < nseeds and trace_count <= cfg.max_trace_count:
             batch = []
             while idx < nseeds and len(batch) < wave:
