@@ -595,6 +595,9 @@ def _stack_front(
     # dropping the extra reference is free either way (at 537 Mvox it
     # is another ~0.5 GB of headroom)
     img = None
+    # overlap the tracer's first-use tracing + executable loading with
+    # the rest of the front half (see BatchedTracker.warm_async)
+    tracker.warm_async(field)
     if len(pos):
         # drop seeds inside the soma (smap > 0)
         if smap is not None:

@@ -177,6 +177,48 @@ class BatchedTracker:
         exact mode, or the precomputed tube-ZNCC map stack in tube mode."""
         return self._prepare_field(img)
 
+    def warm_async(self, field):
+        """Pre-trace + pre-load the wave executables in a background
+        thread while the caller's front half (seed flood, scoring)
+        still runs.
+
+        On a fresh process the first tracing stage pays several seconds
+        of python tracing + persistent-cache executable loading even
+        with every compile cached (measured ~5 s of the r5 first-stack
+        cost); the front half's own waits are IO/native (GIL released),
+        so this overlaps for free. Pure compute on the field — no
+        state, results discarded. Returns the thread (callers may join;
+        the first real wave simply blocks on jax's per-jit compile lock
+        otherwise). Disable with PNR_TPU_NO_WARM_ASYNC=1."""
+        import os
+        import threading
+
+        if os.environ.get("PNR_TPU_NO_WARM_ASYNC"):
+            return None
+
+        def _warm():
+            try:
+                t = self.TRACE_CHUNK
+                sp = jnp.ones((t, 3), jnp.float32)
+                sd = jnp.tile(
+                    jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (t, 1)
+                )
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(jax.random.key(0), i)
+                )(jnp.arange(t, dtype=jnp.uint32))
+                carry, _ = self._trace_init(field, sp, sd, keys)
+                self._trace_stage(
+                    field, keys, carry,
+                    jnp.arange(1, 1 + self.STAGE_ITERS),
+                    jnp.zeros(t, jnp.bool_),
+                )
+            except Exception:
+                pass  # warmup is advisory
+
+        th = threading.Thread(target=_warm, daemon=True)
+        th.start()
+        return th
+
     # ------------------------------------------------------------------
     def _build_trace_wave(self):
         """Explicitly batched wave tracer.
