@@ -461,14 +461,24 @@ def _deltas_vs_previous(extras, prev_path="BENCH_r04.json"):
         with open(prev_path) as f:
             txt = f.read()
         prev = None
-        for line in reversed(txt.strip().splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    prev = json.loads(line)
-                    break
-                except json.JSONDecodeError:
-                    continue
+        try:
+            doc = json.loads(txt)
+            # driver record format: {"n", "cmd", "rc", "tail", "parsed"}
+            if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+                prev = doc["parsed"]
+            elif isinstance(doc, dict) and "extras" in doc:
+                prev = doc
+        except json.JSONDecodeError:
+            pass
+        if prev is None:
+            for line in reversed(txt.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        prev = json.loads(line)
+                        break
+                    except json.JSONDecodeError:
+                        continue
         if not prev:
             return {"error": "no JSON line in previous record"}
         prev_extras = prev.get("extras", {})
