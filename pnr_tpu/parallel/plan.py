@@ -17,10 +17,12 @@ role). Constants are anchored in measured numbers recorded in PARITY.md:
   ~30% leaner — the planner uses the conservative large-shape fit
   `10 + 28*len(sigmas)` B/voxel);
 - `frangi3d_blocked` bounds that temp to one (block_z + 2*halo) slab;
-- the tube likelihood field is 3 float32 convolution maps per sigma
+- the tube likelihood field is 3 convolution maps per sigma
   (`ops/zncc_fast.build_tube_maps_packed`): 12 * len(sigmas) B/voxel
-  on the TRACE-halo slab; the exact engine's field is the raw uint8
-  slab itself (`smc/tracker.py prepare_field`);
+  f32, or 6 * len(sigmas) bfloat16 once the f32 field would exceed
+  4 GB (the r5 scale lever — `PNRConfig.tube_map_dtype` auto routing,
+  mirrored here), on the TRACE-halo slab; the exact engine's field is
+  the raw uint8 slab itself (`smc/tracker.py prepare_field`);
 - stage halos: `parallel.sharded.frangi_halo` and
   `parallel.handoff.required_trace_halo`.
 
@@ -221,7 +223,14 @@ def plan_sharded(
     # slab next to the u8 slab it was built from; J8/dir maps stay live
     # for the commit bookkeeping
     if cfg.zncc_mode == "tube":
-        field_b = 12.0 * len(cfg.sigmas) * slab_t
+        # mirror BatchedTracker.prepare_field's routing: the bfloat16
+        # field (6*S B/voxel, r5 scale lever) kicks in when the f32
+        # field would exceed 4 GB (or tube_map_dtype forces it)
+        bpv = 12.0 * len(cfg.sigmas)
+        pref = getattr(cfg, "tube_map_dtype", "auto")
+        if pref == "bf16" or (pref == "auto" and bpv * slab_t > 4 * (1 << 30)):
+            bpv = 6.0 * len(cfg.sigmas)
+        field_b = bpv * slab_t
     else:  # exact engine samples the raw volume
         field_b = 1.0 * slab_t
     lanes = max(64, cfg.wave_size)
