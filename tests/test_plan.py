@@ -48,12 +48,21 @@ class TestPlanSharded:
         # 2048^2 planes — measured on v5e, see PARITY round 4)
         assert any("tiled" in k for k in p.stages), p.stages
 
-    def test_tube_mode_at_pod_scale_reports_binding_stage(self):
-        """2048^3 tube maps (37 B/voxel on the trace-halo slab) exceed a
-        16 GiB chip even at one slice per shard: min_devices must say
-        WHICH stage binds instead of looping forever."""
+    def test_tube_mode_at_pod_scale(self):
+        """r5: the auto-routed bfloat16 field (6*S B/voxel) makes
+        pod-scale tube PLANNABLE — 2048^3 fits a finite mesh. Forcing
+        the f32 field (12*S B/voxel on the trace-halo slab) restores
+        r4's impossibility, and min_devices must then say WHICH stage
+        binds instead of looping forever."""
+        import dataclasses
+
+        p = min_devices((2048, 2048, 2048), cfg("tube"))
+        assert p.fits and p.n_devices <= 256, (p.n_devices, p.peak_stage)
         with pytest.raises(ValueError, match="tracing \\(tube\\)"):
-            min_devices((2048, 2048, 2048), cfg("tube"))
+            min_devices(
+                (2048, 2048, 2048),
+                dataclasses.replace(cfg("tube"), tube_map_dtype="f32"),
+            )
 
     def test_2d_shards_over_y(self):
         p1 = plan_sharded((1, 4096, 4096), cfg(sigmas=(2.0, 3.0)), 1)
